@@ -1,0 +1,130 @@
+"""Robust-cleaning operators A7-A9 / F3 (SURVEY §2.5).
+
+The reference's defence-track cleaning (/root/reference/run.py:25-85) is a
+per-user python loop: for each user, (1) winsorize amounts of frequent MCC
+codes to the code's median beyond dynamic percentile bounds, (2) rewrite
+rare codes (count <= n_mcc) to the user's most frequent code and its
+median amount.  O(users * rows) single-threaded scans.
+
+Spark-first shape: group statistics once (one shuffle on (user, code)),
+broadcast-free join back (same key => co-partitioned sort-merge or AQE
+shuffled-hash), conditional rewrite as a projection.  A skewed power-user
+inflates one group only; AQE skew-join splitting covers it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .gstats import group_percentiles
+
+
+def winsorize_to_median(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_amt: int = 10,
+    min_count: int = 10,
+) -> DataFrame:
+    """A8: values outside the group's dynamic percentile bounds are
+    replaced by the group median (/root/reference/run.py:60-67); applies
+    only to groups seen more than ``min_count`` times."""
+    stats = group_percentiles(df, keys, value_col, n_amt=n_amt)
+    joined = df.join(stats, on=keys, how="left")
+    v = F.col(value_col)
+    rewritten = (
+        F.when(
+            (F.col("cnt") > min_count) & ((v > F.col("p_hi")) | (v < F.col("p_lo"))),
+            F.col("p_median"),
+        )
+        .otherwise(v)
+        .alias(value_col)
+    )
+    keep = [c for c in df.columns if c != value_col]
+    return joined.select(*keep, rewritten)
+
+
+def rare_category_rewrite(
+    df: DataFrame,
+    user_col: str,
+    cat_col: str,
+    value_col: str,
+    min_count: int = 10,
+    stats_source: DataFrame | None = None,
+) -> DataFrame:
+    """A9: rows whose (user, cat) count <= ``min_count`` get cat <- the
+    user's most frequent category and value <- that category's group
+    median (/root/reference/run.py:69-76).
+
+    Tie-break for "most frequent": smallest category among equal counts —
+    np.unique sorts ascending and argmax takes the first hit
+    (/root/reference/run.py:41-45, SURVEY §7.4.3) =>
+    ``orderBy(cnt desc, cat asc)``.
+
+    ``stats_source``: DataFrame to compute counts/top-category/medians
+    from (defaults to ``df``).  The reference captures per-code amount
+    arrays BEFORE winsorization mutates them (run.py:49-50 copies), so the
+    composed cleaner passes the original transactions here.
+    """
+    src = stats_source if stats_source is not None else df
+    counts = src.groupBy(user_col, cat_col).agg(F.count(F.lit(1)).alias("_cat_cnt"))
+    top_w = Window.partitionBy(user_col).orderBy(
+        F.col("_cat_cnt").desc(), F.col(cat_col).asc()
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(top_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(user_col),
+            F.col(cat_col).alias("_top_cat"),
+        )
+    )
+    # median of the user's top category values (exact, constant fraction)
+    med = (
+        src.groupBy(user_col, cat_col)
+        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("_cat_median"))
+    )
+    top_med = top.join(
+        med,
+        (top[user_col] == med[user_col]) & (top["_top_cat"] == med[cat_col]),
+    ).select(top[user_col], "_top_cat", "_cat_median")
+
+    enriched = (
+        df.join(counts, on=[user_col, cat_col], how="left")
+        .join(top_med, on=user_col, how="left")
+    )
+    is_rare = F.col("_cat_cnt") <= min_count
+    out_cols = []
+    for c in df.columns:
+        if c == cat_col:
+            out_cols.append(
+                F.when(is_rare, F.col("_top_cat")).otherwise(F.col(cat_col)).alias(cat_col)
+            )
+        elif c == value_col:
+            out_cols.append(
+                F.when(is_rare, F.col("_cat_median")).otherwise(F.col(value_col)).alias(value_col)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return enriched.select(*out_cols)
+
+
+def clean_transactions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    cat_col: str = "mcc_code",
+    value_col: str = "transaction_amt",
+    n_amt: int = 10,
+    n_mcc: int = 10,
+) -> DataFrame:
+    """The composed robust-cleaning transform (/root/reference/run.py:25-85):
+    winsorize frequent categories, then rewrite rare ones."""
+    w = winsorize_to_median(
+        df, [user_col, cat_col], value_col, n_amt=n_amt, min_count=n_mcc
+    )
+    # rare-rewrite statistics come from the ORIGINAL df: the reference
+    # copies per-code amount arrays before winsorization mutates them.
+    return rare_category_rewrite(
+        w, user_col, cat_col, value_col, min_count=n_mcc, stats_source=df
+    )

@@ -1,0 +1,66 @@
+"""Filter operators F1-F5 (SURVEY §2.3).
+
+Predicates stay declarative so Catalyst pushes them into the parquet scan
+(check `.explain`: PushedFilters).  The two non-trivial ones — frequency
+filter and positional trim — are window/semijoin shapes that cost exactly
+one shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blacklist(df: DataFrame, col: str, *values) -> DataFrame:
+    """F2: drop rows whose ``col`` is in ``values``
+    (/root/reference/run.py:201 — MCC 6012)."""
+    return df.filter(~F.col(col).isin(*values))
+
+
+def frequency_filter(
+    df: DataFrame, keys: list[str], min_count: int, keep_above: bool = True
+) -> DataFrame:
+    """F3: keep rows whose (keys) group appears more than ``min_count``
+    times (/root/reference/run.py:41-44).
+
+    Implemented as a count window over the keys — one shuffle, no join,
+    and AQE handles skewed keys.  (A groupBy+broadcast-semijoin variant is
+    equivalent; the window form reuses the same shuffle when downstream
+    ops partition by the same keys.)
+    """
+    w = Window.partitionBy(*keys)
+    cnt = F.count(F.lit(1)).over(w)
+    grp = F.col("_grp_cnt")
+    cond = grp > min_count if keep_above else grp <= min_count
+    return df.withColumn("_grp_cnt", cnt).filter(cond).drop("_grp_cnt")
+
+
+def positional_trim(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    n_head: int = 20,
+    n_tail: int = 20,
+) -> DataFrame:
+    """F4/W5: drop the first ``n_head`` and last ``n_tail`` rows of every
+    group in (order_cols) order (/root/reference/run.py:196-198 —
+    ``.iloc[20:-20]`` per user; groups with <= n_head+n_tail rows vanish).
+
+    One shuffle on the group key; both row_numbers share it.
+    """
+    asc = Window.partitionBy(group_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    desc = Window.partitionBy(group_col).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn_a", F.row_number().over(asc))
+        .withColumn("_rn_d", F.row_number().over(desc))
+        .filter((F.col("_rn_a") > n_head) & (F.col("_rn_d") > n_tail))
+        .drop("_rn_a", "_rn_d")
+    )
+
+
+def mask_positive(col: str):
+    """F5: ``m[m > 0]`` — NULL out non-positive cells so aggregates skip
+    them (/root/reference/run.py:209-218)."""
+    c = F.col(col)
+    return F.when(c > 0, c)

@@ -1,0 +1,184 @@
+"""Group statistics: A7 dynamic-p percentiles, A10 vertical stats,
+A11 horizontal stats (SURVEY §2.5).
+
+Scale design: everything here is a single hash-aggregate (or one window +
+one aggregate) keyed by the group columns — partial aggregation map-side,
+bounded per-group state, AQE-coalesced output.  The reference's row-wise
+``get_stats`` over a 400-wide pivoted matrix (/root/reference/run.py:207-234)
+is re-expressed over the LONG form: stats over the per-(group,key) values
+with non-positive cells masked — identical numbers, shuffle-friendly.
+
+Float determinism: stats derive from exact decimal moment sums via the
+shared SQL fragments in ``sqlgen`` so results are bit-stable under
+any partitioning (and hash-comparable to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+
+
+def vertical_stats(
+    df: DataFrame, group_cols: list[str], value_col: str, prefix: str
+) -> DataFrame:
+    """A10: pandas ``groupby(...).agg(['mean','std','min','max','median',
+    'sem','skew','var','sum'])`` + amplitude (/root/reference/run.py:428-430).
+    ddof=1, adjusted G1 skew (SURVEY §7.4.2)."""
+    frags = sqlgen.moment_stats(value_col, prefix, percentile_fn="percentile")
+    return df.groupBy(*group_cols).agg(*[F.expr(s) for s in frags])
+
+
+def horizontal_stats(
+    df_long: DataFrame,
+    group_col: str,
+    value_col: str,
+    prefix: str,
+) -> DataFrame:
+    """A11: the reference's ``get_stats`` (/root/reference/run.py:207-234)
+    over the long form of a pivoted block.
+
+    Masks non-positive cells (F5: ``m[m > 0]``), computes
+    mean/median/max/min/std/sem/skew/var, 5 amplitudes, 5 ratios, then
+    NaN->0 like the reference's ``fillna(0)`` — while genuine ``inf``
+    (none possible here: masked min > 0) would be preserved (§7.4.4).
+    """
+    masked = f"(case when {value_col} > 0 then {value_col} end)"
+    frags = sqlgen.moment_stats(masked, prefix, percentile_fn="percentile")
+    agg = df_long.groupBy(group_col).agg(*[F.expr(s) for s in frags])
+    p = prefix
+    derived = [
+        f"({p}_max - {p}_min) as {p}_amplitude1",
+        f"({p}_max - {p}_median) as {p}_amplitude2",
+        f"({p}_max - {p}_mean) as {p}_amplitude3",
+        f"({p}_median - {p}_min) as {p}_amplitude4",
+        f"({p}_mean - {p}_min) as {p}_amplitude5",
+        f"({p}_max / {p}_min) as {p}_divmm1",
+        f"({p}_max / {p}_mean) as {p}_divmm2",
+        f"({p}_max / {p}_median) as {p}_divmm3",
+        f"({p}_mean / {p}_min) as {p}_divmm4",
+        f"({p}_median / {p}_min) as {p}_divmm5",
+    ]
+    out = agg.select("*", *[F.expr(s) for s in derived]).drop(f"{p}_n", f"{p}_sum", f"{p}_amplitude")
+    # pandas fillna(0): NaN -> 0 across every stat column
+    stat_cols = [c for c in out.columns if c != group_col]
+    return out.select(
+        group_col, *[F.expr(f"coalesce({c}, 0.0) as {c}") for c in stat_cols]
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_amt: int = 10,
+) -> DataFrame:
+    """A7: per-group count, median, and DYNAMIC percentile bounds for the
+    winsorization step (/root/reference/run.py:49-58): the tail fraction is
+    ``p = clamp(n_amt / cnt, 0, 1)`` — i.e. "winsorize the ~n_amt most
+    extreme values on each side".
+
+    Spark's builtin ``percentile`` needs a foldable fraction, so the
+    dynamic quantile is computed exactly (numpy linear interpolation
+    semantics) from rank statistics: one window ranking per group + one
+    aggregate — two passes over the shuffled group, no collect.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w) - 1).alias("_rk"),  # 0-based rank
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("_cnt"),
+    )
+    # target positions t = (cnt-1)*q for q in {p, 1-p, 0.5}
+    pos = ranked.select(
+        "*",
+        F.expr(f"case when cast({n_amt} as double) / _cnt > 1.0 then 1.0 "
+               f"else cast({n_amt} as double) / _cnt end").alias("_q"),
+    ).select(
+        "*",
+        F.expr("(_cnt - 1) * _q").alias("_t_lo"),
+        F.expr("(_cnt - 1) * (1.0 - _q)").alias("_t_hi"),
+        F.expr("(_cnt - 1) * 0.5").alias("_t_md"),
+    )
+
+    def interp(t: str, alias: str) -> list:
+        k = f"cast(floor({t}) as bigint)"
+        return [
+            F.expr(f"max(case when _rk = {k} then _v end) as _{alias}_lo"),
+            F.expr(f"max(case when _rk = {k} + 1 then _v end) as _{alias}_hi"),
+            F.expr(f"max({t} - {k}) as _{alias}_frac"),
+        ]
+
+    agg = pos.groupBy(*keys).agg(
+        F.max("_cnt").alias("cnt"),
+        *interp("_t_lo", "lo"),
+        *interp("_t_hi", "hi"),
+        *interp("_t_md", "md"),
+    )
+
+    def finish(alias: str, out: str) -> str:
+        lo, hi, fr = f"_{alias}_lo", f"_{alias}_hi", f"_{alias}_frac"
+        return (
+            f"(case when {hi} is null then {lo} "
+            f"else {lo} + ({hi} - {lo}) * {fr} end) as {out}"
+        )
+
+    return agg.select(
+        *keys,
+        "cnt",
+        F.expr(finish("lo", "p_lo")),
+        F.expr(finish("hi", "p_hi")),
+        F.expr(finish("md", "p_median")),
+    )
+
+
+def group_percentiles_sql(
+    table: str, keys: list[str], value_col: str, n_amt: int = 10
+) -> str:
+    """DuckDB oracle for ``group_percentiles`` — same rank-interpolation
+    arithmetic, textually identical float ops."""
+    ks = ", ".join(keys)
+    q = (f"case when cast({n_amt} as double) / _cnt > 1.0 then 1.0 "
+         f"else cast({n_amt} as double) / _cnt end")
+
+    def interp(t: str, alias: str) -> str:
+        k = f"cast(floor({t}) as bigint)"
+        return (
+            f"max(case when _rk = {k} then _v end) as _{alias}_lo, "
+            f"max(case when _rk = {k} + 1 then _v end) as _{alias}_hi, "
+            f"max({t} - {k}) as _{alias}_frac"
+        )
+
+    def finish(alias: str, out: str) -> str:
+        lo, hi, fr = f"_{alias}_lo", f"_{alias}_hi", f"_{alias}_frac"
+        return (f"(case when {hi} is null then {lo} "
+                f"else {lo} + ({hi} - {lo}) * {fr} end) as {out}")
+
+    return f"""
+with ranked as (
+  select {ks}, {value_col} as _v,
+         row_number() over (partition by {ks} order by {value_col} asc) - 1 as _rk,
+         count(*) over (partition by {ks}) as _cnt
+  from {table}
+), pos as (
+  select *, {q} as _q,
+         (_cnt - 1) * _q as _t_lo,
+         (_cnt - 1) * (1.0 - _q) as _t_hi,
+         (_cnt - 1) * 0.5 as _t_md
+  from ranked
+), agg as (
+  select {ks}, max(_cnt) as cnt,
+         {interp('_t_lo', 'lo')},
+         {interp('_t_hi', 'hi')},
+         {interp('_t_md', 'md')}
+  from pos group by {ks}
+)
+select {ks}, cnt,
+       {finish('lo', 'p_lo')},
+       {finish('hi', 'p_hi')},
+       {finish('md', 'p_median')}
+from agg
+"""

@@ -1,0 +1,72 @@
+"""Pivot aggregations A1-A6 and row-normalization A12-A13 (SURVEY §2.5).
+
+Design for 100 TB: the reference pivots first and then does row-wise math
+over 400-column rows (/root/reference/run.py:238-430).  We keep data LONG
+(user, key, value) for as long as possible — normalization and horizontal
+stats are per-(user) aggregates over the long form (one shuffle, bounded
+state) — and pivot to the wide matrix only as the final presentation step,
+with a FROZEN ``values=`` vocabulary so Spark never runs the implicit
+distinct-values job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import dsum
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    vocab: Sequence,
+    agg: str = "count",
+    value_col: str | None = None,
+    prefix: str | None = None,
+    fill: float | int = 0,
+) -> DataFrame:
+    """A1-A6: ``groupBy(group).pivot(col, vocab).agg(...)`` + fill.
+
+    ``agg``: 'count' | 'sum' (sum is decimal-exact — see functions.stats).
+    Columns are renamed ``{prefix}-{v}`` like the reference's
+    ``f'mcc_freq-{code}'`` scheme (/root/reference/run.py:241).
+    """
+    prefix = prefix or f"{pivot_col}_{agg}"
+    p = df.groupBy(group_col).pivot(pivot_col, list(vocab))
+    if agg == "count":
+        out = p.count()
+    elif agg == "sum":
+        out = p.agg(dsum(value_col))
+    else:
+        raise ValueError(f"unsupported agg: {agg}")
+    out = out.select(
+        group_col, *[F.col(f"`{v}`").alias(f"{prefix}-{v}") for v in vocab]
+    )
+    return out.na.fill(fill)
+
+
+def row_normalize(
+    df_long: DataFrame, group_col: str, value_col: str, out_col: str = "freq"
+) -> DataFrame:
+    """A12 done PRE-pivot: value / total-per-group via one partition window
+    (/root/reference/run.py:258 ``m.div(m.sum(axis=1), axis=0)``).
+
+    Long-form normalization == the reference's row-normalize of the pivoted
+    matrix, but the shuffle key stays (group), state stays O(1) per row,
+    and the 400-wide matrix never exists until presentation.
+    """
+    w = Window.partitionBy(group_col)
+    total = F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double")
+    return df_long.withColumn(out_col, F.col(value_col) / total)
+
+
+def row_sum(df_long: DataFrame, group_col: str, value_col: str, out_col: str = "row_sum") -> DataFrame:
+    """A13: per-group total of the (long-form) pivoted block."""
+    w = Window.partitionBy(group_col)
+    return df_long.withColumn(
+        out_col, F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double")
+    )

@@ -1,0 +1,62 @@
+"""Projection operators P4-P9 (SURVEY §2.2).
+
+All narrow (no shuffle), whole-stage-codegen-friendly column expressions —
+the 100 TB cost of this whole module is one map stage fused into the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def debit_credit(df: DataFrame, amt_col: str = "transaction_amt") -> DataFrame:
+    """P4: split a signed amount into debit (>0) / credit (<0) columns,
+    NULL where the condition fails (/root/reference/run.py:98-99).
+    NULLs then vanish inside aggregates — same as pandas NaN."""
+    amt = F.col(amt_col)
+    return df.withColumn("debit", F.when(amt > 0, amt)).withColumn(
+        "credit", F.when(amt < 0, amt)
+    )
+
+
+def one_hot(df: DataFrame, col: str, vocab: Sequence, prefix: str | None = None) -> DataFrame:
+    """P5: one-hot over a FROZEN vocabulary (/root/reference/run.py:103-108).
+
+    The closed vocab means this is a single projection — no distinct-values
+    scan, no shuffle, deterministic schema at any scale.  Categories absent
+    from the data still appear (all-zero), mirroring the reference's
+    ``reindex(columns=...) + fillna(0)`` (P9).
+    """
+    prefix = prefix or col
+    cols = [
+        F.when(F.col(col) == F.lit(v), 1).otherwise(0).alias(f"{prefix}_{v}")
+        for v in vocab
+    ]
+    return df.select("*", *cols)
+
+
+def bin_by_edges(col: Column | str, edges: Sequence[float]) -> Column:
+    """P7: ``pd.cut(x, bins=edges, labels=False)`` parity
+    (/root/reference/model.py:172-181).
+
+    Half-open (lo, hi] intervals like pd.cut default (right=True); values
+    outside all edges -> NULL (pandas NaN).  A when-chain keeps it codegen-
+    friendly; for very long edge lists use ML Bucketizer instead.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.lit(None).cast("int")
+    for i in range(len(edges) - 1, 0, -1):
+        expr = F.when((c > edges[i - 1]) & (c <= edges[i]), i - 1).otherwise(expr)
+    return expr
+
+
+def conform_columns(df: DataFrame, columns: Sequence[str], fill: float = 0.0) -> DataFrame:
+    """P9/J5: reindex to a closed column list; missing columns become
+    ``fill`` (/root/reference/run.py:106-108,470-475)."""
+    present = set(df.columns)
+    return df.select(
+        *[F.col(c) if c in present else F.lit(fill).alias(c) for c in columns]
+    )

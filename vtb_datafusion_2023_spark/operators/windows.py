@@ -1,0 +1,122 @@
+"""Window / sequence operators W1-W7 (SURVEY §2.6).
+
+Row order is load-bearing in the reference (pandas positional semantics —
+SURVEY §7.4.1): every windowed op here takes explicit order columns
+(timestamp + a unique ``ord`` tie-break).  All windows over the same
+(partition, order) share one shuffle+sort — Catalyst reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _w(user_col: str, order_cols: list[str]) -> WindowSpec:
+    return Window.partitionBy(user_col).orderBy(*order_cols)
+
+
+def with_cumsum(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    value_cols: list[str],
+    suffix: str = "_cum",
+) -> DataFrame:
+    """W1: running sums per user in row order
+    (/root/reference/run.py:116-118 ``cumsum()`` x3).
+
+    Decimal-exact accumulation => bit-stable at any partitioning."""
+    w = _w(user_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.sum(F.col(c).cast("decimal(38,6)")).over(w).cast("double"),
+        )
+    return out
+
+
+def reanchor_first(
+    df: DataFrame, user_col: str, order_cols: list[str], col: str, out_col: str | None = None
+) -> DataFrame:
+    """W2: subtract the group's first value in row order
+    (/root/reference/run.py:120 ``x - x.iloc[0]``)."""
+    w = _w(user_col, order_cols)
+    return df.withColumn(out_col or f"{col}_re", F.col(col) - F.first(col).over(w))
+
+
+def zscore(
+    df: DataFrame, user_col: str, cols: list[str], suffix: str = "_z"
+) -> DataFrame:
+    """W3: per-user z-score with POPULATION std — sklearn StandardScaler
+    fit per user, ddof=0 (/root/reference/run.py:113-115).
+
+    Deterministic variant: mean/std from exact decimal window sums with
+    identical arithmetic to the SQL oracle.
+    """
+    out = df
+    for c in cols:
+        w = Window.partitionBy(user_col)
+        n = F.count(c).over(w)
+        s1 = F.sum(F.col(c).cast("decimal(38,6)")).over(w).cast("double")
+        s2 = F.sum((F.col(c) * F.col(c)).cast("decimal(38,6)")).over(w).cast("double")
+        mean = s1 / n
+        var_pop = s2 / n - mean * mean
+        std = F.sqrt(F.when(var_pop < 0, 0.0).otherwise(var_pop))
+        out = out.withColumn(f"{c}{suffix}", (F.col(c) - mean) / std)
+    return out
+
+
+def keep_last_n(
+    df: DataFrame, user_col: str, order_cols: list[str], n: int
+) -> DataFrame:
+    """W4 (truncation half): keep the last ``n`` rows per user in row
+    order — the RNN's ``x[:, -300:]`` (/root/reference/model.py:185-196)."""
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn_last", F.row_number().over(w))
+        .filter(F.col("_rn_last") <= n)
+        .drop("_rn_last")
+    )
+
+
+def assemble_sequences(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    feature_cols: list[str],
+    seq_len: int | None = None,
+    pad_value: float = 0.0,
+) -> DataFrame:
+    """W7 (+W4 padding half): per-user ordered sequence tensor.
+
+    Returns (user, seq: array<array<double>>) where seq[i] is the feature
+    vector of the i-th event in row order.  With ``seq_len``, sequences
+    are LEFT-truncated to the last ``seq_len`` steps and right-padded with
+    ``pad_value`` rows (the reference pads the tail when shorter —
+    /root/reference/model.py:185-196).
+
+    One shuffle on user; ``collect_list(struct(ord, features))`` +
+    ``array_sort`` orders within the group without a sort exchange.  At
+    100 TB, per-user state is bounded by max sequence length (~thousands),
+    so grouped state stays executor-resident; for unbounded histories use
+    keep_last_n first.
+    """
+    ord_struct = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("_fv"),
+    )
+    grouped = df.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(ord_struct)).alias("_seq_structs")
+    )
+    seq = F.transform(F.col("_seq_structs"), lambda s: s["_fv"])
+    if seq_len is not None:
+        n_feat = len(feature_cols)
+        pad_row = F.array_repeat(F.lit(float(pad_value)), n_feat)
+        truncated = F.slice(seq, F.greatest(F.lit(1), F.size(seq) - F.lit(seq_len - 1)), F.lit(seq_len))
+        seq = F.concat(
+            truncated,
+            F.array_repeat(pad_row, F.greatest(F.lit(0), F.lit(seq_len) - F.size(seq))),
+        )
+    return grouped.select(F.col(user_col), seq.alias("seq"))

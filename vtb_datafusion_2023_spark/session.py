@@ -1,0 +1,81 @@
+"""SparkSession construction and defensive runtime tuning.
+
+Two entry paths exist:
+
+1. We own the session (tests, bench.py): ``get_spark()`` builds a
+   ``local[N]`` session with scale-appropriate static configs.
+2. The driver owns the session (``__spark_entry__.queries()``): we can only
+   set *runtime* SQL confs.  ``tune_session(spark)`` applies everything that
+   matters for correctness (session timezone — SURVEY §7.4 / oracle parity)
+   and local performance (AQE, shuffle partitions) and is safe to call on
+   any session, repeatedly.
+
+Scale notes (100 TB design): the static builder enables AQE with
+coalescing + skew-join handling so the same code re-plans itself on a real
+cluster; shuffle partition count here is only the *initial* number — AQE
+coalesces post-shuffle.  On a 1000-executor cluster you would raise
+``spark.sql.shuffle.partitions`` (or rely on
+``spark.sql.adaptive.coalescePartitions.initialPartitionNum``) and set
+``spark.sql.files.maxPartitionBytes`` to keep scan tasks ~128-256 MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs: correctness first (UTC timezone pins timestamp
+# part-extraction to the stored naive value, matching the DuckDB oracle and
+# the reference's pandas behavior), then adaptive execution.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
+    # vectorized reader rejects; read the raw int64 nanos and convert in
+    # sources.readers (truncating to µs — DuckDB does the same on read).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # exact `percentile`, not approx — required for reference parity
+    # (SURVEY §7.4.2); nothing to set, noted for readers.
+}
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs to an externally-owned session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — keep going
+    if shuffle_partitions is None:
+        shuffle_partitions = default_cpus()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "vtb-datafusion-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session sized by $SPARK_GRAFT_CPUS."""
+    cpus = cpus or default_cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    return tune_session(spark, shuffle_partitions or cpus)

@@ -1,0 +1,82 @@
+"""Sources: schema-pinned CSV/parquet scans (SURVEY §2.1 S1/S2/S4).
+
+The reference scans one CSV with parse_dates + dtype map
+(``/root/reference/model.py:208-213``) and re-reads a materialized
+intermediate three times (``run.py:84-90,185`` — S4).  Spark-first:
+
+- CSV scans carry an explicit ``StructType`` (no schema inference pass —
+  inference would be a full extra read of 100 TB).
+- Parquet is the internal format: columnar, predicate-pushdown- and
+  column-pruning-friendly; ``.explain`` shows PushedFilters/ReadSchema.
+- Re-used intermediates are ``.cache()``-ed or checkpointed to parquet
+  instead of re-parsed (S4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import TESTDATA_TABLES, TX_SCHEMA
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic parquet table (TESTDATA.md).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in ``session``) it scans
+    as int64 nanos, which we truncate to µs — bit-identical to DuckDB's
+    read of the same file.  The conversion is a narrow projection; filter
+    pushdown on the int64 column still works.
+    """
+    from ..session import tune_session
+
+    tune_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_transactions_csv(
+    spark: SparkSession, path: str, drop_null: bool = True, stamp_ord: bool = False
+) -> DataFrame:
+    """S1+S2: schema-pinned CSV scan of the canonical transactions table.
+
+    ``drop_null`` mirrors ``.dropna()`` on ingest
+    (/root/reference/model.py:214).  ``stamp_ord=True`` adds a
+    monotonically-increasing order stamp when the file lacks an explicit
+    ``ord`` column; note monotonic ids are only unique+increasing, not
+    dense, and are assigned per input split — adequate as a deterministic
+    tie-break for a single ordered file read (SURVEY §7.4.1).
+    """
+    schema = TX_SCHEMA if not stamp_ord else TX_SCHEMA[:-1]
+    df = (
+        spark.read.schema(
+            "user_id long, mcc_code int, currency_rk int, "
+            "transaction_amt double, transaction_dttm timestamp"
+            + ("" if stamp_ord else ", ord long")
+        )
+        .option("header", True)
+        .csv(path)
+    )
+    _ = schema  # schema docstring anchor; string DDL keeps column order
+    if stamp_ord:
+        df = df.withColumn("ord", F.monotonically_increasing_id())
+    if drop_null:
+        df = df.na.drop()
+    return df

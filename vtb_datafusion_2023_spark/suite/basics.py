@@ -1,0 +1,346 @@
+"""Suite: scans, projections P1-P10, filters F1-F5, nulls M1-M2, set ops
+SO1-SO3 (SURVEY §2.1-2.3, §2.7, §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+from ..functions.temporal import hours_since, pandas_dayofweek, seconds_since_midnight
+from ..operators.filtering import blacklist, frequency_filter, positional_trim
+from ..operators.projections import bin_by_edges, conform_columns, one_hot
+from . import register
+from ._util import BLACKLIST_TYPE, SIGNED_AMT, T
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (S1 scan + P filters + A aggs).
+# Scale notes: filter + projection push into the parquet scan; one hash
+# aggregate on a 6-group key; decimal-exact sums keep the result bit-stable
+# under any partitioning.
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+select l_returnflag, l_linestatus,
+       {sqlgen.dsum('l_quantity', 'sum_qty')},
+       {sqlgen.dsum('l_extendedprice', 'sum_base_price')},
+       {sqlgen.dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sqlgen.dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sqlgen.davg('l_quantity', 'avg_qty')},
+       {sqlgen.davg('l_extendedprice', 'avg_price')},
+       {sqlgen.davg('l_discount', 'avg_disc')},
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '2001-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+""",
+    survey_ref="S1,A-group-agg",
+    doc="Pricing summary over lineitem: scan -> pushed filter -> hash agg.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(sqlgen.dsum("l_quantity", "sum_qty")),
+            F.expr(sqlgen.dsum("l_extendedprice", "sum_base_price")),
+            F.expr(sqlgen.dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")),
+            F.expr(sqlgen.dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")),
+            F.expr(sqlgen.davg("l_quantity", "avg_qty")),
+            F.expr(sqlgen.davg("l_extendedprice", "avg_price")),
+            F.expr(sqlgen.davg("l_discount", "avg_disc")),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2: datetime part extraction with pandas conventions.
+
+
+@register(
+    "p1_time_parts",
+    oracle="""
+select event_id, hour(ts) as hour, (dayofweek(ts)+6)%7 as day_of_week,
+       dayofmonth(ts) as day_of_month, month(ts) as month
+from events
+""",
+    survey_ref="P1",
+    doc="hour/dayofweek(Mon=0)/day/month from event time (run.py:91-94).",
+)
+def p1_time_parts(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").alias("hour"),
+        pandas_dayofweek(F.col("ts")).cast("bigint").alias("day_of_week"),
+        F.dayofmonth("ts").alias("day_of_month"),
+        F.month("ts").alias("month"),
+    )
+
+
+@register(
+    "p2_seconds_since_midnight",
+    oracle="select event_id, hour(ts)*3600 + minute(ts)*60 + second(ts) as time_day from events",
+    survey_ref="P2",
+    doc="seconds since midnight (run.py:97).",
+)
+def p2_seconds_since_midnight(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", seconds_since_midnight(F.col("ts")).cast("bigint").alias("time_day")
+    )
+
+
+@register(
+    "p3_hours_since_anchor",
+    oracle="""
+with anchor as (select cast(floor(epoch(arg_min(ts, event_id))) as bigint) as a0 from events)
+select event_id,
+       cast(floor((cast(floor(epoch(ts)) as bigint) - a0) / 3600) as bigint) as hours_anchor
+from events, anchor
+""",
+    survey_ref="P3",
+    doc="whole hours since the first-row timestamp (run.py:96; anchor = min-ord row, SURVEY §7.4.1).",
+)
+def p3_hours_since_anchor(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    # anchor resolved driver-side: one tiny min_by aggregate -> literal,
+    # so the projection is a narrow map (no join/shuffle at scale).
+    anchor = ev.agg(F.expr("unix_timestamp(min_by(ts, event_id))")).first()[0]
+    return ev.select(
+        "event_id", hours_since(F.col("ts"), int(anchor)).alias("hours_anchor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 + P10: conditional debit/credit split and ratio-of-aggregates.
+
+
+@register(
+    "p4_p10_debit_credit_ratio",
+    oracle=f"""
+with s as (
+  select user_id, {SIGNED_AMT} as amt from events
+)
+select user_id,
+       {sqlgen.dsum('case when amt > 0 then amt end', 'debit_sum')},
+       {sqlgen.dsum('case when amt < 0 then amt end', 'credit_sum')},
+       ({sqlgen.dsum('case when amt > 0 then amt end')} /
+        ({sqlgen.dsum('case when amt > 0 then amt end')} + {sqlgen.dsum('case when amt < 0 then amt end')})) as debit_ratio
+from s group by user_id
+""",
+    survey_ref="P4,P10",
+    doc="debit/credit NULL-split (run.py:98-99) + ratio of aggregates (run.py:330-331).",
+)
+def p4_p10_debit_credit_ratio(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").withColumn("amt", F.expr(SIGNED_AMT))
+    debit = sqlgen.dsum("case when amt > 0 then amt end")
+    credit = sqlgen.dsum("case when amt < 0 then amt end")
+    return ev.groupBy("user_id").agg(
+        F.expr(f"{debit} as debit_sum"),
+        F.expr(f"{credit} as credit_sum"),
+        F.expr(f"({debit} / ({debit} + {credit})) as debit_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 + P9: one-hot over a frozen vocabulary incl. an absent category.
+
+_ONEHOT_VOCAB = ["click", "error", "purchase", "refund", "signup", "view"]  # 'refund' absent
+
+
+@register(
+    "p5_p9_onehot_conform",
+    oracle="select event_id, "
+    + ", ".join(
+        f"(case when event_type = '{v}' then 1 else 0 end) as is_{v}" for v in _ONEHOT_VOCAB
+    )
+    + " from events",
+    survey_ref="P5,P9",
+    doc="one-hot with closed vocab; absent category present as zeros (run.py:103-108).",
+)
+def p5_p9_onehot_conform(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    oh = one_hot(ev, "event_type", _ONEHOT_VOCAB, prefix="is")
+    return conform_columns(oh, ["event_id"] + [f"is_{v}" for v in _ONEHOT_VOCAB])
+
+
+@register(
+    "p6_bucket_floor_div",
+    oracle="select event_id, cast(floor(value / 20) as bigint) as bucket from events",
+    survey_ref="P6",
+    doc="fixed-width integer bucketing `x //= 20` (run.py:248-249).",
+)
+def p6_bucket_floor_div(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select("event_id", F.floor(F.col("value") / 20).alias("bucket"))
+
+
+_EDGES = [0.0, 5.0, 20.0, 50.0, 100.0, 250.0, 1000.0]
+
+
+@register(
+    "p7_bin_by_edges",
+    oracle="select event_id, "
+    + "(case "
+    + " ".join(
+        f"when value > {_EDGES[i - 1]} and value <= {_EDGES[i]} then {i - 1}"
+        for i in range(1, len(_EDGES))
+    )
+    + " end) as bin from events",
+    survey_ref="P7",
+    doc="pd.cut by precomputed edges, labels=False (model.py:172-181).",
+)
+def p7_bin_by_edges(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select("event_id", bin_by_edges("value", _EDGES).alias("bin"))
+
+
+# ---------------------------------------------------------------------------
+# Filters.
+
+
+@register(
+    "f1_f2_filters",
+    oracle=f"""
+select l_linestatus, count(*) as n
+from lineitem
+where nullif(l_discount, 0.0) is not null and l_returnflag <> 'A'
+group by l_linestatus
+""",
+    survey_ref="F1,F2",
+    doc="not-null predicate (model.py:168) + category blacklist (run.py:201).",
+)
+def f1_f2_filters(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        blacklist(li.filter(F.expr("nullif(l_discount, 0.0) is not null")), "l_returnflag", "A")
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f3_frequency_filter",
+    oracle="""
+with c as (select user_id, event_type, count(*) over (partition by user_id, event_type) as cnt
+           from events)
+select event_id from events
+where (user_id, event_type) in (select (user_id, event_type) from c where cnt > 10)
+""",
+    survey_ref="F3",
+    doc="keep rows whose (user,category) count > 10 (run.py:41-44).",
+)
+def f3_frequency_filter(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return frequency_filter(ev, ["user_id", "event_type"], 10).select("event_id")
+
+
+@register(
+    "f4_positional_trim",
+    oracle=f"""
+with r as (
+  select user_id, value,
+         row_number() over (partition by user_id order by ts asc, event_id asc) as rn_a,
+         row_number() over (partition by user_id order by ts desc, event_id desc) as rn_d
+  from events
+)
+select user_id, count(*) as n_kept, {sqlgen.dsum('value', 'value_sum')}
+from r where rn_a > 20 and rn_d > 20
+group by user_id
+""",
+    survey_ref="F4,W5",
+    doc="drop first/last 20 rows per user in row order (run.py:196-198).",
+)
+def f4_positional_trim(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    trimmed = positional_trim(ev, "user_id", ["ts", "event_id"], 20, 20)
+    return trimmed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(sqlgen.dsum("value", "value_sum")),
+    )
+
+
+@register(
+    "m1_m2_null_handling",
+    oracle=f"""
+select l_linestatus,
+       count(nullif(l_discount, 0.0)) as n_nonnull,
+       count(*) as n_all,
+       {sqlgen.dsum('coalesce(nullif(l_discount, 0.0), -1.0)', 'filled_sum')}
+from lineitem group by l_linestatus
+""",
+    survey_ref="M1,M2",
+    doc="dropna/fillna conventions (model.py:214; run.py:108 etc.).",
+)
+def m1_m2_null_handling(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "disc0", F.expr("nullif(l_discount, 0.0)")
+    )
+    filled = li.na.fill({"disc0": -1.0})
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count("disc0").alias("n_nonnull"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+        .join(
+            filled.groupBy("l_linestatus").agg(F.expr(sqlgen.dsum("disc0", "filled_sum"))),
+            "l_linestatus",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations.
+
+
+@register(
+    "so1_distinct_users",
+    oracle="select distinct user_id from events",
+    survey_ref="SO1",
+    doc="distinct ids (run.py:36).",
+)
+def so1_distinct_users(spark, sf_dir):
+    return T(spark, sf_dir, "events").select("user_id").distinct()
+
+
+@register(
+    "so2_set_difference",
+    oracle=f"""
+select user_id from (select user_id, count(*) c from events where event_type = 'click' group by 1) where c > 15
+except
+select user_id from (select user_id, count(*) c from events where event_type = '{BLACKLIST_TYPE}' group by 1) where c > 15
+""",
+    survey_ref="SO2,J3",
+    doc="np.setdiff1d of id sets (run.py:202) as EXCEPT/anti-join.",
+)
+def so2_set_difference(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+
+    def heavy(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .count()
+            .filter(F.col("count") > 15)
+            .select("user_id")
+        )
+
+    return heavy("click").exceptAll(heavy(BLACKLIST_TYPE))
+
+
+@register(
+    "so3_bootstrap_sample",
+    oracle=None,  # nondeterministic draws vs numpy — distributional contract (SURVEY §7.4.5)
+    survey_ref="SO3",
+    doc="seeded bootstrap sample with replacement, frac 0.95 (model.py:279-281); rows-only check.",
+)
+def so3_bootstrap_sample(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.sample(withReplacement=True, fraction=0.95, seed=42).select(
+        "event_id", "user_id"
+    )
