@@ -29,9 +29,16 @@ DECIMAL_SUM_TYPE = "decimal(38,6)"
 
 
 def dsum(col: Column | str, scale_type: str = DECIMAL_SUM_TYPE) -> Column:
-    """Order-insensitive exact sum of a double column, returned as double."""
+    """Order-insensitive exact sum of a double column, returned as double.
+
+    The decimal->double conversion uses the integral/fractional split (see
+    ``sqlgen.dec_to_double``) so the bits match the SQL-oracle fragments
+    exactly, including beyond 2^53."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(scale_type)).cast("double")
+    s = F.sum(c.cast(scale_type))
+    ipart = (s - s % 1).cast("decimal(38,0)").cast("double")
+    frac = (s % 1).cast("double")
+    return ipart + frac
 
 
 def davg(col: Column | str) -> Column:

@@ -62,10 +62,13 @@ def horizontal_stats(
         f"({p}_median / {p}_min) as {p}_divmm5",
     ]
     out = agg.select("*", *[F.expr(s) for s in derived]).drop(f"{p}_n", f"{p}_sum", f"{p}_amplitude")
-    # pandas fillna(0): NaN -> 0 across every stat column
+    # pandas fillna(0): NaN -> 0 across every stat column.  The inner cast
+    # keeps bigint min/max as double (coalesce with a bare 0.0 literal
+    # would promote the whole thing to DECIMAL in Spark).
     stat_cols = [c for c in out.columns if c != group_col]
     return out.select(
-        group_col, *[F.expr(f"coalesce({c}, 0.0) as {c}") for c in stat_cols]
+        group_col,
+        *[F.expr(f"coalesce(cast({c} as double), cast(0 as double)) as {c}") for c in stat_cols],
     )
 
 

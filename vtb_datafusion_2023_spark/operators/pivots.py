@@ -16,6 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import sqlgen
 from ..functions.stats import dsum
 
 
@@ -59,14 +60,10 @@ def row_normalize(
     matrix, but the shuffle key stays (group), state stays O(1) per row,
     and the 400-wide matrix never exists until presentation.
     """
-    w = Window.partitionBy(group_col)
-    total = F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double")
-    return df_long.withColumn(out_col, F.col(value_col) / total)
+    total = sqlgen.wdsum(value_col, group_col)
+    return df_long.withColumn(out_col, F.expr(f"({value_col} / {total})"))
 
 
 def row_sum(df_long: DataFrame, group_col: str, value_col: str, out_col: str = "row_sum") -> DataFrame:
     """A13: per-group total of the (long-form) pivoted block."""
-    w = Window.partitionBy(group_col)
-    return df_long.withColumn(
-        out_col, F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double")
-    )
+    return df_long.withColumn(out_col, F.expr(sqlgen.wdsum(value_col, group_col)))

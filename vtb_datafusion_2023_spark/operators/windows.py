@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from .. import sqlgen
+
 
 def _w(user_col: str, order_cols: list[str]) -> WindowSpec:
     return Window.partitionBy(user_col).orderBy(*order_cols)
@@ -27,13 +29,10 @@ def with_cumsum(
     (/root/reference/run.py:116-118 ``cumsum()`` x3).
 
     Decimal-exact accumulation => bit-stable at any partitioning."""
-    w = _w(user_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = ", ".join(order_cols)
     out = df
     for c in value_cols:
-        out = out.withColumn(
-            f"{c}{suffix}",
-            F.sum(F.col(c).cast("decimal(38,6)")).over(w).cast("double"),
-        )
+        out = out.withColumn(f"{c}{suffix}", F.expr(sqlgen.wcumsum(c, user_col, order)))
     return out
 
 
@@ -57,14 +56,7 @@ def zscore(
     """
     out = df
     for c in cols:
-        w = Window.partitionBy(user_col)
-        n = F.count(c).over(w)
-        s1 = F.sum(F.col(c).cast("decimal(38,6)")).over(w).cast("double")
-        s2 = F.sum((F.col(c) * F.col(c)).cast("decimal(38,6)")).over(w).cast("double")
-        mean = s1 / n
-        var_pop = s2 / n - mean * mean
-        std = F.sqrt(F.when(var_pop < 0, 0.0).otherwise(var_pop))
-        out = out.withColumn(f"{c}{suffix}", (F.col(c) - mean) / std)
+        out = out.withColumn(f"{c}{suffix}", F.expr(sqlgen.zscore_pop(c, user_col)))
     return out
 
 

@@ -23,8 +23,27 @@ from __future__ import annotations
 DEC = "decimal(38,6)"
 
 
+def dec_to_double(e: str) -> str:
+    """Exact-decimal -> double conversion that is bitwise identical in
+    Spark and DuckDB.
+
+    A plain ``cast(decimal as double)`` diverges between engines once the
+    scaled integer exceeds 2^53: Spark converts the decimal VALUE with one
+    correct rounding (BigDecimal), DuckDB converts scaled-int -> double ->
+    / 10^scale (two roundings).  Split the value into an integral part
+    (cast through decimal(38,0) — a pure int->double, correctly rounded in
+    both) and a fractional part (tiny scaled int, exact in both), then add:
+    identical operands => identical IEEE sum.  ``%`` follows the dividend's
+    sign in both engines, so negatives split consistently too.
+    """
+    return (
+        f"(cast(cast(({e}) - (({e}) % 1) as decimal(38,0)) as double)"
+        f" + cast(({e}) % 1 as double))"
+    )
+
+
 def dsum(x: str, alias: str | None = None) -> str:
-    e = f"cast(sum(cast(({x}) as {DEC})) as double)"
+    e = dec_to_double(f"sum(cast(({x}) as {DEC}))")
     return f"{e} as {alias}" if alias else e
 
 
@@ -33,7 +52,9 @@ def davg(x: str, alias: str | None = None) -> str:
     return f"{e} as {alias}" if alias else e
 
 
-def moment_stats(x: str, prefix: str, percentile_fn: str) -> list[str]:
+def moment_stats(
+    x: str, prefix: str, percentile_fn: str, in_prec: int = 12, in_scale: int = 2
+) -> list[str]:
     """n/mean/median/min/max/std/sem/skew/var/total/amplitude over ``x``.
 
     pandas semantics (SURVEY §7.4.2): ddof=1 for std/var/sem, adjusted
@@ -41,12 +62,29 @@ def moment_stats(x: str, prefix: str, percentile_fn: str) -> list[str]:
     /root/reference/run.py:428-430).  All float math derives from exact
     decimal moment sums so both engines agree bitwise.
 
+    Powers are computed IN DECIMAL: the input is cast once to
+    ``decimal(in_prec, in_scale)`` (engines agree on that cast as long as
+    ulp(x) << 10^-in_scale; squares/cubes in double get big enough that
+    Spark's shortest-string-repr decimal cast and DuckDB's binary-value
+    rounding diverge — observed on 1e11-magnitude squares), then squared /
+    cubed with exact integer decimal arithmetic.  ``in_prec`` must satisfy
+    3*in_prec + 2 <= 38 + 2*in_scale so the cube fits Spark's precision
+    propagation (default (12,2) covers |x| < 1e10 at cent resolution).
+
     ``percentile_fn``: "percentile" (Spark) or "quantile_cont" (DuckDB).
     """
     n = f"count({x})"
-    s1 = dsum(x)
-    s2 = dsum(f"({x})*({x})")
-    s3 = dsum(f"({x})*({x})*({x})")
+    q = f"cast(({x}) as decimal({in_prec},{in_scale}))"
+    # explicit intermediate widths: DuckDB evaluates decimal products at
+    # the inputs' storage width (int64 overflow on the cube) unless the
+    # intermediate is cast up; Spark's (12,2)x(12,2)->(25,4)->(38,6)
+    # propagation makes the same casts no-ops.  Scales add at each step so
+    # nothing is rounded — pure integer math, bitwise equal in both.
+    q2 = f"cast({q} * {q} as decimal(25,{2 * in_scale}))"
+    q3 = f"cast({q2} * {q} as decimal(38,{3 * in_scale}))"
+    s1 = dec_to_double(f"sum({q})")
+    s2 = dec_to_double(f"sum({q2})")
+    s3 = dec_to_double(f"sum({q3})")
     mean = f"({s1} / {n})"
     # sample variance via exact sums; nullif guards n=1 (pandas: NaN);
     # the case-clamp guards a cancellation-negative tiny variance so sqrt
@@ -72,20 +110,33 @@ def moment_stats(x: str, prefix: str, percentile_fn: str) -> list[str]:
         f"{sem} as {prefix}_sem",
         f"{skew} as {prefix}_skew",
         f"{var} as {prefix}_var",
-        f"{dsum(x)} as {prefix}_sum",
+        f"{s1} as {prefix}_sum",
         f"(max({x}) - min({x})) as {prefix}_amplitude",
     ]
 
 
 def wcumsum(x: str, partition: str, order: str) -> str:
     """Deterministic running sum (W1): decimal window sum cast to double."""
-    return (
-        f"cast(sum(cast(({x}) as {DEC})) over "
+    return dec_to_double(
+        f"sum(cast(({x}) as {DEC})) over "
         f"(partition by {partition} order by {order} "
-        f"rows between unbounded preceding and current row) as double)"
+        f"rows between unbounded preceding and current row)"
     )
 
 
 def wdsum(x: str, partition: str) -> str:
     """Whole-partition deterministic sum as a window (A12/A13 pre-pivot)."""
-    return f"cast(sum(cast(({x}) as {DEC})) over (partition by {partition}) as double)"
+    return dec_to_double(f"sum(cast(({x}) as {DEC})) over (partition by {partition})")
+
+
+def zscore_pop(x: str, partition: str) -> str:
+    """W3: per-group z-score with POPULATION std (sklearn StandardScaler,
+    ddof=0 — /root/reference/run.py:113-115), from exact windowed moment
+    sums.  Same text runs in Spark and DuckDB => bitwise-equal."""
+    n = f"count({x}) over (partition by {partition})"
+    s1 = wdsum(x, partition)
+    s2 = wdsum(f"({x}) * ({x})", partition)
+    mean = f"({s1} / {n})"
+    var = f"({s2} / {n} - {mean} * {mean})"
+    var_c = f"(case when {var} < 0 then 0.0 else {var} end)"
+    return f"((({x}) - {mean}) / sqrt({var_c}))"

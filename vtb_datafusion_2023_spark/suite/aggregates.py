@@ -1,1 +1,304 @@
-"""(filled in incrementally)"""
+"""Suite: aggregations A1-A6, A10-A16 (SURVEY §2.5).
+
+Scale notes: every pivot uses a FROZEN vocabulary (single shuffle, no
+distinct-values pass); normalization and horizontal stats run over the
+LONG form pre-pivot so the wide matrix never exists mid-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+from ..operators.gstats import horizontal_stats, vertical_stats
+from ..operators.pivots import pivot_agg, row_normalize
+from ..schema import DAYS_OF_WEEK, HOURS
+from . import register
+from ._util import SIGNED_AMT, T
+
+_VOCAB = ["click", "error", "purchase", "refund", "signup", "view"]  # 'refund' absent -> 0s
+
+
+def _pivot_count_oracle(key_expr: str, vocab, prefix: str, from_tbl: str = "events") -> str:
+    cols = ", ".join(
+        f'count(*) filter (where {key_expr} = {v!r}) as "{prefix}-{v}"' for v in vocab
+    )
+    return f"select user_id, {cols} from {from_tbl} group by user_id"
+
+
+@register(
+    "a1_pivot_count",
+    oracle=_pivot_count_oracle("event_type", _VOCAB, "cnt"),
+    survey_ref="A1,P8,P9",
+    doc="group-pivot count user x category, frozen vocab (run.py:238-240).",
+)
+def a1_pivot_count(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return pivot_agg(ev, "user_id", "event_type", _VOCAB, agg="count", prefix="cnt")
+
+
+@register(
+    "a2_pivot_count_dom",
+    oracle="select user_id, "
+    + ", ".join(
+        f'count(*) filter (where dayofmonth(ts) = {d}) as "dom-{d}"' for d in range(1, 32)
+    )
+    + " from events group by user_id",
+    survey_ref="A2",
+    doc="group-pivot count user x day-of-month (run.py:335-337).",
+)
+def a2_pivot_count_dom(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").withColumn("dom", F.dayofmonth("ts"))
+    return pivot_agg(ev, "user_id", "dom", list(range(1, 32)), agg="count", prefix="dom")
+
+
+@register(
+    "a3_pivot_count_dow",
+    oracle="select user_id, "
+    + ", ".join(
+        f'count(*) filter (where (dayofweek(ts)+6)%7 = {d}) as "dow-{d}"' for d in DAYS_OF_WEEK
+    )
+    + " from events group by user_id",
+    survey_ref="A3",
+    doc="group-pivot count user x day-of-week, pandas Mon=0 (run.py:366-368).",
+)
+def a3_pivot_count_dow(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").withColumn("dow", F.expr("(dayofweek(ts)+5)%7"))
+    return pivot_agg(ev, "user_id", "dow", DAYS_OF_WEEK, agg="count", prefix="dow")
+
+
+@register(
+    "a4_pivot_count_hour",
+    oracle="select user_id, "
+    + ", ".join(f'count(*) filter (where hour(ts) = {h}) as "hod-{h}"' for h in HOURS)
+    + " from events group by user_id",
+    survey_ref="A4",
+    doc="group-pivot count user x hour-of-day (run.py:397-399).",
+)
+def a4_pivot_count_hour(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").withColumn("hod", F.hour("ts"))
+    return pivot_agg(ev, "user_id", "hod", HOURS, agg="count", prefix="hod")
+
+
+@register(
+    "a5_pivot_sum",
+    oracle="select user_id, "
+    + ", ".join(
+        f"coalesce({sqlgen.dsum(f'case when event_type = {v!r} then value end')}, 0.0)"
+        f' as "sum-{v}"'
+        for v in _VOCAB
+    )
+    + " from events group by user_id",
+    survey_ref="A5",
+    doc="group-pivot sum of amount user x category (run.py:272-274).",
+)
+def a5_pivot_sum(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return pivot_agg(
+        ev, "user_id", "event_type", _VOCAB, agg="sum", value_col="value", prefix="sum", fill=0.0
+    )
+
+
+@register(
+    "a6_pivot_sum_debit_credit",
+    oracle=f"""
+with s as (select user_id, event_type, {SIGNED_AMT} as amt from events)
+select user_id,
+"""
+    + ", ".join(
+        f"coalesce({sqlgen.dsum(f'case when event_type = {v!r} then (case when amt > 0 then amt end) end')}, 0.0)"
+        f' as "debit-{v}", '
+        f"coalesce({sqlgen.dsum(f'case when event_type = {v!r} then (case when amt < 0 then amt end) end')}, 0.0)"
+        f' as "credit-{v}"'
+        for v in _VOCAB
+    )
+    + " from s group by user_id",
+    survey_ref="A6,P4",
+    doc="group-pivot sums of conditional debit/credit columns (run.py:290-312).",
+)
+def a6_pivot_sum_debit_credit(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").withColumn("amt", F.expr(SIGNED_AMT))
+    ev = ev.withColumn("debit", F.expr("case when amt > 0 then amt end")).withColumn(
+        "credit", F.expr("case when amt < 0 then amt end")
+    )
+    d = pivot_agg(ev, "user_id", "event_type", _VOCAB, agg="sum", value_col="debit", prefix="debit", fill=0.0)
+    c = pivot_agg(ev, "user_id", "event_type", _VOCAB, agg="sum", value_col="credit", prefix="credit", fill=0.0)
+    return d.join(c, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# A10: vertical stats (pandas .agg(['mean','std',...]) — run.py:428-430).
+
+_A10_FRAGS_DUCK = sqlgen.moment_stats("o_totalprice", "tp", percentile_fn="quantile_cont")
+
+
+@register(
+    "a10_vertical_stats",
+    oracle="select o_custkey, "
+    + ", ".join(_A10_FRAGS_DUCK)
+    + " from orders group by o_custkey",
+    survey_ref="A10",
+    doc="vertical distribution stats per customer over order totals.",
+)
+def a10_vertical_stats(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    return vertical_stats(od, ["o_custkey"], "o_totalprice", "tp")
+
+
+# ---------------------------------------------------------------------------
+# A11: horizontal stats over the (long-form) pivot row (run.py:207-234).
+
+
+def _a11_oracle() -> str:
+    masked = "(case when cnt > 0 then cnt end)"
+    frags = sqlgen.moment_stats(masked, "hs", percentile_fn="quantile_cont")
+    keep = [f for f in frags if not f.endswith(("as hs_n", "as hs_sum", "as hs_amplitude"))]
+    derived = [
+        "(hs_max - hs_min) as hs_amplitude1",
+        "(hs_max - hs_median) as hs_amplitude2",
+        "(hs_max - hs_mean) as hs_amplitude3",
+        "(hs_median - hs_min) as hs_amplitude4",
+        "(hs_mean - hs_min) as hs_amplitude5",
+        "(hs_max / hs_min) as hs_divmm1",
+        "(hs_max / hs_mean) as hs_divmm2",
+        "(hs_max / hs_median) as hs_divmm3",
+        "(hs_mean / hs_min) as hs_divmm4",
+        "(hs_median / hs_min) as hs_divmm5",
+    ]
+    stat_cols = [
+        "hs_mean", "hs_median", "hs_min", "hs_max", "hs_std", "hs_sem", "hs_skew", "hs_var",
+        "hs_amplitude1", "hs_amplitude2", "hs_amplitude3", "hs_amplitude4", "hs_amplitude5",
+        "hs_divmm1", "hs_divmm2", "hs_divmm3", "hs_divmm4", "hs_divmm5",
+    ]
+    final = ", ".join(
+        f"coalesce(cast({c} as double), cast(0 as double)) as {c}" for c in stat_cols
+    )
+    return f"""
+with long as (select user_id, event_type, count(*) as cnt from events group by 1, 2),
+agg as (select user_id, {', '.join(keep)} from long group by user_id),
+d as (select *, {', '.join(derived)} from agg)
+select user_id, {final} from d
+"""
+
+
+@register(
+    "a11_horizontal_stats",
+    oracle=_a11_oracle(),
+    survey_ref="A11,F5",
+    doc="row-wise get_stats over pivoted counts, computed pre-pivot on the long form.",
+)
+def a11_horizontal_stats(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    long = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    out = horizontal_stats(long, "user_id", "cnt", "hs")
+    # column order parity with oracle (hash sorts by name anyway)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A12 + A13: row-normalize + row-sum, long form (run.py:258 etc.).
+
+
+@register(
+    "a12_a13_row_normalize",
+    oracle=f"""
+with long as (select user_id, event_type, count(*) as cnt from events group by 1, 2)
+select user_id, event_type, cnt,
+       (cnt / {sqlgen.wdsum('cnt', 'user_id')}) as freq,
+       {sqlgen.wdsum('cnt', 'user_id')} as row_total
+from long
+""",
+    survey_ref="A12,A13",
+    doc="per-user normalized frequencies (rows sum to 1) + row totals.",
+)
+def a12_a13_row_normalize(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    long = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return long.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        F.expr(f"(cnt / {sqlgen.wdsum('cnt', 'user_id')}) as freq"),
+        F.expr(f"{sqlgen.wdsum('cnt', 'user_id')} as row_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15: ensemble mean across 50 repetitions (model.py:293).  Repetition
+# scores are a deterministic arithmetic fixture (bootstrap draws are not
+# cross-engine reproducible — SURVEY §7.4.5; A15 is about the union+agg).
+
+_SCORE = "(cast((user_id * 2654435761 + rep * 97) % 1000 as double) / 1000.0)"
+
+
+@register(
+    "a15_ensemble_mean",
+    oracle=f"""
+with users as (select distinct user_id from events),
+reps as (select range as rep from range(50)),
+scored as (select user_id, rep, {_SCORE} as target from users cross join reps)
+select user_id, ({sqlgen.dsum('target')} / count(target)) as target_mean
+from scored group by user_id
+""",
+    survey_ref="A15,SO3",
+    doc="mean of 50 per-repetition prediction tables via union + hash agg.",
+)
+def a15_ensemble_mean(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    reps = spark.range(50).select(F.col("id").alias("rep"))
+    scored = users.crossJoin(reps).select(
+        "user_id", F.expr(f"{_SCORE} as target")
+    )
+    return scored.groupBy("user_id").agg(
+        F.expr(f"({sqlgen.dsum('target')} / count(target)) as target_mean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16: ROC-AUC, rank-based (Mann-Whitney), pure SQL in both engines.
+# Half-integer rank sums are exactly representable => order-insensitive.
+
+
+@register(
+    "a16_roc_auc",
+    oracle="""
+with s as (select c_acctbal as score,
+                  case when c_mktsegment = 'BUILDING' then 1 else 0 end as label
+           from customer),
+r as (select label,
+             rank() over (order by score) as rk,
+             count(*) over (partition by score) as ties
+      from s),
+a as (select sum(case when label = 1 then rk + (ties - 1) / cast(2 as double) end) as spr,
+             cast(sum(label) as bigint) as npos,
+             count(*) as n
+      from r)
+select npos, cast(n - npos as bigint) as nneg,
+       ((spr - npos * (npos + 1) / cast(2 as double)) / (npos * (n - npos))) as auc
+from a
+""",
+    survey_ref="A16",
+    doc="areaUnderROC via average-rank Mann-Whitney statistic (model.py:100-103).",
+)
+def a16_roc_auc(spark, sf_dir):
+    cu = T(spark, sf_dir, "customer")
+    cu.createOrReplaceTempView("_a16_customer")
+    return spark.sql(
+        """
+with s as (select c_acctbal as score,
+                  case when c_mktsegment = 'BUILDING' then 1 else 0 end as label
+           from _a16_customer),
+r as (select label,
+             rank() over (order by score) as rk,
+             count(*) over (partition by score) as ties
+      from s),
+a as (select sum(case when label = 1 then rk + (ties - 1) / cast(2 as double) end) as spr,
+             cast(sum(label) as bigint) as npos,
+             count(*) as n
+      from r)
+select npos, cast(n - npos as bigint) as nneg,
+       ((spr - npos * (npos + 1) / cast(2 as double)) / (npos * (n - npos))) as auc
+from a
+"""
+    )

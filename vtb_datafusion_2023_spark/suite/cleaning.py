@@ -1,1 +1,130 @@
-"""(filled in incrementally)"""
+"""Suite: robust-cleaning operators A7-A9 (SURVEY §2.5) — the reference's
+defence-track transaction cleaning (/root/reference/run.py:25-85) on the
+events stand-in table (user_id x event_type x value)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+from ..operators.cleaning import (
+    clean_transactions,
+    rare_category_rewrite,
+    winsorize_to_median,
+)
+from ..operators.gstats import group_percentiles, group_percentiles_sql
+from . import register
+from ._util import T
+
+_GP_SQL = group_percentiles_sql("events", ["user_id", "event_type"], "value", n_amt=10)
+
+
+@register(
+    "a7_group_percentiles",
+    oracle=_GP_SQL,
+    survey_ref="A7",
+    doc="per-(user,category) count + dynamic percentile bounds + median (run.py:41-58).",
+)
+def a7_group_percentiles(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return group_percentiles(ev, ["user_id", "event_type"], "value", n_amt=10)
+
+
+# Winsorize: bounds/medians from the (original) group stats; rows outside
+# (p_lo, p_hi) in groups with cnt > 10 -> group median (run.py:60-67).
+_WINSORIZE_CTE = f"""
+with gp as ({_GP_SQL}),
+w as (
+  select e.user_id, e.event_type,
+         case when gp.cnt > 10 and (e.value > gp.p_hi or e.value < gp.p_lo)
+              then gp.p_median else e.value end as value
+  from events e
+  left join gp on e.user_id = gp.user_id and e.event_type = gp.event_type
+)
+"""
+
+
+@register(
+    "a8_winsorize",
+    oracle=_WINSORIZE_CTE
+    + f"""
+select user_id, event_type, count(*) as n, {sqlgen.dsum('value', 'value_sum')}
+from w group by user_id, event_type
+""",
+    survey_ref="A8",
+    doc="winsorize-to-median outside dynamic group percentile bounds (run.py:60-67).",
+)
+def a8_winsorize(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = winsorize_to_median(ev, ["user_id", "event_type"], "value", n_amt=10, min_count=10)
+    return w.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.expr(sqlgen.dsum("value", "value_sum"))
+    )
+
+
+# Rare rewrite: categories with count <= 10 -> user's most frequent
+# category (tie-break: smallest) and its median value (run.py:69-76).
+_RARE_CTES = """
+counts as (select user_id, event_type, count(*) as cat_cnt from events group by 1, 2),
+top as (
+  select user_id, event_type as top_cat
+  from (select user_id, event_type, cat_cnt,
+               row_number() over (partition by user_id
+                                  order by cat_cnt desc, event_type asc) as rn
+        from counts)
+  where rn = 1
+),
+med as (select user_id, event_type, quantile_cont(value, 0.5) as cat_median
+        from events group by 1, 2),
+topmed as (select top.user_id, top.top_cat, med.cat_median
+           from top join med on top.user_id = med.user_id and top.top_cat = med.event_type),
+rewritten as (
+  select e.user_id,
+         case when c.cat_cnt <= 10 then tm.top_cat else e.event_type end as event_type,
+         case when c.cat_cnt <= 10 then tm.cat_median else e.value end as value
+  from events e
+  join counts c on e.user_id = c.user_id and e.event_type = c.event_type
+  join topmed tm on e.user_id = tm.user_id
+)
+"""
+
+
+@register(
+    "a9_rare_rewrite",
+    oracle=f"""
+with {_RARE_CTES}
+select user_id, event_type, count(*) as n, {sqlgen.dsum('value', 'value_sum')}
+from rewritten group by user_id, event_type
+""",
+    survey_ref="A9",
+    doc="rare-category rewrite to the user's top category + its median (run.py:69-76).",
+)
+def a9_rare_rewrite(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    rw = rare_category_rewrite(ev, "user_id", "event_type", "value", min_count=10)
+    return rw.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.expr(sqlgen.dsum("value", "value_sum"))
+    )
+
+
+@register(
+    "clean_transactions_composed",
+    oracle=_WINSORIZE_CTE.rstrip()
+    + ",\n"
+    + _RARE_CTES.replace("from events e", "from w e", 1).lstrip()
+    + f"""
+select user_id, event_type, count(*) as n, {sqlgen.dsum('value', 'value_sum')}
+from rewritten group by user_id, event_type
+""",
+    survey_ref="A7,A8,A9,F3",
+    doc="composed robust cleaning: winsorize then rare-rewrite, stats from the ORIGINAL "
+    "amounts (the reference copies per-code arrays before mutating — run.py:49-50).",
+)
+def clean_transactions_composed(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    cleaned = clean_transactions(
+        ev, user_col="user_id", cat_col="event_type", value_col="value", n_amt=10, n_mcc=10
+    )
+    return cleaned.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.expr(sqlgen.dsum("value", "value_sum"))
+    )

@@ -1,1 +1,117 @@
-"""(filled in incrementally)"""
+"""Suite: joins / multi-table ops J1-J5, A14 (SURVEY §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .. import sqlgen
+from ..operators.joins import anti_join_missing, assemble_features, union_fill_max
+from . import register
+from ._util import T
+
+
+@register(
+    "j1_join_enrich",
+    oracle=f"""
+select n.n_name, count(*) as n_orders, {sqlgen.dsum('o.o_totalprice', 'total')}
+from orders o
+join customer c on o.o_custkey = c.c_custkey
+join nation n on c.c_nationkey = n.n_nationkey
+group by n.n_name
+""",
+    survey_ref="J1",
+    doc="multiway inner equi-join with broadcast dims (model.py:151).",
+)
+def j1_join_enrich(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+    return (
+        od.join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(sqlgen.dsum("o_totalprice", "total")),
+        )
+    )
+
+
+@register(
+    "j3_anti_join",
+    oracle="""
+select c_custkey from customer
+where c_custkey not in (select o_custkey from orders where o_totalprice > 300000)
+""",
+    survey_ref="J3,SO2",
+    doc="customers without large orders — np.setdiff1d as left_anti (run.py:200-202).",
+)
+def j3_anti_join(spark, sf_dir):
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return anti_join_missing(cu, od.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+
+
+@register(
+    "j4_union_fill_max",
+    oracle=f"""
+with preds as (
+  select o_custkey as c_custkey, {sqlgen.davg('o_totalprice')} as target
+  from orders group by o_custkey
+),
+dropped as (
+  select c_custkey from customer
+  where c_custkey not in (select c_custkey from preds)
+),
+mx as (select max(target) as m from preds)
+select c_custkey, target from preds
+union all
+select c_custkey, m as target from dropped, mx
+""",
+    survey_ref="J4,A14",
+    doc="re-append dropped users at the global-max score (run.py:480-482).",
+)
+def j4_union_fill_max(spark, sf_dir):
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders")
+    preds = od.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.expr(f"{sqlgen.davg('o_totalprice')} as target")
+    )
+    dropped = anti_join_missing(cu, preds, "c_custkey")
+    return union_fill_max(preds, dropped, key="c_custkey", score_col="target")
+
+
+@register(
+    "j2_j5_feature_assembly",
+    oracle=f"""
+with b1 as (select user_id, count(*) as n_events from events group by user_id),
+b2 as (select user_id, {sqlgen.dsum('value', 'value_sum')} from events group by user_id),
+b3 as (select user_id, count(*) as n_heavy_click from events
+       where event_type = 'click' group by user_id having count(*) > 15),
+b4 as (select user_id, count(distinct event_type) as n_types from events group by user_id)
+select b1.user_id,
+       coalesce(b1.n_events, 0) as n_events,
+       coalesce(b2.value_sum, 0.0) as value_sum,
+       coalesce(b3.n_heavy_click, 0) as n_heavy_click,
+       coalesce(b4.n_types, 0) as n_types
+from b1
+full join b2 using (user_id)
+full join b3 using (user_id)
+full join b4 using (user_id)
+""",
+    survey_ref="J2,J5,P9",
+    doc="multi-way aligned feature assembly on user_id with fill-0 conform (run.py:435-461).",
+)
+def j2_j5_feature_assembly(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    b1 = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    b2 = ev.groupBy("user_id").agg(F.expr(sqlgen.dsum("value", "value_sum")))
+    b3 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_heavy_click"))
+        .filter(F.col("n_heavy_click") > 15)
+    )
+    b4 = ev.groupBy("user_id").agg(F.countDistinct("event_type").alias("n_types"))
+    return assemble_features([b1, b2, b3, b4], key="user_id", how="outer", fill=0)

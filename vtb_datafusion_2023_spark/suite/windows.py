@@ -1,1 +1,104 @@
-"""(filled in incrementally)"""
+"""Suite: window / sequence operators W1-W7 (SURVEY §2.6).
+
+Order contract: (ts, event_id) — timestamp plus the unique file-order
+stamp, replacing pandas positional semantics (SURVEY §7.4.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+from ..operators.windows import assemble_sequences, keep_last_n, with_cumsum
+from . import register
+from ._util import T
+
+_ORD = "ts, event_id"
+
+
+@register(
+    "w1_cumsum",
+    oracle=f"select event_id, {sqlgen.wcumsum('value', 'user_id', _ORD)} as value_cum from events",
+    survey_ref="W1",
+    doc="running per-user sum in row order (run.py:116-118), decimal-exact.",
+)
+def w1_cumsum(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return with_cumsum(ev, "user_id", ["ts", "event_id"], ["value"]).select(
+        "event_id", "value_cum"
+    )
+
+
+@register(
+    "w2_reanchor_first",
+    oracle=f"""
+select event_id,
+       (value - first_value(value) over (partition by user_id order by {_ORD})) as value_re
+from events
+""",
+    survey_ref="W2",
+    doc="re-anchor to the group's first value in row order (run.py:120).",
+)
+def w2_reanchor_first(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(
+            f"(value - first_value(value) over (partition by user_id order by {_ORD}))"
+        ).alias("value_re"),
+    )
+
+
+@register(
+    "w3_zscore_per_user",
+    oracle=f"select event_id, {sqlgen.zscore_pop('value', 'user_id')} as value_z from events",
+    survey_ref="W3",
+    doc="per-user z-score, POPULATION std (sklearn StandardScaler ddof=0, run.py:113-115).",
+)
+def w3_zscore_per_user(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.expr(sqlgen.zscore_pop("value", "user_id")).alias("value_z")
+    )
+
+
+@register(
+    "w4_keep_last_n",
+    oracle=f"""
+with r as (select user_id, value,
+                  row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+           from events)
+select user_id, count(*) as n_last, {sqlgen.dsum('value', 'value_sum')}
+from r where rn <= 50 group by user_id
+""",
+    survey_ref="W4",
+    doc="last-N truncation per user (model.py:185-196 `x[:, -300:]`), N=50.",
+)
+def w4_keep_last_n(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    last = keep_last_n(ev, "user_id", ["ts", "event_id"], 50)
+    return last.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_last"), F.expr(sqlgen.dsum("value", "value_sum"))
+    )
+
+
+@register(
+    "w6_w7_sequence_assembly",
+    oracle="""
+with s as (select user_id, list(value order by ts, event_id) as seq from events group by user_id)
+select user_id, cast(len(seq) as int) as seq_len,
+       seq[1] as first_val, seq[len(seq)] as last_val
+from s order by user_id
+""",
+    survey_ref="W6,W7",
+    doc="per-user ordered sequence assembly (run.py:110-126) + final sort (run.py:485); "
+    "scalar projections keep the oracle hashable.",
+)
+def w6_w7_sequence_assembly(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    seqs = assemble_sequences(ev, "user_id", ["ts", "event_id"], ["value"])
+    return seqs.select(
+        "user_id",
+        F.expr("cast(size(seq) as int) as seq_len"),
+        F.expr("element_at(element_at(seq, 1), 1) as first_val"),
+        F.expr("element_at(element_at(seq, size(seq)), 1) as last_val"),
+    ).orderBy("user_id")
