@@ -24,9 +24,13 @@ from vtb_datafusion_2023_spark import suite as _suite  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The composed branch-C profile (SURVEY §7.2): trim -> blacklist ->
+    normalized category mix + horizontal stats + time-of-day stats.
+    """
     qs = _suite.queries()
-    return qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return qs["pipeline_user_profile"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute through the `noop` sink — full computation, no driver
+collect, so the timing reflects the distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "pipeline_user_profile",
+    "clean_transactions_composed",
+    "a10_vertical_stats",
+    "a11_horizontal_stats",
+    "a1_pivot_count",
+    "w1_cumsum",
+    "f4_positional_trim",
+    "j1_join_enrich",
+    "dd_minhash_lsh",
+    "dd_exact_dedup",
+    "sim_topk_bruteforce",
+    "u6_mapinpandas_inference",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from vtb_datafusion_2023_spark.session import get_spark
+    from vtb_datafusion_2023_spark.suite import queries
+
+    spark = get_spark(app_name="bench")
+    qs = queries()
+
+    # warm the JVM + file listing with one tiny action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

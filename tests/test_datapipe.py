@@ -1,0 +1,98 @@
+"""Property tests for the no-oracle data-pipeline operators (MinHash-LSH,
+SimHash, LSH-ANN) and the multimodal/inference plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from vtb_datafusion_2023_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash64,
+)
+from vtb_datafusion_2023_spark.operators.multimodal import fake_decode, media_features
+from vtb_datafusion_2023_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from vtb_datafusion_2023_spark.sources.readers import load_table
+
+
+def docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def test_minhash_pairs_subset_of_exact(spark, sf_small):
+    """Every LSH-verified pair must appear in the exact 3-shingle Jaccard
+    pairs at the same threshold (the verify step guarantees precision;
+    banding only affects recall)."""
+    d = docs(spark, sf_small)
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", jaccard_threshold=0.2, shingle_n=3
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2).collect()
+    }
+    assert got <= exact
+    # banding with 16 bands of 4 rows should recall most pairs well above
+    # the threshold (P[collide] = 1-(1-j^4)^16 ~ 0.96 at j=0.5)
+    strong = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    if strong:
+        assert len(got & strong) / len(strong) >= 0.5
+
+
+def test_simhash_hamming_bound_and_reproducibility(spark, sf_small):
+    d = docs(spark, sf_small)
+    pairs = simhash_near_pairs(d, "doc_id", "text", max_hamming=10).collect()
+    assert all(r.hamming <= 10 for r in pairs)
+    # signature is deterministic across evaluations
+    a = {r.doc_id: r.sh for r in d.select("doc_id", simhash64("text").alias("sh")).collect()}
+    b = {r.doc_id: r.sh for r in d.select("doc_id", simhash64("text").alias("sh")).collect()}
+    assert a == b
+    # hamming column equals recomputed popcount(xor)
+    for r in pairs[:20]:
+        assert bin((a[r.id_a] ^ a[r.id_b]) & ((1 << 64) - 1)).count("1") == r.hamming
+
+
+def test_lsh_ann_subset_of_bruteforce_candidates(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    ann = lsh_ann_topk(emb, q, k=3, n_planes=4).collect()
+    brute = cosine_topk(emb, q, k=emb.count()).collect()
+    cos_by_pair = {(r.query_id, r.neighbor_id): r.cos for r in brute}
+    # every ANN hit carries the true cosine of that pair
+    for r in ann:
+        assert abs(cos_by_pair[(r.query_id, r.neighbor_id)] - r.cos) < 1e-12
+
+
+def test_media_features_plumbing(spark, sf_small):
+    d = docs(spark, sf_small).select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")
+    )
+    feats = media_features(d, decoder=fake_decode).collect()
+    src = {r.media_id: bytes(r.payload) for r in d.collect()}
+    assert len(feats) == len(src)
+    for r in feats[:10]:
+        b = src[r.media_id]
+        assert r.n_bytes == len(b)
+        assert r.sha == hashlib.sha256(b).hexdigest()
+        d0 = fake_decode(b)
+        assert (r.width, r.height) == (d0["width"], d0["height"])
+        assert len(r.feature) == 4
+
+
+def test_media_decode_stub_raises():
+    from vtb_datafusion_2023_spark.operators.multimodal import decode_image
+
+    try:
+        decode_image(b"\x00")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass

@@ -1,0 +1,162 @@
+"""Semantic-parity tests vs pandas/numpy — the reference's actual stack
+(SURVEY §5.4, §7.4.2): ddof, adjusted skew, percentile interpolation,
+dayofweek convention, pd.cut binning, trim/winsorize/normalize properties,
+sequence padding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from vtb_datafusion_2023_spark.operators.filtering import positional_trim
+from vtb_datafusion_2023_spark.operators.gstats import vertical_stats
+from vtb_datafusion_2023_spark.operators.pivots import row_normalize
+from vtb_datafusion_2023_spark.operators.projections import bin_by_edges
+from vtb_datafusion_2023_spark.operators.windows import assemble_sequences, zscore
+from vtb_datafusion_2023_spark.operators.cleaning import winsorize_to_median
+from vtb_datafusion_2023_spark.sources.readers import load_table
+
+
+def test_vertical_stats_match_pandas(spark, sf_small):
+    od = load_table(spark, sf_small, "orders")
+    got = vertical_stats(od, ["o_custkey"], "o_totalprice", "tp").toPandas()
+    got = got.set_index("o_custkey").sort_index()
+    pdf = od.select("o_custkey", "o_totalprice").toPandas()
+    want = pdf.groupby("o_custkey")["o_totalprice"].agg(
+        ["count", "mean", "median", "min", "max", "std", "sem", "skew", "var", "sum"]
+    ).sort_index()
+    for ours, theirs in [
+        ("tp_n", "count"), ("tp_mean", "mean"), ("tp_median", "median"),
+        ("tp_min", "min"), ("tp_max", "max"), ("tp_std", "std"),
+        ("tp_sem", "sem"), ("tp_skew", "skew"), ("tp_var", "var"), ("tp_sum", "sum"),
+    ]:
+        a = got[ours].to_numpy(dtype=float)
+        b = want[theirs].to_numpy(dtype=float)
+        assert np.allclose(a, b, rtol=1e-6, equal_nan=True), (ours, a[:3], b[:3])
+
+
+def test_zscore_is_population_std(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    got = (
+        zscore(ev, "user_id", ["value"])
+        .select("event_id", "user_id", "value", "value_z")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    def pop_z(g):
+        return (g - g.mean()) / g.std(ddof=0)  # sklearn StandardScaler
+    want = got.groupby("user_id")["value"].transform(pop_z)
+    assert np.allclose(got["value_z"], want, rtol=1e-9)
+
+
+def test_pandas_dayofweek_convention(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    from vtb_datafusion_2023_spark.functions.temporal import pandas_dayofweek
+
+    got = ev.select("event_id", "ts", pandas_dayofweek(F.col("ts")).alias("dow")).toPandas()
+    want = pd.to_datetime(got["ts"]).dt.dayofweek
+    assert (got["dow"] == want).all()
+
+
+def test_bin_by_edges_matches_pd_cut(spark):
+    edges = [0.0, 1.0, 5.0, 10.0]
+    vals = [-1.0, 0.0, 0.5, 1.0, 1.5, 5.0, 7.2, 10.0, 11.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r.b for r in df.select(bin_by_edges("v", edges).alias("b")).collect()]
+    want = pd.cut(pd.Series(vals), bins=edges, labels=False)
+    for g, w in zip(got, want):
+        assert (g is None and np.isnan(w)) or g == int(w)
+
+
+def test_positional_trim_property(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    before = ev.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    after = (
+        positional_trim(ev, "user_id", ["ts", "event_id"], 20, 20)
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    for uid, n in before.items():
+        assert after.get(uid, 0) == max(0, n - 40)
+
+
+def test_winsorize_bounds_property(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    from vtb_datafusion_2023_spark.operators.gstats import group_percentiles
+
+    stats = group_percentiles(ev, ["user_id", "event_type"], "value", 10).toPandas()
+    stats = stats.set_index(["user_id", "event_type"])
+    w = winsorize_to_median(ev, ["user_id", "event_type"], "value", 10, 10).toPandas()
+    for (uid, et), g in w.groupby(["user_id", "event_type"]):
+        s = stats.loc[(uid, et)]
+        if s.cnt > 10:
+            med = s.p_median
+            ok = ((g["value"] >= s.p_lo) & (g["value"] <= s.p_hi)) | np.isclose(
+                g["value"], med
+            )
+            assert ok.all()
+
+
+def test_row_normalize_sums_to_one(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    long = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    nm = row_normalize(long, "user_id", "cnt").toPandas()
+    sums = nm.groupby("user_id")["freq"].sum()
+    assert np.allclose(sums, 1.0, atol=1e-9)
+
+
+def test_sequence_padding_w4(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    n = 50
+    seqs = assemble_sequences(
+        ev, "user_id", ["ts", "event_id"], ["value"], seq_len=n, pad_value=0.0
+    ).collect()
+    counts = {
+        r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()
+    }
+    ordered = (
+        ev.orderBy("user_id", "ts", "event_id")
+        .select("user_id", "value")
+        .toPandas()
+        .groupby("user_id")["value"]
+        .apply(list)
+    )
+    for r in seqs:
+        assert len(r.seq) == n  # fixed length
+        have = counts[r.user_id]
+        vals = [x[0] for x in r.seq]
+        if have >= n:
+            assert vals == [float(v) for v in ordered[r.user_id][-n:]]  # last-N
+        else:
+            assert vals[:have] == [float(v) for v in ordered[r.user_id]]
+            assert all(v == 0.0 for v in vals[have:])  # zero tail pad
+
+
+def test_csv_roundtrip_s1_s3(spark, tmp_path):
+    from vtb_datafusion_2023_spark.sources.readers import read_transactions_csv
+    from vtb_datafusion_2023_spark.sources.writers import write_csv
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "mcc_code": [5411, -1, 6012],
+            "currency_rk": [48, 50, 60],
+            "transaction_amt": [10.5, -3.25, 99.0],
+            "transaction_dttm": pd.to_datetime(
+                ["2023-01-01 10:00:00", "2023-01-02 11:30:00", "2023-01-03 12:45:00"]
+            ),
+            "ord": [0, 1, 2],
+        }
+    )
+    src = tmp_path / "tx.csv"
+    pdf.to_csv(src, index=False)
+    df = read_transactions_csv(spark, str(src))
+    assert df.count() == 3
+    assert dict(df.dtypes)["transaction_dttm"] == "timestamp"
+    out = tmp_path / "out"
+    write_csv(df.select("user_id", "transaction_amt"), str(out))
+    back = spark.read.option("header", True).csv(str(out))
+    assert back.count() == 3

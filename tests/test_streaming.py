@@ -1,0 +1,56 @@
+"""Structured Streaming surface: file-source -> watermarked windowed aggs
+-> memory sink, compared against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vtb_datafusion_2023_spark.sources.readers import load_table
+from vtb_datafusion_2023_spark.streaming import (
+    read_events_stream,
+    windowed_event_counts,
+    windowed_user_spend,
+)
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_windowed_event_counts_matches_batch(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    got = _run_stream(spark, windowed_event_counts(stream), "wec").collect()
+    ev = load_table(spark, sf_small, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+        .collect()
+    )
+    assert {(r.win_start, r.event_type, r.n) for r in got} == {
+        (r.win_start, r.event_type, r.n) for r in want
+    }
+    assert len(got) > 0
+
+
+def test_windowed_user_spend_matches_batch(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    got = _run_stream(spark, windowed_user_spend(stream), "wus").collect()
+    ev = load_table(spark, sf_small, "events")
+    want = (
+        ev.groupBy(F.window("ts", "6 hours").alias("win"), "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("spend"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "spend")
+        .collect()
+    )
+    assert {(r.win_start, r.user_id, r.spend) for r in got} == {
+        (r.win_start, r.user_id, r.spend) for r in want
+    }

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and hyperplane-LSH bucketed ANN (scale path).
+
+All vector math is JVM-side array expressions: ``zip_with`` products +
+``aggregate`` left-fold sums (deterministic order — bitwise reproducible
+and oracle-comparable via DuckDB's ``list_reduce``).  At 100 TB the
+brute-force path is a broadcast-join of the (small) query set against the
+corpus — one scan, no shuffle; the LSH path buckets the corpus once and
+joins per-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: every query vs every corpus vector.
+
+    Returns (query_id, neighbor_id, rank, cos).  The query side is
+    broadcast (ANN workloads have |queries| << |corpus|); ranking is a
+    per-query window.  Ties break on neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def hyperplane_weight(plane: Column | int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weights from pure integer
+    arithmetic (no RNG, no libm => bit-identical in any engine):
+    w = ((plane*1009 + dim + 1) * 2654435761) mod 2^31 - 2^30."""
+    p = F.lit(plane) if isinstance(plane, int) else plane
+    return (
+        F.pmod((p * 1009 + dim + 1) * F.lit(2654435761), F.lit(1 << 31)) - F.lit(1 << 30)
+    ).cast("double")
+
+
+def lsh_signature(vec: Column, n_planes: int = 16) -> Column:
+    """Sign bits of <plane_i, x> packed into a bigint bucket key.
+
+    Plane indices are Python ints (shift amounts must be literals), so
+    this generates ``n_planes`` fold expressions — one projection."""
+    from functools import reduce as _reduce
+
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda d: hyperplane_weight(p, d) * F.element_at(vec, d + 1).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [
+        F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for p in range(n_planes)
+    ]
+    return _reduce(lambda x, y: x.bitwiseOR(y), bits)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Bucketed ANN: exact cosine ranking restricted to the query's LSH
+    bucket.  Recall < 1 by construction (candidates sharing all sign
+    bits); multiply probe-buckets or lower n_planes to trade recall for
+    cost.  Bucketing the corpus is one projection; the join hits only
+    matching buckets."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+    ).withColumn("_bkt", lsh_signature(F.col("_cv"), n_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_bkt", lsh_signature(F.col("_qv"), n_planes))
+    scored = (
+        c.join(broadcast(q), "_bkt")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These extend the reference's tabular feature engineering to the document
+domain (north-star extensions; BASELINE.json).  Everything is built from
+JVM-side ``pyspark.sql.functions`` string/array expressions — no Python
+UDFs — so the whole module stays inside whole-stage codegen and scales as
+a narrow map over the corpus (100 TB = one scan, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small English stopword list (public knowledge); frozen so language
+# scores are reproducible.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be",
+]
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token count, average token length,
+    stopword ratio, punctuation ratio, uppercase ratio.
+
+    Mirrors standard pretraining-corpus quality filters (length /
+    punctuation / stopword heuristics).
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-overlap count
+    # duplicate-aware stopword count (ratio denominator = token count)
+    n_stop_all = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn(
+            "avg_token_len",
+            (n_chars - (n_tok - F.lit(1))) / n_tok,  # chars minus separators
+        )
+        .withColumn("stopword_ratio", n_stop_all / n_tok)
+        .withColumn("distinct_stopwords", n_stop)
+        .withColumn("punct_ratio", n_punct / n_chars)
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text", threshold: float = 0.05) -> DataFrame:
+    """Heuristic language ID: English stopword density.  A real pipeline
+    swaps in fastText/CLD3 behind the same column contract."""
+    out = with_text_quality(df, text_col) if "stopword_ratio" not in df.columns else df
+    return out.withColumn(
+        "lang_pred", F.when(F.col("stopword_ratio") > threshold, "en").otherwise("und")
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / punctuation singles)."""
+    return df.withColumn("n_ws_tokens", F.size(tokens(text_col))).withColumn(
+        "n_bpe_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token multiset (classic near-dup canonicalization — word-order
+    invariant, whitespace-normal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(c, " "))), " "))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fp", fingerprint(text_col))

@@ -129,6 +129,45 @@ def wdsum(x: str, partition: str) -> str:
     return dec_to_double(f"sum(cast(({x}) as {DEC})) over (partition by {partition})")
 
 
+HSTAT_COLS = [
+    "mean", "median", "min", "max", "std", "sem", "skew", "var",
+    "amplitude1", "amplitude2", "amplitude3", "amplitude4", "amplitude5",
+    "divmm1", "divmm2", "divmm3", "divmm4", "divmm5",
+]
+
+
+def horizontal_stats_sql(long_sql: str, key: str, val: str, prefix: str) -> str:
+    """Oracle-side A11 ``get_stats``: stats + amplitudes + ratios over the
+    positive cells of a long-form pivot block (run.py:207-234), matching
+    ``operators.gstats.horizontal_stats`` bit-for-bit."""
+    p = prefix
+    masked = f"(case when {val} > 0 then {val} end)"
+    frags = moment_stats(masked, p, percentile_fn="quantile_cont")
+    keep = [f for f in frags if not f.endswith((f"as {p}_n", f"as {p}_sum", f"as {p}_amplitude"))]
+    derived = [
+        f"({p}_max - {p}_min) as {p}_amplitude1",
+        f"({p}_max - {p}_median) as {p}_amplitude2",
+        f"({p}_max - {p}_mean) as {p}_amplitude3",
+        f"({p}_median - {p}_min) as {p}_amplitude4",
+        f"({p}_mean - {p}_min) as {p}_amplitude5",
+        f"({p}_max / {p}_min) as {p}_divmm1",
+        f"({p}_max / {p}_mean) as {p}_divmm2",
+        f"({p}_max / {p}_median) as {p}_divmm3",
+        f"({p}_mean / {p}_min) as {p}_divmm4",
+        f"({p}_median / {p}_min) as {p}_divmm5",
+    ]
+    final = ", ".join(
+        f"coalesce(cast({p}_{c} as double), cast(0 as double)) as {p}_{c}" for c in HSTAT_COLS
+    )
+    return f"""
+select {key}, {final} from (
+  select *, {', '.join(derived)} from (
+    select {key}, {', '.join(keep)} from ({long_sql}) group by {key}
+  )
+)
+"""
+
+
 def zscore_pop(x: str, partition: str) -> str:
     """W3: per-group z-score with POPULATION std (sklearn StandardScaler,
     ddof=0 — /root/reference/run.py:113-115), from exact windowed moment

@@ -1,0 +1,141 @@
+"""Structured Streaming surface (SURVEY §2.10).
+
+The reference is pure batch; its event-time operators (hour buckets A4,
+per-user running state W1-W2) are re-expressed here as the streaming
+equivalents: watermarked tumbling-window aggregations and an
+``applyInPandasWithState`` sessionizer.  The same column contracts as the
+batch operators, so a pipeline can switch source without rewriting logic.
+
+Scale notes: watermarks bound state (late data beyond the watermark is
+dropped); the windowed aggregate shuffles on (window, key) exactly like
+the batch groupBy; state-store size is O(open windows x keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos in the driver parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events parquet (nanos ts ->
+    µs timestamp, same conversion as the batch reader)."""
+    from ..session import tune_session
+
+    tune_session(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("path", sf_dir)
+        .format("parquet")
+        .load()
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming A4: tumbling event-time windows x event_type with a
+    late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def windowed_user_spend(
+    events: DataFrame, window: str = "6 hours", watermark: str = "12 hours"
+) -> DataFrame:
+    """Streaming A5/W1 analogue: per-user windowed value totals
+    (decimal-exact, like the batch dsum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("spend"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "spend")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30):
+    """Custom stateful operator: per-user session assembly with an
+    inactivity gap, via ``applyInPandasWithState`` (the Structured
+    Streaming escape hatch the reference's per-user loops map onto).
+
+    Emits (user_id, session_start, session_end, n_events, total_value)
+    when a session times out.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (start_us, end_us, n, total) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        n_new, tot_new = len(rows), float(rows["value"].sum())
+        if state.exists:
+            (start_us, end_us, n, total) = state.get
+            state.update((min(lo, start_us), max(hi, end_us), n + n_new, total + tot_new))
+        else:
+            state.update((lo, hi, n_new, tot_new))
+        state.setTimeoutDuration(gap_us // 1000)
+        return
+        yield  # generator form
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -150,35 +150,12 @@ def a10_vertical_stats(spark, sf_dir):
 
 
 def _a11_oracle() -> str:
-    masked = "(case when cnt > 0 then cnt end)"
-    frags = sqlgen.moment_stats(masked, "hs", percentile_fn="quantile_cont")
-    keep = [f for f in frags if not f.endswith(("as hs_n", "as hs_sum", "as hs_amplitude"))]
-    derived = [
-        "(hs_max - hs_min) as hs_amplitude1",
-        "(hs_max - hs_median) as hs_amplitude2",
-        "(hs_max - hs_mean) as hs_amplitude3",
-        "(hs_median - hs_min) as hs_amplitude4",
-        "(hs_mean - hs_min) as hs_amplitude5",
-        "(hs_max / hs_min) as hs_divmm1",
-        "(hs_max / hs_mean) as hs_divmm2",
-        "(hs_max / hs_median) as hs_divmm3",
-        "(hs_mean / hs_min) as hs_divmm4",
-        "(hs_median / hs_min) as hs_divmm5",
-    ]
-    stat_cols = [
-        "hs_mean", "hs_median", "hs_min", "hs_max", "hs_std", "hs_sem", "hs_skew", "hs_var",
-        "hs_amplitude1", "hs_amplitude2", "hs_amplitude3", "hs_amplitude4", "hs_amplitude5",
-        "hs_divmm1", "hs_divmm2", "hs_divmm3", "hs_divmm4", "hs_divmm5",
-    ]
-    final = ", ".join(
-        f"coalesce(cast({c} as double), cast(0 as double)) as {c}" for c in stat_cols
+    return sqlgen.horizontal_stats_sql(
+        "select user_id, event_type, count(*) as cnt from events group by 1, 2",
+        key="user_id",
+        val="cnt",
+        prefix="hs",
     )
-    return f"""
-with long as (select user_id, event_type, count(*) as cnt from events group by 1, 2),
-agg as (select user_id, {', '.join(keep)} from long group by user_id),
-d as (select *, {', '.join(derived)} from agg)
-select user_id, {final} from d
-"""
 
 
 @register(

@@ -1,1 +1,301 @@
-"""(filled in incrementally)"""
+"""Suite: training-data pipeline operators — dedup, similarity search,
+text analysis, multimodal metadata, mapInPandas inference (north-star
+extensions; BASELINE.json)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..inference.udfs import linear_scorer, score_with_model
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import with_binary_metadata
+from ..operators.similarity import cosine_topk, lsh_ann_topk, lsh_signature
+from ..operators.text import (
+    EN_STOPWORDS,
+    TOKEN_REGEX,
+    with_fingerprint,
+    with_langid,
+    with_text_quality,
+    with_token_count,
+)
+from . import register
+from ._util import T
+
+# ---------------------------------------------------------------------------
+# Deduplication.
+
+
+@register(
+    "dd_exact_dedup",
+    oracle="""
+select md5(text) as content_key, count(*) as n_copies,
+       min(doc_id) as keep_id
+from documents group by md5(text)
+""",
+    survey_ref="dedup-exact",
+    doc="exact dedup: content-hash groupBy, min-id representative.",
+)
+def dd_exact_dedup(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", ["text"])
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle="""
+with sh as (
+  select doc_id as _id, unnest(list_distinct(string_split(text, ' '))) as _s
+  from documents
+),
+sizes as (select _id, count(*) as _sz from sh group by _id),
+inter as (
+  select l._id as id_a, r._id as id_b, count(*) as _inter
+  from sh l join sh r on l._s = r._s and l._id < r._id
+  group by 1, 2
+)
+select id_a, id_b,
+       (_inter / (sa._sz + sb._sz - _inter)) as jaccard
+from inter
+join sizes sa on inter.id_a = sa._id
+join sizes sb on inter.id_b = sb._id
+where (_inter / (sa._sz + sb._sz - _inter)) >= 0.8
+""",
+    survey_ref="dedup-jaccard",
+    doc="exact unigram-Jaccard near-dup pairs (baseline path; LSH is the scale path).",
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+
+
+@register(
+    "dd_minhash_lsh",
+    oracle=None,  # xxhash64-based permutations are engine-specific; verified by property tests
+    survey_ref="dedup-minhash-lsh",
+    doc="MinHash(64) banded LSH candidates + exact-Jaccard verify (scale path).",
+)
+def dd_minhash_lsh(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=3, jaccard_threshold=0.2
+    )
+
+
+@register(
+    "dd_simhash",
+    oracle=None,  # xxhash64-based signature is engine-specific; property-tested
+    survey_ref="dedup-simhash",
+    doc="64-bit SimHash near-dup pairs via chunk-pigeonhole candidates.",
+)
+def dd_simhash(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16, chunks=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+
+_STOP_IN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+select doc_id,
+       cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+       cast(length(text) as bigint) as n_chars_calc,
+       ((length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' '))) as avg_token_len,
+       (len(list_filter(string_split(text, ' '), t -> t in ({_STOP_IN}))) / len(string_split(text, ' '))) as stopword_ratio
+from documents
+""",
+    survey_ref="text-quality",
+    doc="quality features: token count, avg token length, stopword ratio.",
+)
+def text_quality(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    q = with_text_quality(docs, "text")
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars_calc").cast("bigint").alias("n_chars_calc"),
+        "avg_token_len",
+        "stopword_ratio",
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+select doc_id,
+       case when (len(list_filter(string_split(text, ' '), t -> t in ({_STOP_IN})))
+                  / len(string_split(text, ' '))) > 0.05
+            then 'en' else 'und' end as lang_pred
+from documents
+""",
+    survey_ref="text-langid",
+    doc="n-gram/stopword-density language ID heuristic.",
+)
+def text_langid(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return with_langid(docs, "text").select("doc_id", "lang_pred")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+select doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) as fp
+from documents
+""",
+    survey_ref="text-fingerprint",
+    doc="document fingerprint: md5 of the sorted distinct token set.",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fp")
+
+
+@register(
+    "text_token_count",
+    oracle=rf"""
+select doc_id,
+       cast(len(string_split(text, ' ')) as bigint) as n_ws_tokens,
+       cast(len(regexp_extract_all(text, '{TOKEN_REGEX}')) as bigint) as n_bpe_tokens
+from documents
+""",
+    survey_ref="text-tokens",
+    doc="whitespace + BPE-ish regex token counting.",
+)
+def text_token_count(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    tc = with_token_count(docs, "text")
+    return tc.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len(qv) + 1), "
+    "i -> cast(qv[i] as double) * cast(cv[i] as double)), (a, b) -> a + b)"
+)
+_NQ = "sqrt(list_reduce(list_transform(range(1, len(qv) + 1), i -> cast(qv[i] as double) * cast(qv[i] as double)), (a, b) -> a + b))"
+_NC = "sqrt(list_reduce(list_transform(range(1, len(cv) + 1), i -> cast(cv[i] as double) * cast(cv[i] as double)), (a, b) -> a + b))"
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 10),
+c as (select vec_id as neighbor_id, embedding as cv from embeddings),
+scored as (
+  select query_id, neighbor_id, ({_DOT} / ({_NQ} * {_NC})) as cos
+  from c cross join q
+  where query_id <> neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, cast(rank as int) as rank, cos
+from ranked where rank <= 5
+""",
+    survey_ref="sim-topk",
+    doc="brute-force cosine top-5 per query vector (left-fold dot => cross-engine bitwise).",
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle="""
+select vec_id,
+       list_reduce(
+         list_transform(range(0, 8), p ->
+           case when list_reduce(
+                  list_transform(range(0, len(embedding)), d ->
+                    cast((((p * 1009 + d + 1) * 2654435761) % 2147483648) - 1073741824 as double)
+                    * cast(embedding[d + 1] as double)),
+                  (a, b) -> a + b) > 0
+                then cast(1 as bigint) << p else cast(0 as bigint) end),
+         (a, b) -> a + b) as bucket
+from embeddings
+""",
+    survey_ref="sim-ann-lsh",
+    doc="hyperplane-LSH bucket assignment (deterministic integer-arithmetic planes).",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", lsh_signature(F.col("embedding"), 8).alias("bucket"))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # intra-bucket exact rerank; bucket parity certified by ann_lsh_buckets
+    survey_ref="sim-ann-lsh",
+    doc="ANN top-k restricted to the query's LSH bucket (scale path).",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata + inference surface.
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+select doc_id,
+       cast(octet_length(cast(text as blob)) as bigint) as n_bytes,
+       sha256(text) as sha
+from documents
+""",
+    survey_ref="multimodal-binary",
+    doc="opaque-binary column metadata, JVM-side (decode path stubbed; see operators.multimodal).",
+)
+def mm_binary_metadata(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    out = with_binary_metadata(docs, "payload")
+    return out.select(
+        "doc_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), "sha"
+    )
+
+
+@register(
+    "u6_mapinpandas_inference",
+    oracle="""
+select vec_id,
+       list_reduce(
+         list_transform(range(0, len(embedding)), j ->
+           cast(embedding[j + 1] as double) * (cast(((j * 37) % 19 - 9) as double) / 10)),
+         (a, b) -> a + b) as score
+from embeddings
+""",
+    survey_ref="U1,U4,U6,S5",
+    doc="Arrow-batched mapInPandas scoring with a broadcast artifact; the linear stand-in "
+    "shares the torch/CatBoost plumbing (model.py:27-145, run.py:466-475).",
+)
+def u6_mapinpandas_inference(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    dim = 64
+    weights = [((j * 37) % 19 - 9) / 10 for j in range(dim)]
+    return score_with_model(
+        emb, linear_scorer(weights), id_col="vec_id", vec_col="embedding", round_digits=None
+    )
