@@ -47,13 +47,17 @@ def positional_trim(
     group in (order_cols) order (/root/reference/run.py:196-198 —
     ``.iloc[20:-20]`` per user; groups with <= n_head+n_tail rows vanish).
 
-    One shuffle on the group key; both row_numbers share it.
+    One shuffle AND one sort: the descending rank is derived as
+    ``cnt - rn_asc + 1`` from the ascending row_number plus an unordered
+    count window over the same partition (Catalyst reuses the exchange;
+    a second ``row_number`` over the reversed order would add a second
+    sort of every group).
     """
     asc = Window.partitionBy(group_col).orderBy(*[F.col(c).asc() for c in order_cols])
-    desc = Window.partitionBy(group_col).orderBy(*[F.col(c).desc() for c in order_cols])
+    whole = Window.partitionBy(group_col)
     return (
         df.withColumn("_rn_a", F.row_number().over(asc))
-        .withColumn("_rn_d", F.row_number().over(desc))
+        .withColumn("_rn_d", F.count(F.lit(1)).over(whole) - F.col("_rn_a") + 1)
         .filter((F.col("_rn_a") > n_head) & (F.col("_rn_d") > n_tail))
         .drop("_rn_a", "_rn_d")
     )
