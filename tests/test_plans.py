@@ -1,0 +1,86 @@
+"""End-to-end plan tests: branch C features, sequence prep, and the full
+run.py-equivalent submission pipeline on a transactions fixture derived
+from the events table."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vtb_datafusion_2023_spark.plans import (
+    branch_c_features,
+    rnn_input_sequences,
+    run_submission,
+    vrae_input_sequences,
+)
+from vtb_datafusion_2023_spark.sources.readers import load_table
+
+# events -> transactions contract: 5 category codes incl. the 6012
+# blacklist target (FIXTURES.md §1)
+_CAT_MAP = "case event_type when 'click' then 5411 when 'view' then 4111 " \
+    "when 'signup' then 742 when 'purchase' then 5812 when 'error' then 6012 end"
+CAT_VOCAB = [742, 4111, 5411, 5812]  # post-blacklist
+
+
+@pytest.fixture(scope="module")
+def tx(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    return ev.select(
+        "user_id",
+        F.expr(_CAT_MAP).alias("cat"),
+        F.expr("case when event_type in ('purchase','error') then -value else value end").alias("amt"),
+        "ts",
+        F.col("event_id").alias("ord"),
+    )
+
+
+def test_branch_c_features_shape(tx):
+    feats, dropped = branch_c_features(tx, cat_vocab=CAT_VOCAB)
+    pdf = feats.toPandas()
+    assert len(pdf) > 0
+    # every expected block present
+    for probe in ["mcc_freq-5411", "mcc_sum-742", "mcc_freq_stats_mean",
+                  "mcc_freq_proc_stats_divmm1", "dom-15", "dow-0", "hod-23",
+                  "time_day_skew"]:
+        assert probe in pdf.columns, probe
+    assert pdf.isna().sum().sum() == 0  # fill-0 conform (P9/M2)
+    assert dropped.count() == 0  # sf0.001 users all survive trim+blacklist
+
+
+def test_vrae_sequences(tx):
+    seqs = vrae_input_sequences(tx, cat_vocab=CAT_VOCAB + [6012]).collect()
+    assert len(seqs) > 0
+    n_feat = 6 + 5  # numerics + one-hot cats
+    for r in seqs[:5]:
+        assert all(len(step) == n_feat for step in r.seq)
+        # cumsum over full history: last amt_cum equals sum of amt steps? (amt not in features)
+        assert len(r.seq) >= 1
+
+
+def test_rnn_sequences_fixed_length(tx):
+    edges = {"amt": [-1000.0, -10.0, 0.0, 10.0, 1000.0], "time_day": [0.0, 21600.0, 43200.0, 64800.0, 86400.0]}
+    seqs = rnn_input_sequences(tx, edges, seq_len=40).collect()
+    assert all(len(r.seq) == 40 for r in seqs)
+    assert all(len(step) == 2 for r in seqs for step in r.seq[:2])
+
+
+def test_run_submission_end_to_end(spark, tx, tmp_path):
+    out = str(tmp_path / "submission")
+    sub = run_submission(
+        spark, tx, cat_vocab=CAT_VOCAB, n_reps=3, output_path=out
+    ).toPandas()
+    n_users = tx.select("user_id").distinct().count()
+    # one score per input user (J4 re-adds anyone dropped), sorted
+    assert len(sub) == n_users
+    assert list(sub.columns) == ["user_id", "target"]
+    assert (sub["user_id"].sort_values().to_numpy() == sub["user_id"].to_numpy()).all()
+    assert sub["target"].notna().all()
+    # CSV written (S3)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == n_users
+
+
+def test_run_submission_deterministic(spark, tx):
+    a = run_submission(spark, tx, cat_vocab=CAT_VOCAB, n_reps=2).toPandas()
+    b = run_submission(spark, tx, cat_vocab=CAT_VOCAB, n_reps=2).toPandas()
+    assert (a["target"].to_numpy() == b["target"].to_numpy()).all()

@@ -63,13 +63,16 @@ def score_with_model(
     fragments, numpy cannot share IEEE op order with an oracle engine).
     """
     sc = df.sparkSession.sparkContext
-    b = sc.broadcast(model)
+    # broadcast a PLAIN dict, not the dataclass: Spark broadcasts unpickle
+    # on executor Python workers that may not have this package on their
+    # path — builtin types always deserialize.
+    b = sc.broadcast({"kind": model.kind, "payload": model.payload})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = b.value
-        if m.kind == "linear":
-            w = m.payload
-        elif m.kind == "torch":
+        if m["kind"] == "linear":
+            w = m["payload"]
+        elif m["kind"] == "torch":
             try:
                 import torch  # noqa: F401
             except ImportError as err:  # pragma: no cover - env-dependent
@@ -79,7 +82,7 @@ def score_with_model(
                 ) from err
             raise NotImplementedError("torch scoring path: load state-dict from m.payload")
         else:  # pragma: no cover
-            raise NotImplementedError(f"unknown model kind {m.kind}")
+            raise NotImplementedError(f"unknown model kind {m['kind']}")
         for pdf in batches:
             vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             # sequential fold, not BLAS dot: deterministic accumulation order

@@ -1,0 +1,126 @@
+"""The end-to-end scoring pipeline — the Spark-native equivalent of
+``python run.py <source_csv> <output_csv>`` (/root/reference/run.py,
+SURVEY §3.1).
+
+Stages (all from the operator library):
+
+1. RNN branch (A): bootstrap ensemble over the raw log — SO3 seeded
+   samples x scorer x A15 mean (model.py:247-294).
+2. Robust cleaning: winsorize + rare-category rewrite (run.py:25-85).
+3. Branch C: wide per-user feature matrix + dropped-user tracking
+   (run.py:185-430).
+4. Assembly J2 + strict dropna M1 (run.py:435-465).
+5. Scoring U6: broadcast-artifact mapInPandas (run.py:466-475).
+6. Submission: union-fill dropped users at the global max A14/J4, sort
+   W6, CSV S3 (run.py:477-486).
+
+The torch/CatBoost models are not installable here, so scoring uses the
+deterministic linear stand-in from ``inference.udfs`` — swapping in real
+artifacts changes ONLY the BroadcastModel payload.
+
+The three branches are independent DAG subtrees off one scan: Spark runs
+them as parallel jobs feeding the assembly joins (vs the reference's
+sequential single-threaded loops — SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..inference.udfs import BroadcastModel, linear_scorer, score_with_model
+from ..operators.cleaning import clean_transactions
+from ..operators.joins import (
+    anti_join_missing,
+    assemble_features,
+    bootstrap_runs,
+    ensemble_mean,
+    union_fill_max,
+)
+from .features import branch_c_features
+
+
+def _rnn_branch(
+    tx: DataFrame, n_reps: int, seed: int, weights: Sequence[float]
+) -> DataFrame:
+    """Branch A: defence ensemble — seeded bootstrap x simple scorer x
+    mean (model.py:247-294).  The per-repetition scorer aggregates each
+    user's sampled rows to a fixed feature vector, then applies the
+    broadcast linear model via mapInPandas."""
+    runs = []
+    for i, rep in enumerate(bootstrap_runs(tx, n_reps, fraction=0.95, seed=seed)):
+        per_user = rep.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("double").alias("f0"),
+            F.avg("amt").alias("f1"),
+            F.avg(F.col("cat").cast("double")).alias("f2"),
+        )
+        assembled = per_user.select(
+            "user_id", F.array("f0", "f1", "f2").alias("features")
+        )
+        scored = score_with_model(
+            assembled,
+            linear_scorer(list(weights)),
+            id_col="user_id",
+            vec_col="features",
+        ).withColumnRenamed("vec_id", "user_id")
+        runs.append(scored.select("user_id", F.col("score").alias("target")))
+    return ensemble_mean(runs, key="user_id", score_col="target").withColumnRenamed(
+        "target_mean", "nn_predict"
+    )
+
+
+def run_submission(
+    spark,
+    tx: DataFrame,
+    cat_vocab: Sequence,
+    model: BroadcastModel | None = None,
+    n_reps: int = 5,
+    seed: int = 42,
+    output_path: str | None = None,
+) -> DataFrame:
+    """Full pipeline: (user_id, cat, amt, ts, ord) -> (user_id, target).
+
+    Returns the submission DataFrame sorted by user_id; optionally writes
+    the CSV (S3).
+    """
+    # Branch A on the raw log (the reference scores the RNN before cleaning)
+    nn = _rnn_branch(tx, n_reps=n_reps, seed=seed, weights=[0.01, 0.002, 0.001])
+
+    # Robust cleaning (A7-A9) then branch C features
+    cleaned = clean_transactions(
+        tx, user_col="user_id", cat_col="cat", value_col="amt", n_amt=10, n_mcc=10
+    )
+    feats, dropped = branch_c_features(cleaned, cat_vocab=cat_vocab)
+
+    # Assembly J2 + strict dropna M1 (run.py:435-465)
+    assembled = assemble_features([nn, feats], key="user_id", how="outer", fill=None).na.drop()
+
+    # U6 scoring over the wide row with a broadcast artifact
+    feature_cols = [c for c in assembled.columns if c != "user_id"]
+    vecs = assembled.select(
+        "user_id", F.array(*[F.col(f"`{c}`").cast("double") for c in feature_cols]).alias("features")
+    )
+    if model is None:
+        dim = len(feature_cols)
+        model = linear_scorer([((j * 37) % 19 - 9) / (10.0 * dim) for j in range(dim)])
+    preds = (
+        score_with_model(vecs, model, id_col="user_id", vec_col="features")
+        .withColumnRenamed("vec_id", "user_id")
+        .select("user_id", F.col("score").alias("target"))
+    )
+
+    # J4/A14: users eliminated anywhere along the way come back at the
+    # global max score; W6 sort
+    all_users = tx.select("user_id").distinct()
+    missing = anti_join_missing(all_users, preds, "user_id")
+    submission = union_fill_max(preds, missing, key="user_id", score_col="target").orderBy(
+        "user_id"
+    )
+
+    if output_path is not None:
+        from ..sources.writers import write_csv
+
+        write_csv(submission, output_path)
+    return submission

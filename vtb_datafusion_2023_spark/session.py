@@ -47,8 +47,27 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _register_pickle_by_value() -> None:
+    """Serialize this package BY VALUE into executor closures.
+
+    The driver process may import us via a sys.path hack that executor
+    Python workers don't inherit; module-level functions referenced from
+    ``mapInPandas`` closures would then unpickle as by-reference imports
+    and crash with ModuleNotFoundError.  Registering the package with
+    cloudpickle ships the code itself inside the serialized task."""
+    try:
+        from pyspark import cloudpickle
+
+        import vtb_datafusion_2023_spark as pkg
+
+        cloudpickle.register_pickle_by_value(pkg)
+    except Exception:
+        pass
+
+
 def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime confs to an externally-owned session (idempotent)."""
+    _register_pickle_by_value()
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
