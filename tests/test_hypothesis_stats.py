@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the statistical shims — pandas
+is the reference implementation (SURVEY §7.4.2).  These run DuckDB (not
+Spark) against pandas: the suite already proves Spark == DuckDB bitwise
+on the same SQL fragments, so DuckDB is a fast stand-in for the engine.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from vtb_datafusion_2023_spark import sqlgen
+
+floats = st.floats(
+    min_value=-9e5, max_value=9e5, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(floats, min_size=3, max_size=200))
+def test_moment_stats_match_pandas(xs):
+    pdf = pd.DataFrame({"x": xs})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    frags = sqlgen.moment_stats("x", "s", percentile_fn="quantile_cont")
+    row = con.execute("select " + ", ".join(frags) + " from t").df().iloc[0]
+    s = pdf["x"]
+    # decimal accumulation quantizes inputs at 1e-2 — tolerances reflect that
+    assert np.isclose(row.s_mean, s.mean(), rtol=1e-6, atol=1e-2)
+    assert np.isclose(row.s_median, s.median(), rtol=1e-9, atol=1e-9)
+    assert np.isclose(row.s_min, s.min()) and np.isclose(row.s_max, s.max())
+    if s.std() > 1e-3 * max(1.0, abs(s.mean())):  # away from cancellation regime
+        assert np.isclose(row.s_std, s.std(), rtol=1e-4, atol=1e-2)
+        assert np.isclose(row.s_var, s.var(), rtol=1e-4, atol=1.0)
+        assert np.isclose(row.s_sem, s.sem(), rtol=1e-4, atol=1e-2)
+        if abs(s.skew()) > 1e-3 and s.std() > 1.0:
+            assert np.isclose(row.s_skew, s.skew(), rtol=1e-2, atol=5e-2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(floats, min_size=1, max_size=150),
+    st.integers(min_value=1, max_value=20),
+)
+def test_dynamic_percentile_matches_numpy(xs, n_amt):
+    """The rank-interpolation used by group_percentiles (A7) reproduces
+    numpy's linear-interpolation percentile at the reference's dynamic
+    fraction p = clamp(100*n_amt/len, 0, 100) (run.py:54-58)."""
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"user_id": 1, "event_type": "a", "value": xs}))
+    from vtb_datafusion_2023_spark.operators.gstats import group_percentiles_sql
+
+    sql = group_percentiles_sql("t", ["user_id", "event_type"], "value", n_amt=n_amt)
+    row = con.execute(sql).df().iloc[0]
+    p = min(100.0, 100.0 * n_amt / len(xs))
+    assert np.isclose(row.p_lo, np.percentile(xs, p), rtol=1e-12, atol=1e-12)
+    assert np.isclose(row.p_hi, np.percentile(xs, 100 - p), rtol=1e-12, atol=1e-12)
+    assert np.isclose(row.p_median, np.median(xs), rtol=1e-12, atol=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.decimals(min_value=-(10**18), max_value=10**18, places=6, allow_nan=False))
+def test_dec_to_double_split_is_engine_stable(d):
+    """The integral/fractional split conversion produces the same double
+    in DuckDB as plain Python float-of-parts arithmetic — including past
+    2^53 where naive decimal->double casts diverge.  Bit-exactness is
+    guaranteed below ~2^63 integral magnitude; above ~2^64 DuckDB's
+    int128->double conversion is double-rounded and agreement is 1 ulp
+    (documented in sqlgen.dec_to_double)."""
+    con = duckdb.connect()
+    got = con.execute(
+        "select " + sqlgen.dec_to_double(f"cast('{d}' as decimal(38,6))")
+    ).fetchone()[0]
+    ipart = int(d)
+    frac = float(d - ipart)
+    assert got == float(ipart) + frac
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.decimals(min_value=-(10**25), max_value=10**25, places=6, allow_nan=False))
+def test_dec_to_double_split_huge_within_one_ulp(d):
+    con = duckdb.connect()
+    got = con.execute(
+        "select " + sqlgen.dec_to_double(f"cast('{d}' as decimal(38,6))")
+    ).fetchone()[0]
+    want = float(int(d)) + float(d - int(d))
+    assert got == want or abs(got - want) <= abs(np.spacing(want))

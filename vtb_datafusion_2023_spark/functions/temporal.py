@@ -25,8 +25,9 @@ def pandas_dayofweek(ts: Column) -> Column:
 
 
 def seconds_since_midnight(ts: Column) -> Column:
-    """P2: seconds since midnight (run.py:97,192)."""
-    return F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+    """P2: seconds since midnight (run.py:97,192).  Long-typed so derived
+    min/max/amplitude stats keep int64 parity with the oracle."""
+    return (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast("long")
 
 
 def hours_since(ts: Column, anchor_epoch_seconds: Column | int) -> Column:

@@ -64,6 +64,81 @@ def cosine_topk(
     )
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cos(a, b) >= threshold — the exact/baseline path for embedding dedup.
+    O(n^2/2) pairs: at corpus scale, prefilter with ``lsh_ann_topk``
+    buckets or ``ivf_topk`` cells and verify only candidates."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_cells`` Voronoi cells
+    around deterministic centroids (the first ``n_cells`` corpus vectors
+    by id — a reproducible stand-in for k-means training), then search
+    only the query's ``n_probe`` nearest cells with exact cosine.
+
+    At 100 TB: the cell assignment is one broadcast join + rank (the
+    centroid set is tiny), the inverted index is the corpus repartitioned
+    by cell, and each query touches n_probe/n_cells of the data.
+    """
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+
+    def assign(side: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(broadcast(cents)).withColumn(
+            "_ccos", cosine(F.col(vecc), F.col("_cv"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("_ccos").desc(), F.col("_cid").asc())
+        return (
+            scored.withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") <= keep)
+            .select(idc, vecc, "_cid")
+        )
+
+    c_cells = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvv")),
+        "neighbor_id",
+        "_cvv",
+        1,
+    )
+    q_cells = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "query_id",
+        "_qv",
+        n_probe,
+    )
+    cand = q_cells.join(c_cells, "_cid").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cvv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
+    )
+
+
 def hyperplane_weight(plane: Column | int, dim: Column) -> Column:
     """Deterministic pseudo-random hyperplane weights from pure integer
     arithmetic (no RNG, no libm => bit-identical in any engine):

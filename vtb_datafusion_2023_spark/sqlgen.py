@@ -35,6 +35,13 @@ def dec_to_double(e: str) -> str:
     both) and a fractional part (tiny scaled int, exact in both), then add:
     identical operands => identical IEEE sum.  ``%`` follows the dividend's
     sign in both engines, so negatives split consistently too.
+
+    Known domain bound (found by hypothesis): above ~2^64 the integral
+    part's int128->double conversion in DuckDB is itself double-rounded
+    (via 64-bit halves), so cross-engine agreement degrades to within
+    1 ulp for |value| >~ 1.8e19 — still deterministic per engine, and the
+    t2 gate compares on fixed sf0.01 data where all exposed sums agree;
+    for guaranteed bit-parity keep aggregate magnitudes below 2^63.
     """
     return (
         f"(cast(cast(({e}) - (({e}) % 1) as decimal(38,0)) as double)"

@@ -74,10 +74,10 @@ def p1_time_parts(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.hour("ts").alias("hour"),
+        F.hour("ts").cast("bigint").alias("hour"),
         pandas_dayofweek(F.col("ts")).cast("bigint").alias("day_of_week"),
-        F.dayofmonth("ts").alias("day_of_month"),
-        F.month("ts").alias("month"),
+        F.dayofmonth("ts").cast("bigint").alias("day_of_month"),
+        F.month("ts").cast("bigint").alias("month"),
     )
 
 

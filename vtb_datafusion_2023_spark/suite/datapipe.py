@@ -14,7 +14,13 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.multimodal import with_binary_metadata
-from ..operators.similarity import cosine_topk, lsh_ann_topk, lsh_signature
+from ..operators.similarity import (
+    cosine_near_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_ann_topk,
+    lsh_signature,
+)
 from ..operators.text import (
     EN_STOPWORDS,
     TOKEN_REGEX,
@@ -251,6 +257,81 @@ def ann_lsh_buckets(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8)
+
+
+def _cosf(a: str, b: str) -> str:
+    """DuckDB cosine with the same left-fold arithmetic as
+    ``operators.similarity.cosine`` — bitwise-comparable."""
+    def dot(x, y):
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> cast({x}[i] as double) * cast({y}[i] as double)), (x, y) -> x + y)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+@register(
+    "dd_embedding_cosine",
+    oracle=f"""
+select a.vec_id as id_a, b.vec_id as id_b,
+       {_cosf('a.embedding', 'b.embedding')} as cos
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where {_cosf('a.embedding', 'b.embedding')} >= 0.4
+""",
+    survey_ref="dedup-embedding-cosine",
+    doc="embedding-cosine near-duplicate pairs (exact baseline; LSH/IVF are the scale prefilters).",
+)
+def dd_embedding_cosine(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.4)
+
+
+def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    return f"""
+with cents as (select vec_id as _cid, embedding as _cv from embeddings where vec_id < {n_cells}),
+corpus as (select vec_id as neighbor_id, embedding as cvv from embeddings),
+c_assign as (
+  select neighbor_id, cvv, _cid from (
+    select neighbor_id, cvv, _cid,
+           row_number() over (partition by neighbor_id order by ccos desc, _cid asc) as crk
+    from (select neighbor_id, cvv, _cid, {_cosf('cvv', '_cv')} as ccos
+          from corpus cross join cents)
+  ) where crk <= 1
+),
+qs as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 10),
+q_assign as (
+  select query_id, qv, _cid from (
+    select query_id, qv, _cid,
+           row_number() over (partition by query_id order by ccos desc, _cid asc) as crk
+    from (select query_id, qv, _cid, {_cosf('qv', '_cv')} as ccos
+          from qs cross join cents)
+  ) where crk <= {n_probe}
+),
+scored as (
+  select query_id, neighbor_id, {_cosf('qv', 'cvv')} as cos
+  from q_assign join c_assign using (_cid)
+  where query_id <> neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, cast(rank as int) as rank, cos
+from ranked where rank <= {k}
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(),
+    survey_ref="sim-ann-ivf",
+    doc="IVF-cell ANN: deterministic centroids, n_probe nearest cells, exact rerank.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe=2)
 
 
 # ---------------------------------------------------------------------------
