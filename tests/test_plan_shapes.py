@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the scale claims in SCALE.md, asserted
+against `.explain` output so they can't silently rot.
+
+If one of these fails after a change, the plan lost a scale property
+(pushdown, pruning, broadcast, single-shuffle) even if results are still
+correct.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vtb_datafusion_2023_spark.operators.filtering import positional_trim
+from vtb_datafusion_2023_spark.sources.readers import load_table
+from vtb_datafusion_2023_spark.suite import queries
+
+QS = queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_scan_pushdown_and_pruning(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "2001-09-02").groupBy("l_returnflag").count()
+    p = formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the 11-column table scans only the 2 needed columns
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" in read and "l_shipdate" in read and "l_extendedprice" not in read
+
+
+def test_j1_broadcasts_dimensions(spark, sf_small):
+    p = plan_of(QS["j1_join_enrich"](spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # no shuffle join for the dims
+
+
+def test_positional_trim_single_sort(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    p = plan_of(positional_trim(ev, "user_id", ["ts", "event_id"], 20, 20))
+    # one exchange (user_id hash) and ONE sort: the descending rank is
+    # derived, not re-sorted
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+    assert p.count("Sort [") == 1, p
+
+
+def test_pivot_uses_frozen_vocab_no_extra_job(spark, sf_small):
+    # a frozen-values pivot plans exactly one aggregate pair (partial +
+    # final) over one exchange — no distinct-values subquery
+    p = plan_of(QS["a1_pivot_count"](spark, sf_small))
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_small, tmp_path):
+    ev = load_table(spark, sf_small, "events")
+    path = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.dayofmonth("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("day") == 3)
+    p = formatted(back.groupBy("event_type").count())
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "day" in pf and "= 3" in pf.replace("=3", "= 3")
+    # pruned scan reads only the matching partition directory
+    assert back.count() == ev.filter(F.dayofmonth("ts") == 3).count()

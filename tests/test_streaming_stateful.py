@@ -1,0 +1,70 @@
+"""Stateful streaming: the applyInPandasWithState sessionizer driven by a
+real micro-batch query (file source -> memory sink), with sessions
+flushed by processing-time timeout."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from vtb_datafusion_2023_spark.streaming import sessionize
+from vtb_datafusion_2023_spark.streaming.events import EVENTS_STREAM_SCHEMA
+
+
+def test_sessionize_emits_on_timeout(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [int((base + pd.Timedelta(seconds=s)).value) for s, _u, _v in rows],
+                "user_id": [u for _s, u, _v in rows],
+                "event_type": "click",
+                "value": [v for _s, _u, v in rows],
+                "props": "{}",
+            }
+        )
+        pdf.to_parquet(src / name)
+
+    # batch 1: two users' activity
+    write_file("b1.parquet", [(0, 1, 1.0), (10, 1, 2.0), (5, 2, 7.0)])
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(cast(ts / 1000 as long))"))
+    )
+    sessions = sessionize(stream, gap_minutes=0.005)  # 300 ms inactivity gap
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # let batch 1 land, wait past the gap, then push batch 2 so the
+        # next micro-batch fires the timeouts for users 1 and 2
+        time.sleep(3)
+        write_file("b2.parquet", [(1000, 3, 5.0)])
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("select * from sess").collect()
+            if len(got) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    by_user = {r.user_id: r for r in got}
+    assert 1 in by_user and 2 in by_user
+    assert by_user[1].n_events == 2 and by_user[1].total_value == 3.0
+    assert by_user[2].n_events == 1 and by_user[2].total_value == 7.0
+    assert by_user[1].session_start < by_user[1].session_end

@@ -30,24 +30,30 @@ def pivot_agg(
     prefix: str | None = None,
     fill: float | int = 0,
 ) -> DataFrame:
-    """A1-A6: ``groupBy(group).pivot(col, vocab).agg(...)`` + fill.
+    """A1-A6: pivot with a FROZEN vocabulary as conditional aggregation.
 
     ``agg``: 'count' | 'sum' (sum is decimal-exact — see functions.stats).
-    Columns are renamed ``{prefix}-{v}`` like the reference's
+    Columns are named ``{prefix}-{v}`` like the reference's
     ``f'mcc_freq-{code}'`` scheme (/root/reference/run.py:241).
+
+    NOT ``DataFrame.pivot``: Spark's pivot plans TWO exchanges (a
+    (group, key) pre-aggregate then a group-level pivotfirst).  With a
+    closed vocabulary, one conditional aggregate per category collapses
+    that to a SINGLE shuffle on ``group_col`` with map-side partials —
+    plan-shape-tested in tests/test_plan_shapes.py.
     """
     prefix = prefix or f"{pivot_col}_{agg}"
-    p = df.groupBy(group_col).pivot(pivot_col, list(vocab))
-    if agg == "count":
-        out = p.count()
-    elif agg == "sum":
-        out = p.agg(dsum(value_col))
-    else:
-        raise ValueError(f"unsupported agg: {agg}")
-    out = out.select(
-        group_col, *[F.col(f"`{v}`").alias(f"{prefix}-{v}") for v in vocab]
-    )
-    return out.na.fill(fill)
+    aggs = []
+    for v in vocab:
+        cond = F.col(pivot_col) == F.lit(v)
+        if agg == "count":
+            e = F.count(F.when(cond, 1))
+        elif agg == "sum":
+            e = dsum(F.when(cond, F.col(value_col)))
+        else:
+            raise ValueError(f"unsupported agg: {agg}")
+        aggs.append(e.alias(f"{prefix}-{v}"))
+    return df.groupBy(group_col).agg(*aggs).na.fill(fill)
 
 
 def row_normalize(

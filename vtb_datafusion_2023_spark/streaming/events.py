@@ -75,7 +75,7 @@ def windowed_user_spend(
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30):
+def sessionize(events: DataFrame, gap_minutes: float = 30):
     """Custom stateful operator: per-user session assembly with an
     inactivity gap, via ``applyInPandasWithState`` (the Structured
     Streaming escape hatch the reference's per-user loops map onto).
@@ -103,7 +103,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30):
             T.StructField("total", T.DoubleType()),
         ]
     )
-    gap_us = gap_minutes * 60 * 1_000_000
+    gap_us = int(gap_minutes * 60 * 1_000_000)
 
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:

@@ -92,17 +92,14 @@ def pipeline_user_profile(spark, sf_dir):
 
     long = trimmed.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     freq_long = row_normalize(long, "user_id", "cnt", out_col="freq")
-    freq_wide = (
-        freq_long.groupBy("user_id")
-        .pivot("event_type", _PROFILE_VOCAB)
-        .agg(F.max("freq"))
-        .select(
-            "user_id",
-            *[
-                F.expr(f"coalesce(cast(`{v}` as double), cast(0 as double))").alias(f"freq-{v}")
-                for v in _PROFILE_VOCAB
-            ],
-        )
+    # conditional aggregation, not DataFrame.pivot — single shuffle
+    freq_wide = freq_long.groupBy("user_id").agg(
+        *[
+            F.expr(
+                f"coalesce(max(case when event_type = '{v}' then freq end), cast(0 as double))"
+            ).alias(f"freq-{v}")
+            for v in _PROFILE_VOCAB
+        ]
     )
     hs = horizontal_stats(long, "user_id", "cnt", "hs")
     td = vertical_stats(
