@@ -1,0 +1,98 @@
+"""Scale-property tests: skewed keys, wide frozen vocabularies, and the
+S5 artifact loader against the reference's real bin-edges pickle."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from vtb_datafusion_2023_spark.operators.cleaning import clean_transactions
+from vtb_datafusion_2023_spark.operators.filtering import positional_trim
+from vtb_datafusion_2023_spark.operators.gstats import group_percentiles
+from vtb_datafusion_2023_spark.operators.pivots import pivot_agg
+from vtb_datafusion_2023_spark.operators.projections import conform_columns
+from vtb_datafusion_2023_spark.sources.artifacts import load_bin_edges
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One power user owns ~80%% of all rows (the reference's worst case:
+    run.py's per-user loop serializes on it; our ops must not)."""
+    big = spark.range(80_000).select(
+        F.lit(1).alias("user_id"),
+        (F.col("id") % 7).cast("int").alias("cat"),
+        (F.col("id") % 100).cast("double").alias("value"),
+        F.col("id").alias("ord"),
+    )
+    small = spark.range(20_000).select(
+        (2 + F.col("id") % 500).alias("user_id"),
+        (F.col("id") % 7).cast("int").alias("cat"),
+        (F.col("id") % 90).cast("double").alias("value"),
+        (100_000 + F.col("id")).alias("ord"),
+    )
+    return big.unionByName(small)
+
+
+def test_skewed_group_percentiles(skewed):
+    out = group_percentiles(skewed, ["user_id", "cat"], "value", n_amt=10).toPandas()
+    # power-user group is exact vs numpy
+    g = skewed.filter("user_id = 1 and cat = 0").select("value").toPandas()["value"]
+    row = out[(out.user_id == 1) & (out.cat == 0)].iloc[0]
+    p = min(100.0, 100.0 * 10 / len(g))
+    assert row.cnt == len(g)
+    assert np.isclose(row.p_lo, np.percentile(g, p))
+    assert np.isclose(row.p_median, np.median(g))
+
+
+def test_skewed_trim_and_clean(skewed):
+    trimmed = positional_trim(skewed.withColumn("ts", F.col("ord")), "user_id", ["ts", "ord"], 20, 20)
+    counts = {r.user_id: r["count"] for r in trimmed.groupBy("user_id").count().collect()}
+    assert counts[1] == 80_000 - 40
+    cleaned = clean_transactions(
+        skewed, user_col="user_id", cat_col="cat", value_col="value", n_amt=10, n_mcc=10
+    )
+    assert cleaned.count() == skewed.count()  # rewrite, never drop
+
+
+def test_wide_frozen_vocab_pivot_and_conform(spark):
+    """A 419-column closed vocabulary (the reference's real P5 width,
+    run.py:105) stays a single-projection / single-aggregate plan."""
+    n_cats = 419
+    df = spark.range(20_000).select(
+        (F.col("id") % 50).alias("user_id"),
+        (F.col("id") % 37).cast("int").alias("cat"),  # only 37 present
+        F.lit(1.0).alias("v"),
+    )
+    vocab = list(range(n_cats))
+    wide = pivot_agg(df, "user_id", "cat", vocab, agg="count", prefix="c")
+    assert len(wide.columns) == n_cats + 1
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    row = wide.filter("user_id = 0").collect()[0]
+    assert row["c-400"] == 0 and row["c-0"] > 0  # absent categories conform to 0
+    conformed = conform_columns(df, ["user_id"] + [f"x{i}" for i in range(419)], fill=0.0)
+    assert len(conformed.columns) == 420
+
+
+def test_s5_reference_bin_edges_artifact(spark):
+    path = "/root/reference/nn_bins.pickle"
+    if not os.path.exists(path):
+        pytest.skip("reference artifact not present")
+    edges = load_bin_edges(path)
+    assert len(edges) >= 5
+    assert all(len(v) >= 2 for v in edges.values())
+    # compile one real feature's edges into a projection and bin data
+    feat, ed = sorted(edges.items())[0]
+    from vtb_datafusion_2023_spark.operators.projections import bin_by_edges
+
+    df = spark.range(100).select((F.col("id").cast("double")).alias("x"))
+    binned = df.select(bin_by_edges("x", ed).alias("b")).toPandas()
+    import pandas as pd
+
+    want = pd.cut(pd.Series(np.arange(100.0)), bins=ed, labels=False)
+    got = binned["b"].to_numpy()
+    for g, w in zip(got, want):
+        assert (np.isnan(w) and pd.isna(g)) or g == int(w)
