@@ -341,6 +341,14 @@ def so2_set_difference(spark, sf_dir):
 )
 def so3_bootstrap_sample(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
-    return ev.sample(withReplacement=True, fraction=0.95, seed=42).select(
+    # Pin partition layout + row order before sampling: Poisson draws are
+    # seeded per (partition, row position), so the driver's session (with
+    # different parallelism => different file splits) would otherwise see
+    # a different sampled row set.  The engine operator (joins.
+    # bootstrap_runs) keeps the distributed form — the contract there is
+    # distributional, not positional (SURVEY §7.4.5); this suite entry
+    # pins determinism for the rows-only check.
+    pinned = ev.repartition(1).sortWithinPartitions("event_id")
+    return pinned.sample(withReplacement=True, fraction=0.95, seed=42).select(
         "event_id", "user_id"
     )
