@@ -1,0 +1,69 @@
+"""The production CLI (run.py equivalent) end-to-end on a generated CSV,
+and the spark.ml training/CV harness (U7/A16)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from vtb_datafusion_2023_spark.sources.readers import load_table
+
+
+def _make_csv(path, n_users=12, rows_per_user=60, with_ord=True):
+    rng = np.random.RandomState(7)
+    rows = []
+    codes = [742, 4111, 5411, 5812, 6012]
+    t0 = pd.Timestamp("2023-01-01")
+    i = 0
+    for u in range(n_users):
+        for _ in range(rows_per_user):
+            rows.append(
+                {
+                    "user_id": u,
+                    "mcc_code": codes[rng.randint(len(codes))],
+                    "currency_rk": 48,
+                    "transaction_amt": round(float(rng.randn() * 50), 2),
+                    "transaction_dttm": t0 + pd.Timedelta(minutes=7 * i),
+                    **({"ord": i} if with_ord else {}),
+                }
+            )
+            i += 1
+    pd.DataFrame(rows).to_csv(path, index=False)
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    src = tmp_path / "tx.csv"
+    out = tmp_path / "out"
+    _make_csv(str(src))
+    from vtb_datafusion_2023_spark.run import main
+
+    main([str(src), str(out), "--reps", "2"])
+    back = spark.read.option("header", True).csv(str(out))
+    assert back.count() == 12
+    assert set(back.columns) == {"user_id", "target"}
+
+
+def test_cli_stamps_missing_ord(spark, tmp_path):
+    src = tmp_path / "tx_noord.csv"
+    out = tmp_path / "out2"
+    _make_csv(str(src), with_ord=False)
+    from vtb_datafusion_2023_spark.run import main
+
+    main([str(src), str(out), "--reps", "1", "--cats", "742,4111,5411,5812"])
+    back = spark.read.option("header", True).csv(str(out))
+    assert back.count() == 12
+
+
+def test_mlcv_harness_u7(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    df = emb.select(
+        (F.col("label") == 1).cast("int").alias("label"),
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"e{i}") for i in range(8)],
+    )
+    from vtb_datafusion_2023_spark.ml import score_auc, train_with_cv
+
+    model, metrics = train_with_cv(df, [f"e{i}" for i in range(8)], n_folds=3)
+    assert len(metrics) == 2 and all(0.0 <= m <= 1.0 for m in metrics)
+    auc = score_auc(df, [f"e{i}" for i in range(8)])
+    assert 0.0 <= auc <= 1.0
