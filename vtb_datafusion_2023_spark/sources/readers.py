@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import TESTDATA_TABLES, TX_SCHEMA
+from ..schema import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -64,17 +64,12 @@ def read_transactions_csv(
     dense, and are assigned per input split — adequate as a deterministic
     tie-break for a single ordered file read (SURVEY §7.4.1).
     """
-    schema = TX_SCHEMA if not stamp_ord else TX_SCHEMA[:-1]
-    df = (
-        spark.read.schema(
-            "user_id long, mcc_code int, currency_rk int, "
-            "transaction_amt double, transaction_dttm timestamp"
-            + ("" if stamp_ord else ", ord long")
-        )
-        .option("header", True)
-        .csv(path)
-    )
-    _ = schema  # schema docstring anchor; string DDL keeps column order
+    ddl = (
+        "user_id long, mcc_code int, currency_rk int, "
+        "transaction_amt double, transaction_dttm timestamp"
+        + ("" if stamp_ord else ", ord long")
+    )  # string DDL of TX_SCHEMA — keeps CSV column-order binding explicit
+    df = spark.read.schema(ddl).option("header", True).csv(path)
     if stamp_ord:
         df = df.withColumn("ord", F.monotonically_increasing_id())
     if drop_null:
