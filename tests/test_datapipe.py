@@ -96,3 +96,26 @@ def test_media_decode_stub_raises():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_ivf_with_kmeans_centroids(spark, sf_small):
+    """spark.ml-trained IVF cells: ANN hits carry true cosines and recall
+    the brute-force top-1 for most queries."""
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = ivf_train_centroids(emb, k=4, seed=42)
+    assert cents.count() == 4
+    q = emb.filter(F.col("vec_id") < 8)
+    ann = ivf_topk(emb, q, k=3, n_cells=4, n_probe=2, centroids=cents).collect()
+    brute = {(r.query_id, r.neighbor_id): r.cos for r in cosine_topk(emb, q, k=emb.count()).collect()}
+    for r in ann:
+        assert abs(brute[(r.query_id, r.neighbor_id)] - r.cos) < 1e-12
+    # recall of the true nearest neighbor with 2/4 cells probed
+    top1 = {r.query_id: r.neighbor_id for r in cosine_topk(emb, q, k=1).collect()}
+    hits = sum(1 for r in ann if r.rank == 1 and top1.get(r.query_id) == r.neighbor_id)
+    assert hits >= len(top1) * 0.5

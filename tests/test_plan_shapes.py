@@ -57,6 +57,30 @@ def test_pivot_uses_frozen_vocab_no_extra_job(spark, sf_small):
     assert p.count("Exchange hashpartitioning(user_id") == 1
 
 
+def test_bucketed_join_has_zero_exchanges(spark, sf_small, tmp_path):
+    """Co-located sort-merge join over bucketed tables: no shuffle at all
+    (the 100 TB lever for repeated per-user joins — SCALE.md)."""
+    from vtb_datafusion_2023_spark.sources.bucketed import write_bucketed
+
+    ev = load_table(spark, sf_small, "events")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    write_bucketed(ev.select("user_id", "event_id", "value"), "bk_ev",
+                   str(tmp_path / "bk_ev"), ["user_id"], n_buckets=8)
+    write_bucketed(agg, "bk_agg", str(tmp_path / "bk_agg"), ["user_id"], n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bk_ev").join(spark.table("bk_agg"), "user_id")
+        p = plan_of(j)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p
+        assert j.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists bk_ev")
+        spark.sql("drop table if exists bk_agg")
+
+
 def test_partition_pruning_on_partitioned_layout(spark, sf_small, tmp_path):
     ev = load_table(spark, sf_small, "events")
     path = str(tmp_path / "events_by_day")

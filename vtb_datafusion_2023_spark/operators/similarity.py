@@ -84,6 +84,28 @@ def cosine_near_pairs(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Train IVF centroids with spark.ml KMeans (the production path; the
+    suite's oracle variant uses deterministic id-based centroids instead
+    because k-means init is not cross-engine reproducible).
+
+    Returns a tiny (cid, centroid: array<double>) frame to pass to
+    ``ivf_topk(centroids=...)``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(centers, "cid int, centroid array<double>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,19 +114,25 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 8,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: partition the corpus into ``n_cells`` Voronoi cells
-    around deterministic centroids (the first ``n_cells`` corpus vectors
-    by id — a reproducible stand-in for k-means training), then search
-    only the query's ``n_probe`` nearest cells with exact cosine.
+    """IVF-style ANN: partition the corpus into Voronoi cells around the
+    given centroids (``ivf_train_centroids`` k-means output, or the first
+    ``n_cells`` corpus vectors by id as the deterministic default), then
+    search only the query's ``n_probe`` nearest cells with exact cosine.
 
     At 100 TB: the cell assignment is one broadcast join + rank (the
     centroid set is tiny), the inverted index is the corpus repartitioned
     by cell, and each query touches n_probe/n_cells of the data.
     """
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cid").alias("_cid"), F.col("centroid").alias("_cv")
+        )
+    else:
+        cents = corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        )
 
     def assign(side: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
         scored = side.crossJoin(broadcast(cents)).withColumn(
