@@ -6,9 +6,9 @@ Scale design (the whole point of these operators):
 - Exact dedup is a hash-groupBy — one shuffle on the content hash.
 - Naive near-dup is O(n^2) pairs; MinHash-LSH banding reduces it to
   candidates that collide in >= 1 band: shingle -> K permuted min-hashes ->
-  B bands of R rows -> band-bucket join.  All hashing is JVM-side
-  (xxhash64 + affine permutations under a Mersenne prime) over array
-  columns — no Python, no UDF, one shuffle per band join.
+  B bands of R rows -> bucket grouping -> capped in-bucket pair expansion
+  -> exact-Jaccard verify.  All hashing is JVM-side (xxhash64 + affine
+  permutations under a Mersenne prime) — no Python, no UDF.
 - SimHash packs a document into one 64-bit signature; near-dup candidates
   share at least one of C chunk prefixes (pigeonhole: hamming <= k with C
   chunks guarantees a matching chunk when k < C), then exact hamming
@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 MERSENNE_P = (1 << 31) - 1  # 31-bit domain: affine products stay < 2^63 (ANSI-safe)
 
@@ -80,39 +79,62 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    shingle_strategy: str = "window",
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    The band join only ever touches colliding buckets — at 100 TB the
-    candidate set is ~linear in true duplicates, not O(n^2).
+    Only colliding (band, bucket) groups generate candidates — at 100 TB
+    the candidate set is ~linear in true duplicates, not O(n^2).
+
+    ``shingle_strategy`` trades compute shape for shuffle volume:
+    - 'window' (default): posexplode tokens -> lead() n-grams.  Fully
+      whole-stage-codegen'd (4x faster locally: 0.8s vs 3.1s at sf0.1),
+      but the window shuffles the tokenized corpus by doc id.  Right when
+      compute-bound (local, fat executors).
+    - 'array': map-side interpreted array-lambda shingling + exploded
+      hash with map-side partial min-aggregation, so the exchange carries
+      only ~num_perm longs per doc per partition.  Right when the cluster
+      is shuffle-bound (the usual 100 TB regime).
+
+    ``max_bucket_size``: hot buckets (m near-identical docs — exactly
+    where dedup matters) would otherwise expand to O(m^2) pairs inside
+    one row; buckets over the cap fall back to a star pairing against the
+    bucket's minimum id, keeping the duplicate CLUSTER connected with
+    O(m) pairs.  Run exact_dedup first to strip true duplicates.
     """
     rows = num_perm // bands
-
-    # Signature hot path, fully codegen'd: posexplode tokens -> window
-    # lead() shingles -> 64 min-aggregates.  Two facts make this the fast
-    # shape (A/B at sf0.1: 0.8s vs 3.1s for the interpreted array-lambda
-    # form): higher-order array functions are interpreted row-at-a-time,
-    # and min-hash is duplicate-insensitive so shingles need no distinct.
-    w = Window.partitionBy("_id").orderBy("pos")
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_t"),
-    )
-    lead_tail = F.lead("_t", shingle_n - 1).over(w)
-    grams = toks.select(
-        "_id",
-        "pos",
-        F.concat_ws(
-            " ", *[F.lead("_t", j).over(w) if j else F.col("_t") for j in range(shingle_n)]
-        ).alias("_s"),
-        lead_tail.alias("_tail"),
-    )
-    # full n-grams only, except the pos-0 partial gram for docs shorter
-    # than n — matching word_shingles' greatest(k, 1) behavior
-    grams = grams.filter(F.col("_tail").isNotNull() | (F.col("pos") == 0))
     seed_ = 1  # matches minhash_signature's derivation
-    hashed = grams.select("_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h"))
+
+    if shingle_strategy == "window":
+        w = Window.partitionBy("_id").orderBy("pos")
+        toks = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_t"),
+        )
+        lead_tail = F.lead("_t", shingle_n - 1).over(w)
+        grams = toks.select(
+            "_id",
+            "pos",
+            F.concat_ws(
+                " ", *[F.lead("_t", j).over(w) if j else F.col("_t") for j in range(shingle_n)]
+            ).alias("_s"),
+            lead_tail.alias("_tail"),
+        )
+        # full n-grams only, except the pos-0 partial gram for docs
+        # shorter than n — matching word_shingles' greatest(k, 1) behavior
+        grams = grams.filter(F.col("_tail").isNotNull() | (F.col("pos") == 0))
+        hashed = grams.select("_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h"))
+    elif shingle_strategy == "array":
+        base = df.select(
+            F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
+        )
+        hashed = base.select("_id", F.explode("_sh").alias("_s")).select(
+            "_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h")
+        )
+    else:
+        raise ValueError(f"unknown shingle_strategy: {shingle_strategy}")
     perms = []
     for i in range(num_perm):
         a_i = (i * 40503 + seed_ * 7919 + 1) % MERSENNE_P + 1
@@ -127,10 +149,9 @@ def minhash_lsh_pairs(
     # Candidate generation by GROUPING buckets, not a self-join: a
     # self-join would evaluate the whole signature pipeline twice (one
     # lineage per side), and caching per invocation leaks block-manager
-    # state across calls.  grouping keeps ONE lineage: band rows carry
+    # state across calls.  Grouping keeps ONE lineage: band rows carry
     # only (band, bucket, id) longs; colliding buckets expand to sorted
-    # in-bucket pairs (bucket lists are tiny — a pathological hot bucket
-    # means near-identical docs, which ARE all pairs-of-interest).
+    # in-bucket pairs, star-capped by max_bucket_size (see docstring).
     band_structs = F.array(
         *[
             F.struct(
@@ -148,7 +169,7 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
-    pair_structs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             F.col("_ids"),
             lambda x, i: F.transform(
@@ -157,13 +178,21 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    star_pairs = F.transform(
+        F.slice(F.col("_ids"), 2, F.size(F.col("_ids"))),
+        lambda y: F.struct(F.element_at(F.col("_ids"), 1).alias("id_a"), y.alias("id_b")),
+    )
+    pair_structs = F.when(F.size("_ids") > max_bucket_size, star_pairs).otherwise(all_pairs)
     cand = (
         buckets.select(F.explode(pair_structs).alias("_p"))
         .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
     # exact-Jaccard verification: shingle ARRAYS are built only for docs
-    # that appear in a candidate pair (a tiny broadcast-joined subset)
+    # that appear in a candidate pair.  Plain join (no broadcast hint):
+    # the candidate-id set is usually small enough that AQE broadcasts it
+    # on its own, but on duplicate-heavy corpora it is unbounded and a
+    # forced broadcast would hit the 8 GB limit / driver OOM.
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))
         .unionByName(cand.select(F.col("id_b").alias("_id")))
@@ -171,7 +200,7 @@ def minhash_lsh_pairs(
     )
     sh = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-        .join(broadcast(cand_ids), "_id")
+        .join(cand_ids, "_id")
         .select("_id", word_shingles("_txt", shingle_n).alias("_sh"))
     )
     pairs = (
