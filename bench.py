@@ -27,6 +27,7 @@ HEADLINE = [
     "f4_positional_trim",
     "j1_join_enrich",
     "dd_minhash_lsh",
+    "dd_simhash",
     "dd_exact_dedup",
     "sim_topk_bruteforce",
     "u6_mapinpandas_inference",

@@ -242,15 +242,53 @@ def simhash64(text: Column | str, bits: int = 64) -> Column:
     return _reduce(lambda x, y: x.bitwiseOR(y), [bit_expr(b) for b in range(bits)])
 
 
+def simhash64_agg(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash signatures via explode + codegen'd bit-vote aggregates —
+    the scale path (same rationale as the MinHash hot path: higher-order
+    array lambdas are interpreted; exploded columnar aggregates are not).
+    Returns (_id, _sh)."""
+    from functools import reduce as _reduce
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    sig_bits = [
+        F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(bits)
+    ]
+    return toks.groupBy("_id").agg(*votes).select(
+        "_id", _reduce(lambda x, y: x.bitwiseOR(y), sig_bits).alias("_sh")
+    )
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, chunks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via the chunk
     pigeonhole: candidates must share one of ``chunks`` 16-bit chunks.
     (Guaranteed complete when max_hamming < chunks; here it is a recall
-    heuristic matching common practice.)"""
+    heuristic matching common practice.)
+
+    Same plan shape as minhash_lsh_pairs: bucket GROUPING (one lineage, no
+    self-join) with the signature carried inside the bucket list, so the
+    hamming verify needs no join at all; hot buckets star-cap at
+    ``max_bucket_size``.
+    """
     bits_per = 64 // chunks
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sh"))
+    sh = simhash64_agg(df, id_col, text_col)
     chunk_structs = F.array(
         *[
             F.struct(
@@ -265,20 +303,39 @@ def simhash_near_pairs(
     chunked = sh.select("_id", "_sh", F.explode(chunk_structs).alias("_c")).select(
         "_id", "_sh", F.col("_c.chunk").alias("chunk"), F.col("_c.ckey").alias("ckey")
     )
-    l, r = chunked.alias("l"), chunked.alias("r")
+    buckets = (
+        chunked.groupBy("chunk", "ckey")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_sh"))).alias("_m"))
+        .filter(F.size("_m") > 1)
+    )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    x["_sh"].alias("sh_a"),
+                    y["_sh"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    rep = F.element_at(F.col("_m"), 1)
+    star_pairs = F.transform(
+        F.slice(F.col("_m"), 2, F.size(F.col("_m"))),
+        lambda y: F.struct(
+            rep["_id"].alias("id_a"),
+            y["_id"].alias("id_b"),
+            rep["_sh"].alias("sh_a"),
+            y["_sh"].alias("sh_b"),
+        ),
+    )
+    pair_structs = F.when(F.size("_m") > max_bucket_size, star_pairs).otherwise(all_pairs)
     cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.ckey") == F.col("r.ckey"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.sh_a", "_p.sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
