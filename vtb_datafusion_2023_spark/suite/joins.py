@@ -7,6 +7,7 @@ from pyspark.sql.functions import broadcast
 
 from .. import sqlgen
 from ..operators.joins import anti_join_missing, assemble_features, union_fill_max
+from ..operators.temporal_joins import asof_join, range_join
 from . import register
 from ._util import T
 
@@ -80,6 +81,67 @@ def j4_union_fill_max(spark, sf_dir):
     )
     dropped = anti_join_missing(cu, preds, "c_custkey")
     return union_fill_max(preds, dropped, key="c_custkey", score_col="target")
+
+
+@register(
+    "tj_asof_join",
+    oracle="""
+select c.event_id,
+       p.event_id as asof_event_id,
+       p.value as asof_value
+from (select * from events where event_type = 'click') c
+asof left join (select * from events where event_type = 'purchase') p
+  on c.user_id = p.user_id and p.ts <= c.ts
+""",
+    survey_ref="temporal-asof-join",
+    doc="backward as-of join (latest prior purchase per click) via the "
+    "union+window trick — one shuffle, no non-equi scan.",
+)
+def tj_asof_join(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["event_id", "value"],
+        tie_break="event_id",
+    )
+    return out.select(
+        "event_id",
+        F.col("asof_event_id").cast("bigint").alias("asof_event_id"),
+        F.col("asof_value").cast("double").alias("asof_value"),
+    )
+
+
+@register(
+    "tj_range_join",
+    oracle="""
+select s.event_id, count(*) as n_next_hour
+from (select user_id, event_id, ts from events where event_type = 'signup') s
+join events e on s.user_id = e.user_id
+where e.ts > s.ts and e.ts <= s.ts + interval 1 hour
+group by s.event_id
+""",
+    survey_ref="temporal-range-join",
+    doc="equi-key + time-range join (events within 1h after each signup); "
+    "hash join with range post-filter, no cartesian.",
+)
+def tj_range_join(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("s_event_id"), F.col("ts").alias("s_ts")
+    )
+    cond = (F.col("ts") > F.col("s_ts")) & (
+        F.col("ts") <= F.expr("s_ts + interval 1 hour")
+    )
+    joined = range_join(signups, ev.select("user_id", "event_id", "ts"), ["user_id"], cond)
+    return joined.groupBy(F.col("s_event_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_next_hour")
+    )
 
 
 @register(
