@@ -5,9 +5,12 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from vtb_datafusion_2023_spark import sqlgen
 from vtb_datafusion_2023_spark.sources.readers import load_table
 from vtb_datafusion_2023_spark.streaming import (
     read_events_stream,
+    replay_to_table,
+    session_window_agg,
     windowed_event_counts,
     windowed_user_spend,
 )
@@ -47,10 +50,24 @@ def test_windowed_user_spend_matches_batch(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     want = (
         ev.groupBy(F.window("ts", "6 hours").alias("win"), "user_id")
-        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("spend"))
+        .agg(F.expr(sqlgen.dsum("value")).alias("spend"))
         .select(F.col("win.start").alias("win_start"), "user_id", "spend")
         .collect()
     )
     assert {(r.win_start, r.user_id, r.spend) for r in got} == {
         (r.win_start, r.user_id, r.spend) for r in want
     }
+
+
+def test_session_window_stream_emits_subset_of_batch(spark, sf_small):
+    """Streaming session_window (append mode, watermarked): every emitted
+    session must equal its batch counterpart; sessions still open at the
+    final watermark are legitimately withheld."""
+    stream = read_events_stream(spark, sf_small).withWatermark("ts", "1 hour")
+    got = replay_to_table(spark, session_window_agg(stream), mode="append").collect()
+    want = {
+        tuple(r) for r in session_window_agg(load_table(spark, sf_small, "events")).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        assert tuple(r) in want

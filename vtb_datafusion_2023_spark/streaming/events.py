@@ -13,9 +13,13 @@ the batch groupBy; state-store size is O(open windows x keys).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .. import sqlgen
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -38,6 +42,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
         .format("parquet")
         .load()
     )
@@ -70,9 +75,59 @@ def windowed_user_spend(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "user_id")
-        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("spend"))
+        .agg(F.expr(sqlgen.dsum("value")).alias("spend"))
         .select(F.col("win.start").alias("win_start"), "user_id", "spend")
     )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Declarative sessionization via Spark's built-in ``session_window``:
+    events within ``gap`` of the previous event merge; the window closes at
+    last-event + gap.  Works identically over a batch DataFrame and a
+    watermarked stream (append mode) — the batch form is the DuckDB-oracle
+    contract (gaps-and-islands SQL), the stream form reuses the same plan.
+
+    Scale: shuffles once on the grouping key, then performs a sort-based
+    session merge per key — state is O(open sessions), not O(events).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(sqlgen.dsum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def replay_to_table(
+    spark: SparkSession, sdf: DataFrame, mode: str = "complete", timeout_sec: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over its (finite) file
+    source — ``availableNow`` trigger into a memory sink — and return the
+    final result table.  This is the batch-replay harness that lets
+    streaming queries participate in the DuckDB oracle gate: final state
+    of the replay must equal the batch aggregation over the same files.
+    """
+    name = "replay_" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 def sessionize(events: DataFrame, gap_minutes: float = 30):
