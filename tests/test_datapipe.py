@@ -108,7 +108,7 @@ def test_ivf_with_kmeans_centroids(spark, sf_small):
     )
 
     emb = load_table(spark, sf_small, "embeddings")
-    cents = ivf_train_centroids(emb, k=4, seed=42)
+    cents = ivf_train_centroids(emb, k=4, seed=42, sample_fraction=0.5)
     assert cents.count() == 4
     q = emb.filter(F.col("vec_id") < 8)
     ann = ivf_topk(emb, q, k=3, n_cells=4, n_probe=2, centroids=cents).collect()

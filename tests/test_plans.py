@@ -84,3 +84,19 @@ def test_run_submission_deterministic(spark, tx):
     a = run_submission(spark, tx, cat_vocab=CAT_VOCAB, n_reps=2).toPandas()
     b = run_submission(spark, tx, cat_vocab=CAT_VOCAB, n_reps=2).toPandas()
     assert (a["target"].to_numpy() == b["target"].to_numpy()).all()
+
+
+def test_run_submission_bucketed_matches_and_skips_exchange(spark, tx, tmp_path):
+    """ROADMAP #7: bucketing the cleaned intermediate must not change the
+    submission, and per-user groupBys over the bucketed table must plan
+    without a user_id exchange."""
+    plain = run_submission(spark, tx, cat_vocab=CAT_VOCAB, n_reps=2).toPandas()
+    bucketed = run_submission(
+        spark, tx, cat_vocab=CAT_VOCAB, n_reps=2, bucket_dir=str(tmp_path)
+    ).toPandas()
+    assert (plain["user_id"].to_numpy() == bucketed["user_id"].to_numpy()).all()
+    assert (plain["target"].to_numpy() == bucketed["target"].to_numpy()).all()
+
+    cleaned = spark.table("cleaned_tx_bucketed")
+    plan = cleaned.groupBy("user_id").count()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(user_id" not in plan, plan

@@ -160,3 +160,27 @@ def test_csv_roundtrip_s1_s3(spark, tmp_path):
     write_csv(df.select("user_id", "transaction_amt"), str(out))
     back = spark.read.option("header", True).csv(str(out))
     assert back.count() == 3
+
+
+def test_jsonl_roundtrip(spark, sf_small, tmp_path):
+    from vtb_datafusion_2023_spark.sources.readers import read_jsonl
+    from vtb_datafusion_2023_spark.sources.writers import write_jsonl
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang", "text")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, "doc_id long, lang string, text string")
+    a = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.toPandas().sort_values("doc_id").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_jsonl_drops_corrupt_lines(spark, tmp_path):
+    from vtb_datafusion_2023_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2, "text": "ok2"}\n')
+    df = read_jsonl(spark, str(p), "doc_id long, text string")
+    got = sorted(r.doc_id for r in df.collect())
+    assert got == [1, 2]

@@ -89,10 +89,16 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     k: int = 8,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Train IVF centroids with spark.ml KMeans (the production path; the
     suite's oracle variant uses deterministic id-based centroids instead
     because k-means init is not cross-engine reproducible).
+
+    ``sample_fraction``: train on a seeded sample of the corpus — at 100 TB
+    k-means over every vector is wasted work (centroid quality is
+    insensitive to sampling); ~1M vectors (fraction ≈ 1e-4..1e-3) is ample
+    for any practical k.
 
     Returns a tiny (cid, centroid: array<double>) frame to pass to
     ``ivf_topk(centroids=...)``.
@@ -100,6 +106,8 @@ def ivf_train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_fraction is not None:
+        corpus = corpus.sample(fraction=sample_fraction, seed=seed)
     train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

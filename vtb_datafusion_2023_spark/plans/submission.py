@@ -79,11 +79,19 @@ def run_submission(
     n_reps: int = 5,
     seed: int = 42,
     output_path: str | None = None,
+    bucket_dir: str | None = None,
 ) -> DataFrame:
     """Full pipeline: (user_id, cat, amt, ts, ord) -> (user_id, target).
 
     Returns the submission DataFrame sorted by user_id; optionally writes
     the CSV (S3).
+
+    ``bucket_dir``: materialize the cleaned transactions bucketed by
+    ``user_id`` before branch C (ROADMAP #7).  The cleaned table is the
+    reference's only named intermediate (run.py:84-90, re-read by two
+    branches); bucketing it means every downstream per-user groupBy /
+    window in branch C — and any later pipeline over the same artifact —
+    reads pre-partitioned data with no user_id exchange.
     """
     # Branch A on the raw log (the reference scores the RNN before cleaning)
     nn = _rnn_branch(tx, n_reps=n_reps, seed=seed, weights=[0.01, 0.002, 0.001])
@@ -92,6 +100,15 @@ def run_submission(
     cleaned = clean_transactions(
         tx, user_col="user_id", cat_col="cat", value_col="amt", n_amt=10, n_mcc=10
     )
+    if bucket_dir is not None:
+        from ..sources.bucketed import bucketed_checkpoint
+
+        cleaned = bucketed_checkpoint(
+            cleaned,
+            table="cleaned_tx_bucketed",
+            path=f"{bucket_dir}/cleaned_tx",
+            bucket_cols=["user_id"],
+        )
     feats, dropped = branch_c_features(cleaned, cat_vocab=cat_vocab)
 
     # Assembly J2 + strict dropna M1 (run.py:435-465)

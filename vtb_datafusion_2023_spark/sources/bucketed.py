@@ -39,3 +39,22 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def bucketed_checkpoint(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """S4 checkpoint with a bucketed layout: materialize an intermediate
+    bucketed (and sorted) by its downstream grouping/join key, then read
+    it back.  Every subsequent per-key groupBy / window / join over the
+    returned frame plans WITHOUT an exchange on that key — the payoff when
+    one expensive intermediate (e.g. cleaned transactions) feeds many
+    per-user aggregations across a pipeline or repeated runs.
+    """
+    write_bucketed(df, table, path, bucket_cols, n_buckets, sort_cols)
+    return read_bucketed(df.sparkSession, table)

@@ -75,3 +75,24 @@ def read_transactions_csv(
     if drop_null:
         df = df.na.drop()
     return df
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str, drop_corrupt: bool = True
+) -> DataFrame:
+    """Schema-pinned newline-delimited JSON scan — the common wire format
+    for document/training-data corpora.
+
+    The explicit schema (DDL string) skips Spark's inference pass (a full
+    extra read at 100 TB) and pins types against drifting producers.
+    ``drop_corrupt`` routes unparseable lines to a ``_corrupt_record``
+    column and filters them instead of failing the scan (PERMISSIVE mode).
+    """
+    from ..session import tune_session
+
+    tune_session(spark)
+    full = schema + (", _corrupt_record string" if drop_corrupt else "")
+    df = spark.read.schema(full).option("mode", "PERMISSIVE").json(path)
+    if drop_corrupt:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df

@@ -23,6 +23,13 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Newline-delimited JSON sink (document-corpus interchange).  One
+    file only for small exports; at scale keep one file per task."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
 def checkpoint_parquet(df: DataFrame, path: str) -> DataFrame:
     """Materialize-and-reread (S4): the Spark version of the reference's
     write-then-re-read of its cleaned intermediate (run.py:84-90).
