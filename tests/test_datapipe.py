@@ -119,3 +119,29 @@ def test_ivf_with_kmeans_centroids(spark, sf_small):
     top1 = {r.query_id: r.neighbor_id for r in cosine_topk(emb, q, k=1).collect()}
     hits = sum(1 for r in ann if r.rank == 1 and top1.get(r.query_id) == r.neighbor_id)
     assert hits >= len(top1) * 0.5
+
+
+def test_chunking_reassembles_to_original(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_small, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=16)
+    back = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("rebuilt")
+    )
+    joined = docs.join(back, "doc_id")
+    assert joined.filter(F.col("text") != F.col("rebuilt")).count() == 0
+    # every chunk except a doc's last is exactly full-size
+    from pyspark.sql import Window as W
+
+    last = F.max("chunk_id").over(W.partitionBy("doc_id"))
+    short_nonfinal = chunks.withColumn("_last", last).filter(
+        (F.col("chunk_id") != F.col("_last")) & (F.col("n_chunk_tokens") != 16)
+    )
+    assert short_nonfinal.count() == 0

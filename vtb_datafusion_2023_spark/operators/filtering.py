@@ -68,3 +68,26 @@ def mask_positive(col: str):
     them (/root/reference/run.py:209-218)."""
     c = F.col(col)
     return F.when(c > 0, c)
+
+
+def deterministic_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    denom: int = 100,
+) -> DataFrame:
+    """Weighted corpus mixing with reproducible, engine-portable sampling:
+    keep a row iff ``id % denom < rate*denom`` for its source's rate;
+    sources absent from ``rates`` are dropped.
+
+    The id-modulo selector makes the sample a pure deterministic predicate
+    — re-runnable, pushdown-friendly, identical on any engine or cluster
+    layout (unlike ``sample()``/``sampleBy()``, whose draws depend on
+    partitioning).  Use a hash of a stable key as ``id_col`` when raw ids
+    correlate with content.
+    """
+    thr = F.lit(0)
+    for src, rate in rates.items():
+        thr = F.when(F.col(source_col) == src, int(round(rate * denom))).otherwise(thr)
+    return df.filter(F.pmod(F.col(id_col), F.lit(denom)) < thr)

@@ -1,0 +1,41 @@
+"""Hypertable-style time rollups: one pass, every granularity.
+
+The reference buckets event time at a single granularity per pivot
+(hour/dow/dom — /root/reference/run.py:335-424).  At 100 TB a dashboard
+pipeline wants day totals AND hour detail AND the grand total without
+three scans: ``ROLLUP`` grouping sets compute all levels in ONE shuffle
+(Spark plans a single hash aggregate over the expanded grouping-set keys),
+and ``grouping_id`` labels each output row's level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+
+
+def time_rollup(
+    events: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Multi-granularity event rollup: (day, hour) detail, per-day
+    subtotals, and the grand total, labeled by ``lvl`` (grouping_id:
+    0 = day+hour, 1 = day subtotal, 3 = grand total).
+
+    The value total uses the decimal-exact sum (``sqlgen.dsum``) so every
+    level is bitwise reproducible regardless of partitioning.
+    """
+    return (
+        events.select(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.hour(F.col(ts_col)).alias("hour"),
+            F.col(value_col).alias("_v"),
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(sqlgen.dsum("_v")).alias("total"),
+            F.grouping_id().alias("lvl"),
+        )
+    )

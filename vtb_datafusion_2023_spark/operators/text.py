@@ -75,6 +75,52 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality metric: fraction of whitespace tokens that are
+    duplicates of an earlier token (0 = all distinct, ->1 = degenerate
+    repetition).  The standard pretraining filter for boilerplate/spam;
+    pure codegen expressions, no shuffle."""
+    toks = tokens(text_col)
+    return df.withColumn(
+        "dup_token_ratio",
+        (F.size(toks) - F.size(F.array_distinct(toks))).cast("double") / F.size(toks),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """Split each document into consecutive ``chunk_tokens``-token windows
+    (context-window chunking for training-data prep): one output row per
+    chunk, ``(doc_col, chunk_id, chunk, n_chunk_tokens)``.
+
+    Explode of a computed index range — a narrow per-row fan-out that
+    needs no shuffle and streams at scan speed; the final (ragged) chunk
+    keeps its natural length.
+    """
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("bigint")
+    ex = df.select(
+        doc_col,
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("_toks"),
+        (F.col("chunk_id") * chunk_tokens + 1).cast("int"),
+        chunk_tokens,
+    )
+    return ex.select(
+        doc_col,
+        "chunk_id",
+        F.array_join(sliced, " ").alias("chunk"),
+        F.size(sliced).alias("n_chunk_tokens"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token multiset (classic near-dup canonicalization — word-order

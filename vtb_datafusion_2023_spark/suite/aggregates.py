@@ -279,3 +279,23 @@ select npos, cast(n - npos as bigint) as nneg,
 from a
 """
     )
+
+
+@register(
+    "agg_time_rollup",
+    oracle=f"""
+select date_trunc('day', ts) as day, hour(ts) as hour,
+       count(*) as n,
+       {sqlgen.dsum('value', 'total')},
+       grouping(date_trunc('day', ts), hour(ts)) as lvl
+from events
+group by rollup(date_trunc('day', ts), hour(ts))
+""",
+    survey_ref="time-rollup",
+    doc="hypertable-style multi-granularity rollup: (day,hour) detail + "
+    "day subtotals + grand total in ONE shuffle via ROLLUP grouping sets.",
+)
+def agg_time_rollup(spark, sf_dir):
+    from ..operators.rollup import time_rollup
+
+    return time_rollup(T(spark, sf_dir, "events"))

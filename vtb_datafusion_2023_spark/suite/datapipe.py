@@ -380,3 +380,67 @@ def u6_mapinpandas_inference(spark, sf_dir):
     return score_with_model(
         emb, linear_scorer(weights), id_col="vec_id", vec_col="embedding", round_digits=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: chunking, repetition scoring, deterministic mixing.
+
+
+@register(
+    "text_chunking",
+    oracle="""
+with t as (select doc_id, string_split(text, ' ') as toks from documents),
+c as (select doc_id, toks,
+             unnest(range(cast(ceil(len(toks)/16.0) as bigint))) as chunk_id
+      from t)
+select doc_id, chunk_id,
+       array_to_string(toks[chunk_id*16+1 : (chunk_id+1)*16], ' ') as chunk,
+       len(toks[chunk_id*16+1 : (chunk_id+1)*16]) as n_chunk_tokens
+from c
+""",
+    survey_ref="text-chunking",
+    doc="context-window chunking: 16-token windows per document, ragged "
+    "tail kept; shuffle-free explode.",
+)
+def text_chunking(spark, sf_dir):
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(T(spark, sf_dir, "documents"), chunk_tokens=16)
+
+
+@register(
+    "text_repetition",
+    oracle="""
+select doc_id,
+       cast(len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))
+            as double) / len(string_split(text, ' ')) as dup_token_ratio
+from documents
+""",
+    survey_ref="text-repetition",
+    doc="repetition quality metric: duplicated-token fraction per doc.",
+)
+def text_repetition(spark, sf_dir):
+    from ..operators.text import with_repetition
+
+    docs = T(spark, sf_dir, "documents")
+    return with_repetition(docs).select("doc_id", "dup_token_ratio")
+
+
+@register(
+    "dp_corpus_mix",
+    oracle="""
+select doc_id, source from documents
+where doc_id % 100 < case when source in ('src0', 'src1') then 100
+                          when source in ('src2', 'src3') then 37
+                          else 0 end
+""",
+    survey_ref="corpus-mixing",
+    doc="deterministic weighted corpus mixing: id-modulo predicate "
+    "(engine- and partitioning-independent, unlike sample()).",
+)
+def dp_corpus_mix(spark, sf_dir):
+    from ..operators.filtering import deterministic_mix
+
+    docs = T(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 1.0, "src2": 0.37, "src3": 0.37}
+    return deterministic_mix(docs, rates).select("doc_id", "source")
