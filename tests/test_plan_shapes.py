@@ -93,3 +93,30 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_small, tmp_path):
     assert "day" in pf and "= 3" in pf.replace("=3", "= 3")
     # pruned scan reads only the matching partition directory
     assert back.count() == ev.filter(F.dayofmonth("ts") == 3).count()
+
+
+def test_time_rollup_single_exchange(spark, sf_small):
+    """ROLLUP grouping sets: every granularity from ONE shuffle — the plan
+    must contain a single exchange (over the expanded grouping keys), not
+    one aggregate per level."""
+    from vtb_datafusion_2023_spark.operators.rollup import time_rollup
+
+    p = plan_of(time_rollup(load_table(spark, sf_small, "events")))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Expand" in p  # grouping-set expansion feeding the single agg
+
+
+def test_chunking_is_shuffle_free(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.text import chunk_documents
+
+    p = plan_of(chunk_documents(load_table(spark, sf_small, "documents"), chunk_tokens=16))
+    assert "Exchange" not in p, p
+    assert "Generate explode" in p
+
+
+def test_deterministic_mix_is_narrow(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.filtering import deterministic_mix
+
+    docs = load_table(spark, sf_small, "documents")
+    p = plan_of(deterministic_mix(docs, {"src0": 1.0, "src1": 0.4}))
+    assert "Exchange" not in p, p
