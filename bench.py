@@ -31,6 +31,8 @@ HEADLINE = [
     "dd_exact_dedup",
     "sim_topk_bruteforce",
     "u6_mapinpandas_inference",
+    "agg_time_rollup",
+    "sw_session_window",
 ]
 
 
