@@ -34,6 +34,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small-file split floor: default 4 MB leaves a 10 MB local parquet at
+    # ~3 scan tasks, starving 32 cores (measured: minhash 2.9->2.3s,
+    # simhash 2.6->2.1s at 512 KB).  At cluster scale maxPartitionBytes
+    # caps split size and a lower open-cost only packs many small files
+    # more densely per task — safe in both regimes.
+    "spark.sql.files.openCostInBytes": "524288",
     # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
     # vectorized reader rejects; read the raw int64 nanos and convert in
     # sources.readers (truncating to µs — DuckDB does the same on read).
