@@ -112,3 +112,77 @@ def assemble_sequences(
             F.array_repeat(pad_row, F.greatest(F.lit(0), F.lit(seq_len) - F.size(seq))),
         )
     return grouped.select(F.col(user_col), seq.alias("seq"))
+
+
+def with_rolling(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n: int,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Trailing-window stats: sum and mean of ``value_col`` over the last
+    ``n`` rows per user in row order (current row inclusive) — the
+    sliding-window companion to W1's cumulative sum.
+
+    Decimal-exact sum; the mean derives from the same exact sum and the
+    window count with SQL-text-identical arithmetic (bitwise equal to the
+    oracle).  Shares the single (partition, order) shuffle+sort with every
+    other window over the same key.
+    """
+    order = ", ".join(order_cols)
+    p = prefix or f"{value_col}_roll{n}"
+    rsum = sqlgen.wrollsum(value_col, user_col, order, n)
+    rcnt = sqlgen.wrollcount(value_col, user_col, order, n)
+    return df.withColumn(f"{p}_sum", F.expr(rsum)).withColumn(
+        f"{p}_mean", F.expr(f"({rsum} / {rcnt})")
+    )
+
+
+def with_event_deltas(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    ts_col: str,
+    out_col: str = "delta_us",
+) -> DataFrame:
+    """Inter-event time per user: microseconds since the previous event in
+    row order (NULL for each user's first event).  Integer µs on both
+    engines (``unix_micros`` / ``epoch_us``) — no float rounding."""
+    w = _w(user_col, order_cols)
+    return df.withColumn(
+        out_col,
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)),
+    )
+
+
+def quantile_bin(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    n: int,
+    out_col: str = "qbin",
+) -> DataFrame:
+    """Equi-depth binning: ``ntile(n)`` per partition in (order_cols)
+    order — the data-driven complement to P7's fixed-edge binning.
+    ``order_cols`` must end with a unique tie-break for determinism.
+
+    Scale: per-group ntile shuffles once on the partition key.  For a
+    GLOBAL equi-depth bin at 100 TB, don't window over one partition —
+    compute approx percentile edges on a sample and use P7
+    (``bin_by_edges``) instead.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(out_col, F.ntile(n).over(w))
+
+
+def minmax_scale(
+    df: DataFrame, user_col: str, cols: list[str], suffix: str = "_mm"
+) -> DataFrame:
+    """Per-user min-max scaling to [0, 1] (constant groups -> NULL) — the
+    bounded-range companion to W3's z-score, same single-window shape."""
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.expr(sqlgen.minmax_window(c, user_col)))
+    return out

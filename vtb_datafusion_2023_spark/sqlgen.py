@@ -136,6 +136,31 @@ def wdsum(x: str, partition: str) -> str:
     return dec_to_double(f"sum(cast(({x}) as {DEC})) over (partition by {partition})")
 
 
+def wrollsum(x: str, partition: str, order: str, n: int) -> str:
+    """Rolling decimal-exact sum over the trailing ``n`` rows (current
+    row inclusive) — deterministic sliding-window aggregation."""
+    return dec_to_double(
+        f"sum(cast(({x}) as {DEC})) over "
+        f"(partition by {partition} order by {order} "
+        f"rows between {n - 1} preceding and current row)"
+    )
+
+
+def wrollcount(x: str, partition: str, order: str, n: int) -> str:
+    return (
+        f"count({x}) over (partition by {partition} order by {order} "
+        f"rows between {n - 1} preceding and current row)"
+    )
+
+
+def minmax_window(x: str, partition: str) -> str:
+    """Per-group min-max scaling to [0, 1]; constant groups -> NULL
+    (nullif guards 0/0, where engines disagree on NaN vs error)."""
+    mn = f"min({x}) over (partition by {partition})"
+    mx = f"max({x}) over (partition by {partition})"
+    return f"((({x}) - {mn}) / nullif({mx} - {mn}, 0))"
+
+
 HSTAT_COLS = [
     "mean", "median", "min", "max", "std", "sem", "skew", "var",
     "amplitude1", "amplitude2", "amplitude3", "amplitude4", "amplitude5",

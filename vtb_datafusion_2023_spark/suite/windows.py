@@ -102,3 +102,79 @@ def w6_w7_sequence_assembly(spark, sf_dir):
         F.expr("element_at(element_at(seq, 1), 1) as first_val"),
         F.expr("element_at(element_at(seq, size(seq)), 1) as last_val"),
     ).orderBy("user_id")
+
+
+@register(
+    "w8_rolling_stats",
+    oracle=f"""
+select event_id,
+       {sqlgen.wrollsum('value', 'user_id', _ORD, 5)} as value_roll5_sum,
+       ({sqlgen.wrollsum('value', 'user_id', _ORD, 5)}
+        / {sqlgen.wrollcount('value', 'user_id', _ORD, 5)}) as value_roll5_mean
+from events
+""",
+    survey_ref="rolling-window",
+    doc="trailing 5-row sum/mean per user (decimal-exact sliding window).",
+)
+def w8_rolling_stats(spark, sf_dir):
+    from ..operators.windows import with_rolling
+
+    ev = T(spark, sf_dir, "events")
+    return with_rolling(ev, "user_id", ["ts", "event_id"], "value", 5).select(
+        "event_id", "value_roll5_sum", "value_roll5_mean"
+    )
+
+
+@register(
+    "w9_event_deltas",
+    oracle=f"""
+select event_id,
+       epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by {_ORD}))
+         as delta_us
+from events
+""",
+    survey_ref="event-deltas",
+    doc="inter-event microseconds per user (integer on both engines).",
+)
+def w9_event_deltas(spark, sf_dir):
+    from ..operators.windows import with_event_deltas
+
+    ev = T(spark, sf_dir, "events")
+    return with_event_deltas(ev, "user_id", ["ts", "event_id"], "ts").select(
+        "event_id", "delta_us"
+    )
+
+
+@register(
+    "w10_quantile_bin",
+    oracle="""
+select event_id,
+       ntile(4) over (partition by user_id order by value, event_id) as qbin
+from events
+""",
+    survey_ref="quantile-bin",
+    doc="per-user equi-depth binning (ntile with unique tie-break).",
+)
+def w10_quantile_bin(spark, sf_dir):
+    from ..operators.windows import quantile_bin
+
+    ev = T(spark, sf_dir, "events")
+    return quantile_bin(ev, ["user_id"], ["value", "event_id"], 4).select(
+        "event_id", "qbin"
+    )
+
+
+@register(
+    "w11_minmax_scale",
+    oracle=f"""
+select event_id, {sqlgen.minmax_window('value', 'user_id')} as value_mm
+from events
+""",
+    survey_ref="minmax-scale",
+    doc="per-user min-max scaling to [0,1]; constant groups -> NULL.",
+)
+def w11_minmax_scale(spark, sf_dir):
+    from ..operators.windows import minmax_scale
+
+    ev = T(spark, sf_dir, "events")
+    return minmax_scale(ev, "user_id", ["value"]).select("event_id", "value_mm")
