@@ -145,3 +145,14 @@ def test_chunking_reassembles_to_original(spark, sf_small):
         (F.col("chunk_id") != F.col("_last")) & (F.col("n_chunk_tokens") != 16)
     )
     assert short_nonfinal.count() == 0
+
+
+def test_dedup_clusters_chain_propagates(spark):
+    from vtb_datafusion_2023_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}

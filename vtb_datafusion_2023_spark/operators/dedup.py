@@ -374,3 +374,60 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets
+    ``cluster_id`` = the smallest doc id reachable through the pair graph
+    (its own id for singletons) — the final "assemble duplicate groups"
+    step of a dedup pipeline (keep ``min(id)`` per cluster, drop the rest).
+
+    Iterative min-label propagation: each round, a vertex takes the min of
+    its label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are shallow star-like clusters,
+    so a handful).  Per round: one join + one groupBy = two shuffles over
+    the EDGE set only; ``localCheckpoint`` truncates the growing lineage
+    so round N doesn't replay rounds 1..N-1.  (For adversarial
+    long-chain graphs at extreme scale, swap in large-star/small-star —
+    same contract.)
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("_dl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_dl").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh.select(F.col("src").alias("id"), "nlabel"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new.select(F.col("id"), F.col("label").alias("_new"))
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

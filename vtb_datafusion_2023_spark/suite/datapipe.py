@@ -51,9 +51,9 @@ def dd_exact_dedup(spark, sf_dir):
     return exact_dedup(docs, "doc_id", ["text"])
 
 
-@register(
-    "dd_ngram_jaccard",
-    oracle="""
+# Shared oracle fragment: exact unigram-Jaccard near-dup pairs >= 0.8
+# (used by dd_ngram_jaccard and as the edge set of dd_dedup_clusters).
+_JACCARD_PAIRS_SQL = """
 with sh as (
   select doc_id as _id, unnest(list_distinct(string_split(text, ' '))) as _s
   from documents
@@ -70,13 +70,45 @@ from inter
 join sizes sa on inter.id_a = sa._id
 join sizes sb on inter.id_b = sb._id
 where (_inter / (sa._sz + sb._sz - _inter)) >= 0.8
-""",
+"""
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_SQL,
     survey_ref="dedup-jaccard",
     doc="exact unigram-Jaccard near-dup pairs (baseline path; LSH is the scale path).",
 )
 def dd_ngram_jaccard(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+
+
+@register(
+    "dd_dedup_clusters",
+    oracle=f"""
+with recursive jp as ({_JACCARD_PAIRS_SQL}),
+edges as (select id_a as src, id_b as dst from jp
+          union all
+          select id_b, id_a from jp),
+reach(id, label) as (
+  select doc_id, doc_id from documents
+  union
+  select e.src, r.label from edges e join reach r on e.dst = r.id
+)
+select id as doc_id, min(label) as cluster_id from reach group by id
+""",
+    survey_ref="dedup-clusters",
+    doc="duplicate-group assembly: connected components over near-dup "
+    "pairs via iterative min-label propagation (oracle: recursive CTE); "
+    "cluster_id = min reachable doc id, singletons keep their own id.",
+)
+def dd_dedup_clusters(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    return dedup_clusters(docs, pairs)
 
 
 @register(
