@@ -66,7 +66,8 @@ def test_dec_to_double_split_is_engine_stable(d):
     """The integral/fractional split conversion produces the same double
     in DuckDB as plain Python float-of-parts arithmetic — including past
     2^53 where naive decimal->double casts diverge.  Bit-exactness is
-    guaranteed below ~2^63 integral magnitude; above ~2^64 DuckDB's
+    guaranteed below 2^64 integral magnitude (via the abs/sign split that
+    dodges DuckDB's negative-hugeint double rounding); above that DuckDB's
     int128->double conversion is double-rounded and agreement is 1 ulp
     (documented in sqlgen.dec_to_double)."""
     con = duckdb.connect()

@@ -36,17 +36,29 @@ def dec_to_double(e: str) -> str:
     identical operands => identical IEEE sum.  ``%`` follows the dividend's
     sign in both engines, so negatives split consistently too.
 
-    Known domain bound (found by hypothesis): above ~2^64 the integral
-    part's int128->double conversion in DuckDB is itself double-rounded
-    (via 64-bit halves), so cross-engine agreement degrades to within
-    1 ulp for |value| >~ 1.8e19 — still deterministic per engine, and the
-    t2 gate compares on fixed sf0.01 data where all exposed sums agree;
-    for guaranteed bit-parity keep aggregate magnitudes below 2^63.
+    DuckDB's int128->double conversion goes through 64-bit halves
+    (upper*2^64 + lower), which double-rounds whenever that split is
+    inexact.  Found by hypothesis: for NEGATIVE integral parts past 2^53
+    the split is upper=-1 / lower=2^64-|v| — lower alone overflows the
+    53-bit mantissa, so even int64-range negatives came back 1 ulp off.
+    Converting ``abs(ipart)`` instead keeps upper=0 / lower=|v| — a single
+    correct uint64 rounding — and reapplying the sign by multiplying with
+    a double ±1 is exact; round-to-nearest is symmetric, so Spark's
+    direct single-rounding path produces the identical bits.  This makes
+    the conversion correctly rounded for |integral part| < 2^64.
+
+    Known domain bound: above 2^64 the abs value itself needs both
+    halves, DuckDB double-rounds, and cross-engine agreement degrades to
+    within 1 ulp for |value| >~ 1.8e19 — still deterministic per engine,
+    and the t2 gate compares on fixed sf0.01 data where all exposed sums
+    agree; for guaranteed bit-parity keep aggregate magnitudes below 2^64.
+
+    ``cast(-1 as double)`` not ``-1.0``: Spark parses a bare ``1.0``
+    literal as DECIMAL(2,1), which would re-widen the product to decimal.
     """
-    return (
-        f"(cast(cast(({e}) - (({e}) % 1) as decimal(38,0)) as double)"
-        f" + cast(({e}) % 1 as double))"
-    )
+    ip = f"abs(cast(({e}) - (({e}) % 1) as decimal(38,0)))"
+    sign = f"(case when ({e}) < 0 then cast(-1 as double) else cast(1 as double) end)"
+    return f"({sign} * cast({ip} as double) + cast(({e}) % 1 as double))"
 
 
 def dsum(x: str, alias: str | None = None) -> str:

@@ -476,3 +476,42 @@ def dp_corpus_mix(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     rates = {"src0": 1.0, "src1": 1.0, "src2": 0.37, "src3": 0.37}
     return deterministic_mix(docs, rates).select("doc_id", "source")
+
+
+@register(
+    "text_normalize",
+    oracle="""
+select doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) as text_norm
+from documents
+""",
+    survey_ref="text-normalize",
+    doc="canonical normalization (lower, strip punctuation, collapse "
+    "whitespace) feeding dedup/fingerprints; shuffle-free codegen.",
+)
+def text_normalize(spark, sf_dir):
+    from ..operators.text import normalize_text
+
+    docs = T(spark, sf_dir, "documents")
+    return normalize_text(docs).select("doc_id", "text_norm")
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+with t as (select doc_id, unnest(string_split(text, ' ')) as term from documents),
+tf as (select doc_id, term, count(*) as tf from t group by 1, 2),
+dft as (select term, count(*) as df from tf group by 1),
+n as (select cast(count(*) as double) as n_docs from documents)
+select doc_id, term, tf, df, (tf * ln(n.n_docs / df)) as tfidf
+from tf join dft using (term), n
+""",
+    survey_ref="text-tfidf",
+    doc="corpus TF-IDF: (doc,term) tf + term df + tf*ln(N/df); two hash "
+    "aggs and a term join, no driver-side vocabulary.",
+)
+def text_tfidf(spark, sf_dir):
+    from ..operators.text import tfidf
+
+    return tfidf(T(spark, sf_dir, "documents"))
