@@ -120,3 +120,23 @@ def test_deterministic_mix_is_narrow(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     p = plan_of(deterministic_mix(docs, {"src0": 1.0, "src1": 0.4}))
     assert "Exchange" not in p, p
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    """Storage partitioning (SCALE.md knobs): a filter on the partition
+    column must prune at planning time — scan only that directory."""
+    from vtb_datafusion_2023_spark.sources.writers import write_parquet
+
+    od = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(od, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path)
+    statuses = [r[0] for r in back.select("o_orderstatus").distinct().collect()]
+    assert len(statuses) > 1
+    one = back.filter(F.col("o_orderstatus") == statuses[0])
+    # the equality predicate reaches the scan as a PARTITION filter
+    # (directory-level pruning), not a data filter
+    pf = [ln for ln in formatted(one).splitlines() if "PartitionFilters" in ln][0]
+    assert "o_orderstatus" in pf and f"= {statuses[0]})" in pf, pf
+    # and the pruned read returns exactly the partition's rows
+    assert one.count() == od.filter(F.col("o_orderstatus") == statuses[0]).count()

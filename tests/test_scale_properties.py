@@ -96,3 +96,63 @@ def test_s5_reference_bin_edges_artifact(spark):
     got = binned["b"].to_numpy()
     for g, w in zip(got, want):
         assert (np.isnan(w) and pd.isna(g)) or g == int(w)
+
+
+def test_salted_join_matches_plain_and_spreads_hot_key(skewed, spark):
+    from vtb_datafusion_2023_spark.operators.joins import salted_join
+
+    dim = spark.range(600).select(
+        (F.col("id") + 1).alias("user_id"), (F.col("id") * 2).alias("rank")
+    )
+    plain = skewed.join(dim, "user_id").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rank").alias("s")
+    )
+    salted = salted_join(skewed, dim, on="user_id", salt=8).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rank").alias("s")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the join's shuffle key really is (user_id, _salt): the hot key's
+    # 80k rows land in up to 8 partitions instead of 1
+    p = salted_join(skewed, dim, on="user_id", salt=8)._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in p
+
+
+def test_salted_left_join_keeps_unmatched_left(spark):
+    from vtb_datafusion_2023_spark.operators.joins import salted_join
+
+    left = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    right = spark.range(50).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    out = salted_join(left, right, on="k", salt=4, how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("tag").isNull()).count() == 50
+
+
+def test_sketches_within_error_bounds(spark, sf_small):
+    from vtb_datafusion_2023_spark.functions.sketches import (
+        approx_distinct,
+        approx_quantiles,
+    )
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("nd")).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_nd"]
+        for r in approx_distinct(ev, ["event_type"], "user_id", rsd=0.05).collect()
+    }
+    for k, nd in exact.items():
+        assert abs(approx[k] - nd) <= max(4, 4 * 0.05 * nd), (k, approx[k], nd)
+
+    exact_p50 = {
+        r["event_type"]: r["p50"]
+        for r in ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5) as p50")).collect()
+    }
+    got = {
+        r["event_type"]: r["q_0_5"]
+        for r in approx_quantiles(ev, ["event_type"], "value", probs=[0.5]).collect()
+    }
+    for k, p in exact_p50.items():
+        assert abs(got[k] - p) <= 0.02 * max(1.0, abs(p)), (k, got[k], p)

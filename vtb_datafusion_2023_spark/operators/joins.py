@@ -88,3 +88,41 @@ def bootstrap_runs(
         df.sample(withReplacement=True, fraction=fraction, seed=seed + i)
         for i in range(n_reps)
     ]
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: spread each hot ``on``-key of the large
+    ``left`` side over ``salt`` shuffle partitions by joining on
+    ``(on, salt)``, with the small ``right`` side replicated across all
+    salt values.
+
+    AQE's skew-join split handles moderate skew on sort-merge joins; this
+    is for EXTREME single-key skew (one key larger than a partition) or
+    plans AQE can't split.  ``salt`` multiplies the right side's shuffle
+    volume — keep the right side small.
+
+    The salt is ``pmod(hash(row), salt)`` — deterministic, so speculative
+    re-execution and task retries at cluster scale reproduce identical
+    partition contents (``rand()`` would not).  ``salt_from`` defaults to
+    every non-map left column (maps aren't hashable in Spark).
+
+    Only inner/left joins: replicating the right side would duplicate its
+    unmatched rows under right/full semantics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt_from is None:
+        salt_from = [c for c, t in left.dtypes if not t.startswith("map<")]
+    sc = "_salt"
+    salted = left.withColumn(sc, F.pmod(F.hash(*[F.col(c) for c in salt_from]), F.lit(salt)))
+    replicated = right.withColumn(
+        sc, F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    return salted.join(replicated, on=[on, sc], how=how).drop(sc)

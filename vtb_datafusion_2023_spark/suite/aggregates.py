@@ -299,3 +299,39 @@ def agg_time_rollup(spark, sf_dir):
     from ..operators.rollup import time_rollup
 
     return time_rollup(T(spark, sf_dir, "events"))
+
+
+@register(
+    "sk_heavy_hitters",
+    oracle="""
+with counts as (
+  select user_id, event_type, count(*) as cnt
+  from events group by 1, 2
+)
+select user_id, event_type, cnt,
+       (cast(cnt as double) /
+        cast(sum(cnt) over (partition by user_id) as double)) as share
+from counts
+qualify share >= 0.25
+""",
+    survey_ref="sketch-heavy-hitters",
+    doc="exact per-user heavy hitters (frequency share >= 0.25); two "
+    "partial-aggregable passes sharing one shuffle layout.",
+)
+def sk_heavy_hitters(spark, sf_dir):
+    from ..functions.sketches import heavy_hitters
+
+    return heavy_hitters(T(spark, sf_dir, "events"), ["user_id"], "event_type", 0.25)
+
+
+@register(
+    "sk_approx_distinct",
+    oracle=None,  # HLL++ is engine-specific; pytest bounds it vs exact
+    survey_ref="sketch-approx-distinct",
+    doc="per-type HLL++ distinct users (rsd 5%): constant-memory, "
+    "partial-aggregable distinct at 100 TB; error-bound-tested vs exact.",
+)
+def sk_approx_distinct(spark, sf_dir):
+    from ..functions.sketches import approx_distinct
+
+    return approx_distinct(T(spark, sf_dir, "events"), ["event_type"], "user_id")

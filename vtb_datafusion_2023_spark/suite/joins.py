@@ -177,3 +177,29 @@ def j2_j5_feature_assembly(spark, sf_dir):
     )
     b4 = ev.groupBy("user_id").agg(F.countDistinct("event_type").alias("n_types"))
     return assemble_features([b1, b2, b3, b4], key="user_id", how="outer", fill=0)
+
+
+@register(
+    "sj_salted_join",
+    oracle="""
+select o.o_orderkey, o.o_custkey, c.c_name,
+       (o.o_totalprice * c.c_acctbal) as weighted
+from orders o join customer c on o.o_custkey = c.c_custkey
+""",
+    survey_ref="skew-salted-join",
+    doc="skew-mitigated inner join: deterministic row-hash salt on the "
+    "fact side, dimension replicated across salt values; identical "
+    "results to the plain join (the oracle) at any skew.",
+)
+def sj_salted_join(spark, sf_dir):
+    from ..operators.joins import salted_join
+
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    joined = salted_join(od, cu.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey", salt=8)
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        (F.col("o_totalprice") * F.col("c_acctbal")).alias("weighted"),
+    )
