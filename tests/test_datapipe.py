@@ -156,3 +156,42 @@ def test_dedup_clusters_chain_propagates(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import quantize_int8
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").limit(200)
+    q = quantize_int8(emb)
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                "q_vec",
+                lambda x, v: F.abs(x.cast("double") - v / F.col("q_scale")),
+            )
+        ).alias("max_err"),
+        (F.lit(0.5) / F.col("q_scale") + F.lit(1e-12)).alias("bound"),
+        F.array_max(F.transform("q_vec", F.abs)).alias("max_q"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+    # quantized components stay in int8 range (127/max|x| scaling)
+    assert err.filter(F.col("max_q") > 127).count() == 0
+
+
+def test_modulo_split_is_exhaustive_and_sized(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.filtering import modulo_split
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = modulo_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    sizes = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == n  # every row assigned
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        modulo_split(docs, {"train": 0.5})

@@ -91,3 +91,33 @@ def deterministic_mix(
     for src, rate in rates.items():
         thr = F.when(F.col(source_col) == src, int(round(rate * denom))).otherwise(thr)
     return df.filter(F.pmod(F.col(id_col), F.lit(denom)) < thr)
+
+
+def modulo_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    denom: int = 100,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket ``id % denom``
+    into contiguous ranges sized by ``weights`` (insertion order).
+
+    Same engine-portability rationale as ``deterministic_mix``: the split
+    is a pure predicate of the row's id — stable under re-runs, engine
+    changes, and any cluster layout, and Catalyst can push a single-split
+    selection down to the scan.  ``sum(weights)`` must be 1 (every row
+    gets a split).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = F.pmod(F.col(id_col), F.lit(denom))
+    expr = None
+    lo = 0
+    for name, wt in weights.items():
+        hi = lo + int(round(wt * denom))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(out_col, expr)

@@ -242,3 +242,39 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec"
+) -> DataFrame:
+    """Unit-normalize an embedding column (cosine becomes plain dot).
+
+    JVM-side array expressions (left-fold norm, elementwise divide) —
+    deterministic, shuffle-free, bitwise-reproducible.  Zero vectors
+    yield NaN components (documented; filter upstream if present).
+    """
+    n = norm(F.col(vec_col))
+    return df.withColumn(
+        out_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_vec"
+) -> DataFrame:
+    """Symmetric int8 vector quantization for embedding storage: per
+    vector, scale = 127 / max(|x|); q_i = floor(x_i * scale + 0.5).
+
+    4x storage reduction for ANN candidate stores; the scale factor is
+    emitted (``q_scale``) for dequantization.  Exact-rounded double ops
+    only (max, divide, floor) — bitwise identical across engines.
+    """
+    mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0).cast("double") / mx
+    return df.withColumn("q_scale", scale).withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.col("q_scale") + F.lit(0.5)).cast("int"),
+        ),
+    )

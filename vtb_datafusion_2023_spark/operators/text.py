@@ -182,3 +182,59 @@ def tfidf(
     else:
         joined = joined.withColumn("tfidf", F.col("tf") * F.log(F.lit(n_docs) / F.col("df")))
     return joined.select(id_col, "term", "tf", "df", "tfidf")
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\+?\d[\d -]{7,14}\d\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed") -> DataFrame:
+    """Training-data PII redaction: emails, IPv4 addresses, and phone-like
+    digit runs replaced with typed placeholder tokens.
+
+    Pure codegen ``regexp_replace`` chain — shuffle-free, scan-speed.
+    Patterns stay within the RE2-compatible subset (no lookarounds) so the
+    same text runs on Java regex (Spark) and RE2 (DuckDB oracle)
+    identically.  Order matters: emails first (their digit runs must not
+    be phone-masked), then IPs (dotted digits), then phones.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return df.withColumn(out_col, c)
+
+
+def pack_sequences(
+    df: DataFrame,
+    target_tokens: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-budget training packs: within each
+    ``group_col`` shard, documents in ``id_col`` order are packed into
+    bins of ~``target_tokens`` whitespace tokens — ``pack_id =
+    floor(exclusive_running_tokens / target)``, so a pack may overflow by
+    at most one document (the standard streaming-packing contract).
+
+    Scale: the running sum windows PER SHARD, not globally — a global
+    ordered cumsum is a single-task bottleneck at 100 TB, while shards
+    (sources, date buckets) pack independently and in parallel.
+    Deterministic: order is (id) within shard, no RNG.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("pack_id", F.floor(pre / F.lit(target_tokens)))
+        .select(id_col, group_col, "n_tokens", "pack_id")
+    )

@@ -515,3 +515,140 @@ def text_tfidf(spark, sf_dir):
     from ..operators.text import tfidf
 
     return tfidf(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "dp_modulo_split",
+    oracle="""
+select doc_id,
+       case when doc_id % 100 < 90 then 'train'
+            when doc_id % 100 < 95 then 'val'
+            else 'test' end as split
+from documents
+""",
+    survey_ref="dp-split",
+    doc="deterministic train/val/test assignment by id-modulo buckets: "
+    "re-runnable, engine-portable, pushdown-friendly (no RNG).",
+)
+def dp_modulo_split(spark, sf_dir):
+    from ..operators.filtering import modulo_split
+
+    docs = T(spark, sf_dir, "documents")
+    return modulo_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+with t as (
+  select doc_id, source, cast(len(string_split(text, ' ')) as bigint) as n_tokens
+  from documents
+)
+select doc_id, source, n_tokens,
+       cast(floor(coalesce(sum(n_tokens) over (
+           partition by source order by doc_id
+           rows between unbounded preceding and 1 preceding), 0) / 512.0)
+         as bigint) as pack_id
+from t
+""",
+    survey_ref="dp-packing",
+    doc="fixed-token-budget sequence packing per source shard (exclusive "
+    "running token count floor-divided by budget); shards pack in "
+    "parallel — no global ordered cumsum bottleneck.",
+)
+def text_pack_sequences(spark, sf_dir):
+    from ..operators.text import pack_sequences
+
+    return pack_sequences(T(spark, sf_dir, "documents"), target_tokens=512)
+
+
+@register(
+    "text_scrub_pii",
+    oracle=r"""
+select doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    text || ' contact u' || cast(doc_id as varchar)
+         || '@ex.org or 192.168.0.1 or +7 912 345 6789',
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\+?\d[\d -]{7,14}\d\b', '<PHONE>', 'g') as text_scrubbed
+from documents
+""",
+    survey_ref="dp-pii",
+    doc="PII redaction (emails/IPv4/phones -> typed tokens) over docs "
+    "with injected synthetic PII; RE2-safe patterns, codegen-only.",
+)
+def text_scrub_pii(spark, sf_dir):
+    from ..operators.text import scrub_pii
+
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org or 192.168.0.1 or +7 912 345 6789"),
+        ),
+    )
+    return scrub_pii(docs).select("doc_id", "text_scrubbed")
+
+
+_NRM = (
+    "sqrt(list_reduce(list_transform(range(1, len(embedding) + 1), "
+    "i -> cast(embedding[i] as double) * cast(embedding[i] as double)), "
+    "(a, b) -> a + b))"
+)
+
+
+@register(
+    "emb_l2_normalize",
+    oracle=f"""
+with e as (select vec_id, embedding, {_NRM} as nrm from embeddings),
+u as (select vec_id, nrm, embedding,
+             unnest(range(1, len(embedding) + 1)) as i from e)
+select vec_id, cast(i - 1 as int) as pos,
+       (cast(embedding[i] as double) / nrm) as val
+from u
+""",
+    survey_ref="emb-normalize",
+    doc="unit-normalize embeddings (cosine becomes dot); exploded to "
+    "(vec_id, pos, val) for value-level cross-engine comparison.",
+)
+def emb_l2_normalize(spark, sf_dir):
+    from ..operators.similarity import l2_normalize
+
+    emb = T(spark, sf_dir, "embeddings")
+    return l2_normalize(emb).select(
+        "vec_id", F.posexplode("unit_vec").alias("pos", "val")
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+with m as (
+  select vec_id, embedding,
+         cast(127 as double) / list_max(list_transform(
+             range(1, len(embedding) + 1),
+             i -> abs(cast(embedding[i] as double)))) as q_scale
+  from embeddings
+),
+u as (select vec_id, q_scale, embedding,
+             unnest(range(1, len(embedding) + 1)) as i from m)
+select vec_id, cast(i - 1 as int) as pos, q_scale,
+       cast(floor(cast(embedding[i] as double) * q_scale + 0.5) as int) as q
+from u
+""",
+    survey_ref="emb-quantize",
+    doc="symmetric int8 quantization (scale = 127/max|x|, emitted for "
+    "dequant); 4x embedding storage cut for ANN candidate stores.",
+)
+def emb_quantize_int8(spark, sf_dir):
+    from ..operators.similarity import quantize_int8
+
+    emb = T(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).select(
+        "vec_id", F.posexplode("q_vec").alias("pos", "q"), "q_scale"
+    )
