@@ -195,3 +195,18 @@ def test_modulo_split_is_exhaustive_and_sized(spark, sf_small):
 
     with _pytest.raises(ValueError):
         modulo_split(docs, {"train": 0.5})
+
+
+def test_resize_media_plumbing(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.multimodal import fake_resize, resize_media
+
+    d = docs(spark, sf_small).select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")
+    )
+    out = resize_media(d, 8, 4).collect()
+    src = {r.media_id: bytes(r.payload) for r in d.collect()}
+    assert len(out) == len(src)
+    for r in out[:10]:
+        assert (r.width, r.height) == (8, 4)
+        assert len(bytes(r.payload)) == 32
+        assert bytes(r.payload) == fake_resize(src[r.media_id], 8, 4)

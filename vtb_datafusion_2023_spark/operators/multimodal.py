@@ -118,3 +118,57 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.octet_length("payload") % 5, F.lit(1))),
     ).withColumn("sample_every", F.lit(every_n))
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler: cycle the payload
+    bytes to exactly width*height bytes (shrinks or grows like a resize
+    changes pixel count).  Swap for PIL's ``Image.resize`` when the
+    codec libraries are present."""
+    n = max(1, width * height)
+    if not payload:
+        return b"\x00" * n
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer=fake_resize,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing via ``mapInPandas``: binary in -> resized binary
+    out with the new dimensions stamped.  Same scale contract as
+    ``media_features``: Arrow batches bound memory, payloads never enter
+    a shuffle (resize immediately after scan, write partitioned).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": width,
+                        "height": height,
+                        "payload": resizer(b, width, height),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -652,3 +652,19 @@ def emb_quantize_int8(spark, sf_dir):
     return quantize_int8(emb).select(
         "vec_id", F.posexplode("q_vec").alias("pos", "q"), "q_scale"
     )
+
+
+@register(
+    "mm_resize",
+    oracle=None,  # binary mapInPandas output; plumbing proven by pytest
+    survey_ref="multimodal-resize",
+    doc="resize plumbing over binary media columns (Arrow-batched "
+    "mapInPandas, deterministic stub resampler; rows-only check).",
+)
+def mm_resize(spark, sf_dir):
+    from ..operators.multimodal import resize_media
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")
+    )
+    return resize_media(d, 16, 16)
