@@ -194,3 +194,48 @@ def sessionize(events: DataFrame, gap_minutes: float = 30):
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def attribution_join(
+    events: DataFrame,
+    trigger_type: str = "click",
+    convert_type: str = "purchase",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join (attribution): each ``trigger_type``
+    event matched to the same user's ``convert_type`` events in
+    ``(trigger_ts, trigger_ts + max_delay]``.
+
+    The canonical Structured Streaming two-stream join: both sides
+    watermarked, and the time-range predicate lets the engine GC join
+    state older than watermark + delay — state is bounded by the delay
+    window regardless of stream length.  Applied to a batch DataFrame the
+    same function plans a plain interval join (the DuckDB-oracle form);
+    the suite replays the STREAMING form to completion and checks it
+    bitwise against that batch SQL.
+    """
+    trig = events.filter(F.col("event_type") == trigger_type).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("trigger_id"),
+    )
+    conv = events.filter(F.col("event_type") == convert_type).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("convert_id"),
+        F.col("value").alias("convert_value"),
+    )
+    if events.isStreaming:
+        trig = trig.withWatermark("t_ts", watermark)
+        conv = conv.withWatermark("c_ts", watermark)
+    cond = F.expr(
+        f"t_user = c_user and c_ts > t_ts and c_ts <= t_ts + interval {max_delay}"
+    )
+    return trig.join(conv, cond, "inner").select(
+        F.col("t_user").alias("user_id"),
+        "trigger_id",
+        "convert_id",
+        (F.unix_micros("c_ts") - F.unix_micros("t_ts")).alias("delay_us"),
+        "convert_value",
+    )

@@ -116,3 +116,27 @@ def st_stream_dedup(spark, sf_dir):
 )
 def sw_session_window(spark, sf_dir):
     return session_window_agg(load_table(spark, sf_dir, "events"), gap=_GAP)
+
+
+@register(
+    "st_attribution_join",
+    oracle="""
+select t.user_id,
+       t.event_id as trigger_id,
+       c.event_id as convert_id,
+       (epoch_us(c.ts) - epoch_us(t.ts)) as delay_us,
+       c.value as convert_value
+from events t join events c on t.user_id = c.user_id
+where t.event_type = 'click' and c.event_type = 'purchase'
+  and c.ts > t.ts and c.ts <= t.ts + interval 1 hour
+""",
+    survey_ref="streaming-interval-join",
+    doc="stream-stream attribution join (click -> purchase within 1h per "
+    "user), watermark-bounded state, replayed to completion; bitwise "
+    "equal to the batch interval join.",
+)
+def st_attribution_join(spark, sf_dir):
+    from ..streaming.events import attribution_join
+
+    stream = attribution_join(read_events_stream(spark, sf_dir))
+    return replay_to_table(spark, stream, mode="append")
