@@ -140,3 +140,25 @@ def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
     assert "o_orderstatus" in pf and f"= {statuses[0]})" in pf, pf
     # and the pruned read returns exactly the partition's rows
     assert one.count() == od.filter(F.col("o_orderstatus") == statuses[0]).count()
+
+
+def test_cube_single_exchange(spark, sf_small):
+    """CUBE: all 2^n grouping-set levels from ONE shuffle via Expand."""
+    from vtb_datafusion_2023_spark.operators.rollup import cube_agg
+
+    p = plan_of(cube_agg(load_table(spark, sf_small, "documents"), ["source", "lang"], "n_chars"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Expand" in p
+
+
+def test_funnel_stays_on_user_partitioning(spark, sf_small):
+    """Every funnel stage keys on user_id: the joins between stages must
+    be broadcast or reuse user-hash partitioning — no other shuffle key
+    appears in the plan."""
+    from vtb_datafusion_2023_spark.operators.analytics import funnel
+
+    p = plan_of(funnel(load_table(spark, sf_small, "events"), ["view", "click", "purchase"]))
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
+    assert keys <= {"user_id"}, keys

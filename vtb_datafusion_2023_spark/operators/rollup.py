@@ -39,3 +39,23 @@ def time_rollup(
             F.grouping_id().alias("lvl"),
         )
     )
+
+
+def cube_agg(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+) -> DataFrame:
+    """CUBE over ``dims``: every dimension-subset subtotal (2^|dims|
+    grouping sets) in ONE shuffle — Spark expands the grouping sets and
+    hash-aggregates once, vs 2^n separate scans.  ``lvl`` =
+    ``grouping_id`` labels each row's subset.  Decimal-exact totals.
+    """
+    return (
+        df.cube(*dims)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(sqlgen.dsum(value_col)).alias("total"),
+            F.grouping_id().alias("lvl"),
+        )
+    )

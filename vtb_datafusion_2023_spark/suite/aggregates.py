@@ -335,3 +335,86 @@ def sk_approx_distinct(spark, sf_dir):
     from ..functions.sketches import approx_distinct
 
     return approx_distinct(T(spark, sf_dir, "events"), ["event_type"], "user_id")
+
+
+@register(
+    "agg_cube_source_lang",
+    oracle=f"""
+select source, lang, count(*) as n,
+       {sqlgen.dsum('n_chars', 'total')},
+       grouping(source, lang) as lvl
+from documents
+group by cube(source, lang)
+""",
+    survey_ref="agg-cube",
+    doc="CUBE over (source, lang): all four grouping-set levels in one "
+    "shuffle (Expand + single hash agg), decimal-exact totals.",
+)
+def agg_cube_source_lang(spark, sf_dir):
+    from ..operators.rollup import cube_agg
+
+    return cube_agg(T(spark, sf_dir, "documents"), ["source", "lang"], "n_chars")
+
+
+@register(
+    "an_funnel",
+    oracle="""
+with s1 as (
+  select user_id, min(ts) as t0, min(ts) + interval 7 day as deadline
+  from events where event_type = 'view' group by 1
+),
+s2 as (
+  select e.user_id, any_value(s1.deadline) as deadline, min(e.ts) as t1
+  from events e join s1 using (user_id)
+  where e.event_type = 'click' and e.ts > s1.t0 and e.ts <= s1.deadline
+  group by 1
+),
+s3 as (
+  select e.user_id, min(e.ts) as t2
+  from events e join s2 using (user_id)
+  where e.event_type = 'purchase' and e.ts > s2.t1 and e.ts <= s2.deadline
+  group by 1
+)
+select 1 as step, 'view' as step_name, count(*) as n_users from s1
+union all
+select 2 as step, 'click' as step_name, count(*) as n_users from s2
+union all
+select 3 as step, 'purchase' as step_name, count(*) as n_users from s3
+""",
+    survey_ref="an-funnel",
+    doc="ordered funnel (view -> click -> purchase within 7 days of the "
+    "first view): per-step first-occurrence aggs, all co-partitioned "
+    "on user_id.",
+)
+def an_funnel(spark, sf_dir):
+    from ..operators.analytics import funnel
+
+    return funnel(
+        T(spark, sf_dir, "events"), ["view", "click", "purchase"], within="7 days"
+    )
+
+
+@register(
+    "an_retention",
+    oracle="""
+with first as (
+  select user_id, date_trunc('week', min(ts)) as cohort_week
+  from events group by 1
+),
+active as (
+  select distinct user_id, date_trunc('week', ts) as week from events
+)
+select cohort_week,
+       cast(date_diff('day', cohort_week, week) / 7 as int) as weeks_since,
+       count(distinct user_id) as n_active
+from active join first using (user_id)
+group by 1, 2
+""",
+    survey_ref="an-retention",
+    doc="weekly retention triangle: first-seen-week cohorts x active "
+    "week; two hash aggs + one user-keyed co-partitioned join.",
+)
+def an_retention(spark, sf_dir):
+    from ..operators.analytics import retention_cohorts
+
+    return retention_cohorts(T(spark, sf_dir, "events"))
