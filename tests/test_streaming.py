@@ -71,3 +71,26 @@ def test_session_window_stream_emits_subset_of_batch(spark, sf_small):
     assert len(got) > 0
     for r in got:
         assert tuple(r) in want
+
+
+def test_foreach_batch_parquet_sink_is_idempotent(spark, sf_small, tmp_path):
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+    from vtb_datafusion_2023_spark.streaming.events import read_events_stream
+    from vtb_datafusion_2023_spark.streaming.sinks import foreach_batch_parquet
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_small).select("event_id", "user_id", "value")
+    foreach_batch_parquet(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    batch = load_table(spark, sf_small, "events")
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+    # re-running with the same checkpoint commits nothing new (offsets
+    # already recorded) — contents unchanged
+    foreach_batch_parquet(
+        read_events_stream(spark, sf_small).select("event_id", "user_id", "value"),
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(out).count() == batch.count()

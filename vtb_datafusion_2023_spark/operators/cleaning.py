@@ -128,3 +128,35 @@ def clean_transactions(
     return rare_category_rewrite(
         w, user_col, cat_col, value_col, min_count=n_mcc, stats_source=df
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging by Median Absolute Deviation:
+    ``|x - median| > k * median(|x - median|)``.
+
+    The robust sibling of the reference's percentile winsorization
+    (/root/reference/run.py:49-67): MAD is insensitive to the outliers
+    it hunts, unlike stddev-based z-scores.  Two grouped exact-percentile
+    passes on the same keys (shared shuffle layout) joined back; the
+    comparison arithmetic is textually stable SQL so the flag is
+    bitwise-reproducible cross-engine.  Groups with MAD = 0 (constant
+    value) flag nothing.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, cast(0.5 as double))").alias("med")
+    )
+    with_med = df.join(med, group_cols)
+    mad = (
+        with_med.withColumn("_adev", F.expr(f"abs({value_col} - med)"))
+        .groupBy(*group_cols)
+        .agg(F.expr("percentile(_adev, cast(0.5 as double))").alias("mad"))
+    )
+    return with_med.join(mad, group_cols).withColumn(
+        "is_outlier",
+        F.expr(f"abs({value_col} - med) > cast({k} as double) * mad and mad > cast(0 as double)"),
+    )

@@ -431,3 +431,39 @@ def dedup_clusters(
         if n_changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 40,
+    max_dist: int = 10,
+) -> DataFrame:
+    """Edit-distance near-dup candidates: self-join within
+    ``bucket_cols`` buckets (never all-pairs), verified by levenshtein
+    over a ``prefix_len`` prefix capped at ``max_dist``.
+
+    Scale: the bucket join bounds candidate pairs exactly like the
+    MinHash/SimHash band joins; levenshtein's O(m*n) DP runs on bounded
+    prefixes only.  Use the fingerprint/minhash families first and this
+    as the high-precision verifier on their candidates.
+    """
+    a = df.select(
+        *bucket_cols,
+        F.col(id_col).alias("id_a"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("txt_a"),
+    )
+    b = df.select(
+        *bucket_cols,
+        F.col(id_col).alias("id_b"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("txt_b"),
+    )
+    return (
+        a.join(b, bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("txt_a", "txt_b"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(*bucket_cols, "id_a", "id_b", "edit_dist")
+    )

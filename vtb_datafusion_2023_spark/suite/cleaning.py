@@ -128,3 +128,33 @@ def clean_transactions_composed(spark, sf_dir):
     return cleaned.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.expr(sqlgen.dsum("value", "value_sum"))
     )
+
+
+@register(
+    "clean_mad_outliers",
+    oracle="""
+with med as (
+  select user_id, event_type, quantile_cont(value, 0.5) as med
+  from events group by 1, 2
+),
+wm as (select e.event_id, e.user_id, e.event_type, e.value, m.med
+       from events e join med m using (user_id, event_type)),
+mad as (
+  select user_id, event_type, quantile_cont(abs(value - med), 0.5) as mad
+  from wm group by 1, 2
+)
+select wm.event_id, wm.value, wm.med, mad.mad,
+       (abs(wm.value - wm.med) > cast(3.0 as double) * mad.mad
+        and mad.mad > cast(0 as double)) as is_outlier
+from wm join mad using (user_id, event_type)
+""",
+    survey_ref="clean-mad",
+    doc="robust MAD outlier flag per (user, type): |x-med| > 3*MAD; the "
+    "robust sibling of A8 winsorization, exact percentiles, two grouped "
+    "passes on one shuffle layout.",
+)
+def clean_mad_outliers(spark, sf_dir):
+    from ..operators.cleaning import mad_outliers
+
+    out = mad_outliers(T(spark, sf_dir, "events"), ["user_id", "event_type"], "value", k=3.0)
+    return out.select("event_id", "value", "med", "mad", "is_outlier")

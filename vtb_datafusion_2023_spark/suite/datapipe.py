@@ -668,3 +668,24 @@ def mm_resize(spark, sf_dir):
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")
     )
     return resize_media(d, 16, 16)
+
+
+@register(
+    "dd_fuzzy_pairs",
+    oracle="""
+select a.lang, a.source, a.doc_id as id_a, b.doc_id as id_b,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) as edit_dist
+from documents a
+join documents b on a.lang = b.lang and a.source = b.source
+where a.doc_id < b.doc_id
+  and levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 24
+""",
+    survey_ref="dd-fuzzy",
+    doc="edit-distance near-dup pairs: bucket self-join (lang, source) "
+    "+ levenshtein over bounded prefixes — the high-precision verifier "
+    "for the minhash/simhash candidate families.",
+)
+def dd_fuzzy_pairs(spark, sf_dir):
+    from ..operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(T(spark, sf_dir, "documents"), ["lang", "source"], max_dist=24)
