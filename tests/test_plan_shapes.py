@@ -162,3 +162,43 @@ def test_funnel_stays_on_user_partitioning(spark, sf_small):
 
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
     assert keys <= {"user_id"}, keys
+
+
+def test_sorted_parquet_files_have_disjoint_ranges(spark, sf_small, tmp_path):
+    """write_sorted_parquet: range partitioning + in-file sort gives each
+    file a disjoint sort-key range, so parquet min/max stats prune files
+    for range predicates (data skipping without directory explosion)."""
+    import pyarrow.parquet as pq
+
+    from vtb_datafusion_2023_spark.sources.writers import write_sorted_parquet
+
+    ev = load_table(spark, sf_small, "events")
+    path = str(tmp_path / "events_sorted")
+    write_sorted_parquet(ev, path, ["event_id"], n_files=4)
+    import glob
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("event_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # pairwise disjoint file ranges
+    # and nothing was lost
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_profile_is_single_job_unpivot(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.profile import profile
+
+    p = plan_of(profile(load_table(spark, sf_small, "events")))
+    # one global aggregate (single exchange to a single partition), no
+    # per-column scan multiplication
+    assert p.count("FileScan") + p.count("BatchScan") == 1, p

@@ -39,3 +39,24 @@ def checkpoint_parquet(df: DataFrame, path: str) -> DataFrame:
     """
     write_parquet(df, path)
     return df.sparkSession.read.parquet(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+) -> None:
+    """Range-partitioned, sorted parquet layout for data skipping: rows
+    are range-partitioned on ``sort_cols`` (each file owns a contiguous,
+    near-disjoint key range) and sorted within each file, so parquet
+    row-group min/max statistics prune whole files/row-groups for
+    point and range predicates on those columns — the poor-man's
+    clustering key, free at read time.
+
+    Use for fact tables queried by selective ranges (time, id) when
+    directory partitioning (``partition_by``) would create too many tiny
+    directories (high-cardinality keys).
+    """
+    cols = [df[c] for c in sort_cols]
+    out = (
+        df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

@@ -352,3 +352,36 @@ def so3_bootstrap_sample(spark, sf_dir):
     return pinned.sample(withReplacement=True, fraction=0.95, seed=42).select(
         "event_id", "user_id"
     )
+
+
+_PROFILE_COLS = {
+    "event_id": True, "ts": False, "user_id": True,
+    "event_type": False, "value": True, "props": False,
+}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS.items():
+        mn = f"cast(min({c}) as double)" if numeric else "cast(null as double)"
+        mx = f"cast(max({c}) as double)" if numeric else "cast(null as double)"
+        parts.append(
+            f"select '{c}' as \"column\", count(*) as n, "
+            f"count(*) filter (where {c} is null) as n_null, "
+            f"count(distinct {c}) as n_distinct, "
+            f"{mn} as min_num, {mx} as max_num from events"
+        )
+    return "\nunion all\n".join(parts)
+
+
+@register(
+    "tbl_profile",
+    oracle=_profile_oracle(),
+    survey_ref="profile",
+    doc="single-scan table profile: per-column null rate, exact "
+    "cardinality, numeric min/max — one agg job, stack-unpivoted.",
+)
+def tbl_profile(spark, sf_dir):
+    from ..operators.profile import profile
+
+    return profile(T(spark, sf_dir, "events"))
