@@ -202,3 +202,25 @@ def test_profile_is_single_job_unpivot(spark, sf_small):
     # one global aggregate (single exchange to a single partition), no
     # per-column scan multiplication
     assert p.count("FileScan") + p.count("BatchScan") == 1, p
+
+
+def test_q3_topn_is_take_ordered_not_global_sort(spark, sf_small):
+    """q3's LIMIT 10 must plan as TakeOrderedAndProject (per-partition
+    heaps + k-row driver merge), never a global Sort before Limit."""
+    p = plan_of(QS["q3_shipping_priority"](spark, sf_small))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q5_star_join_broadcasts_dims_and_pushes_filters(spark, sf_small):
+    q = QS["q5_local_supplier_volume"](spark, sf_small)
+    p = plan_of(q)
+    # the hinted dims (nation, region) never shuffle-join
+    assert p.count("BroadcastHashJoin") >= 2, p
+    f = formatted(q)
+    # the date filter reaches the orders parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in f, f
+
+
+def test_q10_selective_filter_pushed_to_lineitem_scan(spark, sf_small):
+    f = formatted(QS["q10_returned_items"](spark, sf_small))
+    assert "EqualTo(l_returnflag,R)" in f, f

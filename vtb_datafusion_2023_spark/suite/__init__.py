@@ -68,5 +68,6 @@ def _load_all() -> None:
     from . import pipeline  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import streaming  # noqa: F401
+    from . import tpch  # noqa: F401
 
     _LOADED = True
