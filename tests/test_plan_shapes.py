@@ -224,3 +224,17 @@ def test_q5_star_join_broadcasts_dims_and_pushes_filters(spark, sf_small):
 def test_q10_selective_filter_pushed_to_lineitem_scan(spark, sf_small):
     f = formatted(QS["q10_returned_items"](spark, sf_small))
     assert "EqualTo(l_returnflag,R)" in f, f
+
+
+def test_rank_filters_plan_window_group_limit(spark, sf_small):
+    """topk_per_group / latest_by_key: the rank<=k filter must trigger
+    Catalyst's WindowGroupLimit rewrite — per-task k-row heaps BEFORE the
+    shuffle, so the exchange carries O(groups x k) rows."""
+    for name in ("agg_topk_per_group", "dp_latest_by_key"):
+        p = plan_of(QS[name](spark, sf_small))
+        assert "WindowGroupLimit" in p, (name, p)
+
+
+def test_q4_exists_is_semi_join(spark, sf_small):
+    p = plan_of(QS["q4_order_priority"](spark, sf_small))
+    assert "LeftSemi" in p, p

@@ -11,7 +11,7 @@ plain partial-aggregable hash aggs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,4 +89,30 @@ def retention_cohorts(
         )
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (ties broken by ``tie_cols``
+    so the selection is deterministic under any partitioning).
+
+    Planned as row_number over a grouped window + ``rk <= k`` filter,
+    which Catalyst rewrites to WindowGroupLimit: each map task keeps a
+    k-row heap per group BEFORE the shuffle, so the exchange carries
+    O(groups x k) rows, not the full table (plan-shape-tested).
+    """
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    order += [F.asc(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )

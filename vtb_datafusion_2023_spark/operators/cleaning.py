@@ -160,3 +160,22 @@ def mad_outliers(
         "is_outlier",
         F.expr(f"abs({value_col} - med) > cast({k} as double) * mad and mad > cast(0 as double)"),
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+) -> DataFrame:
+    """CDC compaction / latest-wins upsert: keep exactly one row per key —
+    the one with the greatest ``version_cols`` (compared lexicographically;
+    include a unique id last so the winner is deterministic).
+
+    The standard change-log -> snapshot step of an incremental 100 TB
+    pipeline: applied as row_number over (key, version desc) + ``= 1``,
+    which Catalyst rewrites to WindowGroupLimit — each map task keeps only
+    its per-key latest row before the shuffle, so the exchange carries one
+    row per (task, key), not the full change log.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in version_cols])
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")

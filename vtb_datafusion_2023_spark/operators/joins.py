@@ -126,3 +126,13 @@ def salted_join(
         sc, F.explode(F.array([F.lit(i) for i in range(salt)]))
     )
     return salted.join(replicated, on=[on, sc], how=how).drop(sc)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS-style filter: rows of ``left`` with at least one match in
+    ``right`` (the dual of J3's anti join — /root/reference/run.py:200-202
+    membership tests).  A left-semi join returns only left columns, never
+    multiplies rows, and ships only the join keys of the probe side — at
+    100 TB it is strictly cheaper than inner-join + distinct.
+    """
+    return left.join(right, on=on, how="left_semi")

@@ -418,3 +418,33 @@ def an_retention(spark, sf_dir):
     from ..operators.analytics import retention_cohorts
 
     return retention_cohorts(T(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_topk_per_group",
+    oracle=f"""
+select event_type, user_id, total from (
+  select event_type, user_id, total,
+         row_number() over (partition by event_type
+                            order by total desc, user_id) as rk
+  from (
+    select event_type, user_id, {sqlgen.dsum("value", "total")}
+    from events group by event_type, user_id
+  )
+) where rk <= 3
+""",
+    survey_ref="agg-topk",
+    doc="top-3 users by exact total value per event type; the rank "
+    "filter plans as WindowGroupLimit (per-task k-row heaps pre-shuffle).",
+)
+def agg_topk_per_group(spark, sf_dir):
+    from ..operators.analytics import topk_per_group
+
+    totals = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.expr(sqlgen.dsum("value", "total")))
+    )
+    return topk_per_group(
+        totals, ["event_type"], "total", 3, descending=True, tie_cols=["user_id"]
+    )

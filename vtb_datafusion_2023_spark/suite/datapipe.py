@@ -689,3 +689,24 @@ def dd_fuzzy_pairs(spark, sf_dir):
     from ..operators.dedup import fuzzy_pairs
 
     return fuzzy_pairs(T(spark, sf_dir, "documents"), ["lang", "source"], max_dist=24)
+
+
+@register(
+    "dp_latest_by_key",
+    oracle="""
+select user_id, ts, event_type, value, event_id from (
+  select *, row_number() over (partition by user_id
+                               order by ts desc, event_id desc) as rk
+  from events
+) where rk = 1
+""",
+    survey_ref="dp-cdc-compact",
+    doc="CDC latest-wins compaction: one row per user (greatest ts, "
+    "event_id tie-break) — change-log -> snapshot via WindowGroupLimit.",
+)
+def dp_latest_by_key(spark, sf_dir):
+    from ..operators.cleaning import latest_by_key
+
+    return latest_by_key(
+        T(spark, sf_dir, "events"), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "ts", "event_type", "value", "event_id")

@@ -148,3 +148,38 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1997-01-01 00:00:00'
+  and o_orderdate < timestamp '1997-04-01 00:00:00'
+  and exists (
+    select 1 from lineitem
+    where l_orderkey = o_orderkey
+      and l_shipdate > o_orderdate + interval 60 day
+  )
+group by o_orderpriority
+""",
+    survey_ref="J3-dual,A-group-agg",
+    doc="TPC-H-q4-shaped: EXISTS as a left-semi join (ships only probe "
+    "keys, never multiplies rows) -> priority counts.",
+)
+def q4_order_priority(spark, sf_dir):
+    from ..operators.joins import semi_join
+
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = semi_join(
+        orders,
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + interval 60 days")),
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
