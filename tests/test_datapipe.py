@@ -210,3 +210,21 @@ def test_resize_media_plumbing(spark, sf_small):
         assert (r.width, r.height) == (8, 4)
         assert len(bytes(r.payload)) == 32
         assert bytes(r.payload) == fake_resize(src[r.media_id], 8, 4)
+
+
+def test_orc_roundtrip_pushdown(spark, sf_small, tmp_path):
+    from vtb_datafusion_2023_spark.sources.readers import load_table, read_orc
+    from vtb_datafusion_2023_spark.sources.writers import write_orc
+
+    li = load_table(spark, sf_small, "lineitem")
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert back.schema == li.schema
+    q = back.filter("l_returnflag = 'R'").select("l_orderkey")
+    f = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    # ORC scan keeps parquet-grade pushdown + pruning
+    assert "EqualTo(l_returnflag,R)" in f, f
+    read = [ln for ln in f.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read

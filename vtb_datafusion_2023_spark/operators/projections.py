@@ -60,3 +60,20 @@ def conform_columns(df: DataFrame, columns: Sequence[str], fill: float = 0.0) ->
     return df.select(
         *[F.col(c) if c in present else F.lit(fill).alias(c) for c in columns]
     )
+
+
+def melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long unpivot (pandas ``melt``; the inverse of the A1-A6
+    pivots).  Planned as a single ``stack`` projection — one scan, no
+    shuffle, no join: at 100 TB this is a map-only reshape whose output
+    is len(value_cols) x input rows.
+    """
+    cells = ", ".join(f"'{c}', cast({c} as double)" for c in value_cols)
+    expr = f"stack({len(value_cols)}, {cells}) as ({var_name}, {value_name})"
+    return df.selectExpr(*id_cols, expr)

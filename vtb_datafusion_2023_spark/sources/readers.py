@@ -96,3 +96,9 @@ def read_jsonl(
     if drop_corrupt:
         df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return df
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning work as for
+    parquet (tested in test_plan_shapes)."""
+    return spark.read.orc(path)

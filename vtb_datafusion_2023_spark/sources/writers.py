@@ -60,3 +60,12 @@ def write_sorted_parquet(
         df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
     )
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (columnar interchange with Hive-ecosystem consumers; same
+    pushdown/pruning properties as parquet in Spark's scan)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -239,3 +239,16 @@ def attribution_join(
         (F.unix_micros("c_ts") - F.unix_micros("t_ts")).alias("delay_us"),
         "convert_value",
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    current snapshot of a static/slowly-refreshed dimension.
+
+    Stateless — unlike stream-stream joins there is NO streaming state to
+    watermark: the static side is (re)broadcast per micro-batch, so at
+    100 TB/day of events the join cost is one broadcast hash join per
+    batch and the dimension can be swapped under the stream (each batch
+    re-resolves the static plan).
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)

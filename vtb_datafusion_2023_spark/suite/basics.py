@@ -385,3 +385,33 @@ def tbl_profile(spark, sf_dir):
     from ..operators.profile import profile
 
     return profile(T(spark, sf_dir, "events"))
+
+
+@register(
+    "p_melt_unpivot",
+    oracle="""
+select l_orderkey, l_linenumber, variable, val from (
+  select l_orderkey, l_linenumber, 'l_quantity' as variable,
+         cast(l_quantity as double) as val from lineitem
+  union all
+  select l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice from lineitem
+  union all
+  select l_orderkey, l_linenumber, 'l_discount', l_discount from lineitem
+  union all
+  select l_orderkey, l_linenumber, 'l_tax', l_tax from lineitem
+)
+""",
+    survey_ref="p-melt",
+    doc="wide->long unpivot (inverse of A1-A6 pivots): single stack "
+    "projection, one scan, map-only.",
+)
+def p_melt_unpivot(spark, sf_dir):
+    from ..operators.projections import melt
+
+    return melt(
+        T(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="variable",
+        value_name="val",
+    )

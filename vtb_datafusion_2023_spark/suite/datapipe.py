@@ -710,3 +710,34 @@ def dp_latest_by_key(spark, sf_dir):
     return latest_by_key(
         T(spark, sf_dir, "events"), ["user_id"], ["ts", "event_id"]
     ).select("user_id", "ts", "event_type", "value", "event_id")
+
+
+@register(
+    "sql_surface",
+    oracle=rf"""
+select doc_id,
+       cast(len(string_split(text, ' ')) as bigint) as n_ws,
+       cast(len(regexp_extract_all(text, '{TOKEN_REGEX}')) as bigint) as n_bpe,
+       md5(array_to_string(list_sort(list_distinct(string_split(
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')), ' '))), ' ')) as fp_norm
+from documents
+""",
+    survey_ref="sql-surface",
+    doc="pure-SQL user path: temp views + the engine's SQL-UDF library "
+    "(Spark 4 CREATE FUNCTION, inlined at analysis — no Python boundary).",
+)
+def sql_surface(spark, sf_dir):
+    from ..sqlapi import register_sql_functions, register_tables
+
+    register_tables(spark, sf_dir)
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        select doc_id,
+               cast(ws_token_count(text) as bigint)  as n_ws,
+               cast(bpe_token_count(text) as bigint) as n_bpe,
+               doc_fingerprint(norm_text(text))      as fp_norm
+        from documents
+        """
+    )

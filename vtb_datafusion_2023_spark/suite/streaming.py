@@ -140,3 +140,31 @@ def st_attribution_join(spark, sf_dir):
 
     stream = attribution_join(read_events_stream(spark, sf_dir))
     return replay_to_table(spark, stream, mode="append")
+
+
+@register(
+    "st_static_enrich",
+    oracle=f"""
+select c_mktsegment, count(*) as n, {sqlgen.dsum("value", "total_value")}
+from events join customer on user_id = c_custkey
+group by c_mktsegment
+""",
+    survey_ref="st-stream-static-join",
+    doc="stream-static enrichment: events stream broadcast-joined to the "
+    "customer dim per micro-batch (stateless), then aggregated; replayed "
+    "final state bitwise-matches the batch join.",
+)
+def st_static_enrich(spark, sf_dir):
+    from ..streaming.events import enrich_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        enrich_stream(ev, dim, on=F.expr("user_id = c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(sqlgen.dsum("value", "total_value")),
+        )
+    )
+    return replay_to_table(spark, agg, mode="complete")
