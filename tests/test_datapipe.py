@@ -228,3 +228,36 @@ def test_orc_roundtrip_pushdown(spark, sf_small, tmp_path):
     assert "EqualTo(l_returnflag,R)" in f, f
     read = [ln for ln in f.splitlines() if "ReadSchema" in ln][0]
     assert "l_extendedprice" not in read
+
+
+def test_compact_parquet_reduces_files(spark, sf_small, tmp_path):
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+    from vtb_datafusion_2023_spark.sources.writers import compact_parquet
+
+    li = load_table(spark, sf_small, "lineitem")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)  # the small-files problem
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_mb=512)
+    assert n == 1  # sf0.001 lineitem is far below 512MB
+    import glob
+
+    assert len(glob.glob(out + "/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_stratified_sample_fractions(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.filtering import stratified_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    fr = {"en": 0.2, "de": 1.0}
+    s = stratified_sample(docs, "lang", fr, seed=7)
+    # deterministic under reruns
+    assert s.count() == stratified_sample(docs, "lang", fr, seed=7).count()
+    got = {r["lang"] for r in s.select("lang").distinct().collect()}
+    assert got <= set(fr)  # unlisted strata fully dropped
+    n_en = docs.filter("lang = 'en'").count()
+    s_en = s.filter("lang = 'en'").count()
+    assert 0 < s_en < n_en  # downsampled, not empty
+    # fraction 1.0 keeps every row of that stratum
+    assert s.filter("lang = 'de'").count() == docs.filter("lang = 'de'").count()

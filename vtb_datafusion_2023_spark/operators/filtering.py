@@ -121,3 +121,13 @@ def modulo_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): rebalance skewed
+    categories (e.g. downsample the dominant language of a pretraining
+    corpus) in one scan-side filter — no shuffle, no count pass; seeded so
+    reruns draw the same rows."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

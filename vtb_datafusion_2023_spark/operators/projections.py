@@ -77,3 +77,19 @@ def melt(
     cells = ", ".join(f"'{c}', cast({c} as double)" for c in value_cols)
     expr = f"stack({len(value_cols)}, {cells}) as ({var_name}, {value_name})"
     return df.selectExpr(*id_cols, expr)
+
+
+def json_col(df: DataFrame, col: str, schema_ddl: str, prefix: str = "") -> DataFrame:
+    """Schema-bound extraction of a JSON string column (semi-structured
+    sidecar like ``events.props``): ``from_json`` with a DECLARED schema —
+    one parse per row, all fields out at once, malformed rows -> null
+    fields (never a job failure).
+
+    Prefer this over repeated ``get_json_object`` (one parse per field)
+    and over schema inference (a full extra pass at 100 TB).
+    """
+    parsed = F.from_json(F.col(col), schema_ddl)
+    names = [f.split()[0] for f in schema_ddl.split(",")]
+    return df.select(
+        "*", *[parsed.getField(n).alias(f"{prefix}{n}") for n in names]
+    )

@@ -69,3 +69,23 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_file_mb: int = 512
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` each (computed from the actual on-disk size, no
+    data scan).  The operational fix for streaming sinks and over-
+    partitioned writes — at 100 TB, listing/footers of millions of tiny
+    files dominate query startup; nightly compaction keeps scans
+    footer-bound, not listing-bound.  Returns the output file count.
+    """
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
+    spark.read.parquet(path).repartition(int(n)).write.mode("overwrite").parquet(out_path)
+    return int(n)

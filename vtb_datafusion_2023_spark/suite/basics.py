@@ -415,3 +415,21 @@ def p_melt_unpivot(spark, sf_dir):
         var_name="variable",
         value_name="val",
     )
+
+
+@register(
+    "p_json_extract",
+    oracle="""
+select event_id, cast(json_extract_string(props, '$.k') as bigint) as k
+from events
+""",
+    survey_ref="p-json",
+    doc="schema-bound JSON field extraction from the props sidecar "
+    "(from_json with declared schema: one parse, no inference pass).",
+)
+def p_json_extract(spark, sf_dir):
+    from ..operators.projections import json_col
+
+    return json_col(T(spark, sf_dir, "events"), "props", "k bigint").select(
+        "event_id", "k"
+    )
