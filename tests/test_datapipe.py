@@ -261,3 +261,21 @@ def test_stratified_sample_fractions(spark, sf_small):
     assert 0 < s_en < n_en  # downsampled, not empty
     # fraction 1.0 keeps every row of that stratum
     assert s.filter("lang = 'de'").count() == docs.filter("lang = 'de'").count()
+
+
+def test_csv_robust_drops_corrupt_rows(spark, tmp_path):
+    from vtb_datafusion_2023_spark.sources.readers import read_csv_robust
+
+    p = tmp_path / "tx.csv"
+    p.write_text(
+        "user_id,amt\n"
+        "1,10.5\n"
+        "not_a_number,oops,extra,cols\n"  # malformed
+        "2,20.25\n"
+    )
+    ok = read_csv_robust(spark, str(p), "user_id long, amt double")
+    assert sorted(r["user_id"] for r in ok.collect()) == [1, 2]
+    kept = read_csv_robust(spark, str(p), "user_id long, amt double", drop_corrupt=False)
+    # quarantine path: the corrupt line survives with its raw text
+    bad = kept.filter("_corrupt_record is not null").collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]

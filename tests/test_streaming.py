@@ -94,3 +94,42 @@ def test_foreach_batch_parquet_sink_is_idempotent(spark, sf_small, tmp_path):
         ckpt,
     )
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_upsert_snapshot_latest_wins_across_batches(spark, sf_small, tmp_path):
+    """CDC snapshot: stream the events change-log in multiple micro-batches;
+    the final snapshot must equal batch latest_by_key over ALL events, and
+    re-running with the same checkpoint must be a no-op."""
+    from vtb_datafusion_2023_spark.operators.cleaning import latest_by_key
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+    from vtb_datafusion_2023_spark.streaming.sinks import upsert_snapshot
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    src = str(tmp_path / "changelog")
+    ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    upsert_snapshot(stream, snap, ckpt, ["user_id"], ["ts", "event_id"])
+
+    got = spark.read.parquet(snap)
+    want = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # replay with same checkpoint: committed batches skipped, snapshot stable
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    upsert_snapshot(stream2, snap, ckpt, ["user_id"], ["ts", "event_id"])
+    got2 = spark.read.parquet(snap)
+    assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0

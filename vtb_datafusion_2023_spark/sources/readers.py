@@ -102,3 +102,26 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — predicate pushdown and column pruning work as for
     parquet (tested in test_plan_shapes)."""
     return spark.read.orc(path)
+
+
+def read_csv_robust(
+    spark: SparkSession, path: str, schema: str, drop_corrupt: bool = True
+) -> DataFrame:
+    """Schema-pinned CSV scan that survives malformed rows: PERMISSIVE
+    mode routes unparseable lines into ``_corrupt_record`` and we drop
+    (or surface) them instead of failing the scan — at 100 TB a handful
+    of mangled rows must never kill the job.  Set ``drop_corrupt=False``
+    to keep the corrupt column for a quarantine sink."""
+    from ..session import tune_session
+
+    tune_session(spark)
+    full = schema + ", _corrupt_record string"
+    df = (
+        spark.read.schema(full)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    if drop_corrupt:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df

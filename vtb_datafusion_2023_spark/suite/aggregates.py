@@ -448,3 +448,37 @@ def agg_topk_per_group(spark, sf_dir):
     return topk_per_group(
         totals, ["event_type"], "total", 3, descending=True, tie_cols=["user_id"]
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+select coalesce(event_type, '<all>') as event_type,
+       coalesce(source, '<all>') as source,
+       grouping(event_type) + 2 * grouping(source) as gid,
+       count(*) as n, {sqlgen.dsum("value", "total")}
+from (select e.event_type, d.source, e.value
+      from events e join documents d on e.user_id % 500 = d.doc_id)
+group by grouping sets ((event_type, source), (event_type), (source))
+""",
+    survey_ref="agg-grouping-sets",
+    doc="explicit GROUPING SETS with grouping() disambiguation of NULL "
+    "vs all — all three levels from one Expand shuffle.",
+)
+def agg_grouping_sets(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = ev.join(docs, ev.user_id % 500 == docs.doc_id).select(
+        "event_type", "source", "value"
+    )
+    joined.createOrReplaceTempView("_gs_in")
+    return joined.sparkSession.sql(
+        f"""
+        select coalesce(event_type, '<all>') as event_type,
+               coalesce(source, '<all>') as source,
+               cast(grouping(event_type) + 2 * grouping(source) as bigint) as gid,
+               count(*) as n, {sqlgen.dsum("value", "total")}
+        from _gs_in
+        group by grouping sets ((event_type, source), (event_type), (source))
+        """
+    )

@@ -178,3 +178,36 @@ def w11_minmax_scale(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return minmax_scale(ev, "user_id", ["value"]).select("event_id", "value_mm")
+
+
+@register(
+    "w12_rank_functions",
+    oracle="""
+select event_id, user_id,
+       rank()         over w as rnk,
+       dense_rank()   over w as drnk,
+       percent_rank() over w as prnk,
+       cume_dist()    over w as cd,
+       lead(event_id) over w as next_id,
+       lag(event_id)  over w as prev_id
+from events
+window w as (partition by user_id order by ts, event_id)
+""",
+    survey_ref="w-rank-family",
+    doc="full rank-function family over the per-user event order — one "
+    "window spec, one exchange+sort for all six functions.",
+)
+def w12_rank_functions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
