@@ -156,3 +156,74 @@ def test_sketches_within_error_bounds(spark, sf_small):
     }
     for k, p in exact_p50.items():
         assert abs(got[k] - p) <= 0.02 * max(1.0, abs(p)), (k, got[k], p)
+
+
+def test_melt_inverts_conditional_pivot(spark, sf_small):
+    """melt(pivot(x)) recovers the long form: wide->long is lossless."""
+    from vtb_datafusion_2023_spark.operators.projections import melt
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0)
+    )
+    long = melt(wide, ["user_id"], types, var_name="event_type", value_name="n")
+    back = {
+        (r["user_id"], r["event_type"]): int(r["n"])
+        for r in long.collect()
+    }
+    truth = {
+        (r["user_id"], r["event_type"]): r["c"]
+        for r in ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for k, v in truth.items():
+        assert back[k] == v
+    # non-occurring combos melted to the fill value, not dropped
+    assert len(back) == len(types) * wide.count()
+
+
+def test_topk_per_group_matches_sorted_head(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.analytics import topk_per_group
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events").select("user_id", "event_id", "value")
+    got = topk_per_group(ev, ["user_id"], "value", 3, tie_cols=["event_id"]).collect()
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for r in ev.collect():
+        by_user[r["user_id"]].append((-r["value"], r["event_id"]))
+    want = {
+        (u, eid)
+        for u, rows in by_user.items()
+        for _, eid in sorted(rows)[:3]
+    }
+    assert {(r["user_id"], r["event_id"]) for r in got} == want
+
+
+def test_latest_by_key_idempotent_and_partition_invariant(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.cleaning import latest_by_key
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    once = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    twice = latest_by_key(once, ["user_id"], ["ts", "event_id"])
+    assert once.exceptAll(twice).count() == 0 and twice.exceptAll(once).count() == 0
+    # result independent of input partitioning (deterministic tie-break)
+    re = latest_by_key(ev.repartition(13), ["user_id"], ["ts", "event_id"])
+    assert once.exceptAll(re).count() == 0 and re.exceptAll(once).count() == 0
+
+
+def test_json_col_malformed_rows_yield_null_not_failure(spark):
+    from vtb_datafusion_2023_spark.operators.projections import json_col
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, "not json"), (3, None), (4, '{"k": null}')],
+        "id int, props string",
+    )
+    out = {r["id"]: r["k"] for r in json_col(df, "props", "k bigint").collect()}
+    assert out == {1: 7, 2: None, 3: None, 4: None}

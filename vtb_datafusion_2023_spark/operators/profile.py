@@ -47,3 +47,33 @@ def profile(df: DataFrame, approx: bool = False) -> DataFrame:
         + ") as (column, n, n_null, n_distinct, min_num, max_num)"
     )
     return wide.selectExpr(expr)
+
+
+def key_skew(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key-skew report: per candidate key column — row count, distinct
+    keys, the hottest key's row count and share.  This is the number that
+    decides the shuffle strategy at 100 TB: top_share ~ 1/n_keys means
+    uniform (plain hash partitioning); top_share >> 1/n_keys means a hot
+    key that serializes one reducer — use ``joins.salted_join`` / AQE
+    skew handling.
+
+    Per column: one partial-aggregable two-level count (groupBy(col) ->
+    max), unioned; cost is one shuffle per audited column, run it on a
+    sample for a quick probe.
+    """
+    parts = []
+    for c in cols:
+        counts = df.groupBy(c).agg(F.count(F.lit(1)).alias("_c"))
+        parts.append(
+            counts.agg(
+                F.lit(c).alias("column"),
+                F.sum("_c").alias("n"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("_c").alias("top_n"),
+                (F.max("_c").cast("double") / F.sum("_c")).alias("top_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -186,3 +186,36 @@ def minmax_scale(
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", F.expr(sqlgen.minmax_window(c, user_col)))
     return out
+
+
+def with_rolling_time(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "24 hours",
+    prefix: str = "tw",
+) -> DataFrame:
+    """Trailing TIME-window stats: sum/count/mean of ``value_col`` over
+    the last ``window`` of event time per user (current row inclusive) —
+    the event-time companion to ``with_rolling``'s row-count frames, e.g.
+    'spend in the trailing 24h at each transaction'.
+
+    Implemented as a numeric RANGE frame over epoch seconds (engines
+    agree on integer range bounds; interval RANGE frames differ across
+    dialects).  One shuffle+sort on (user, time), state is O(rows in the
+    window) per key — no self-join blowup at 100 TB.
+    """
+    n_sec = {"hours": 3600, "hour": 3600, "minutes": 60, "minute": 60, "days": 86400, "day": 86400}
+    qty, unit = window.split()
+    sec = int(qty) * n_sec[unit]
+    epoch = f"_epoch_{ts_col}"
+    rsum = sqlgen.wrangesum(value_col, user_col, epoch, sec)
+    rcnt = sqlgen.wrangecount(value_col, user_col, epoch, sec)
+    return (
+        df.withColumn(epoch, F.expr(f"unix_timestamp({ts_col})"))
+        .withColumn(f"{prefix}_sum", F.expr(rsum))
+        .withColumn(f"{prefix}_n", F.expr(rcnt))
+        .withColumn(f"{prefix}_mean", F.expr(f"({rsum} / {rcnt})"))
+        .drop(epoch)
+    )

@@ -223,3 +223,22 @@ def zscore_pop(x: str, partition: str) -> str:
     var = f"({s2} / {n} - {mean} * {mean})"
     var_c = f"(case when {var} < 0 then 0.0 else {var} end)"
     return f"((({x}) - {mean}) / sqrt({var_c}))"
+
+
+def wrangesum(x: str, partition: str, epoch_order: str, window_sec: int) -> str:
+    """Time-range trailing sum: decimal-exact sum over rows whose order
+    value (epoch seconds) lies within the last ``window_sec`` seconds,
+    current row inclusive — a numeric RANGE frame, identical text in
+    Spark and DuckDB."""
+    return dec_to_double(
+        f"sum(cast(({x}) as {DEC})) over "
+        f"(partition by {partition} order by {epoch_order} "
+        f"range between {window_sec} preceding and current row)"
+    )
+
+
+def wrangecount(x: str, partition: str, epoch_order: str, window_sec: int) -> str:
+    return (
+        f"count({x}) over (partition by {partition} order by {epoch_order} "
+        f"range between {window_sec} preceding and current row)"
+    )

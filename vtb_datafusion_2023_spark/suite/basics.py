@@ -433,3 +433,24 @@ def p_json_extract(spark, sf_dir):
     return json_col(T(spark, sf_dir, "events"), "props", "k bigint").select(
         "event_id", "k"
     )
+
+
+@register(
+    "tbl_key_skew",
+    oracle="""
+select 'user_id' as "column", sum(c) as n, count(*) as n_keys, max(c) as top_n,
+       cast(max(c) as double) / sum(c) as top_share
+from (select count(*) as c from events group by user_id)
+union all
+select 'event_type', sum(c), count(*), max(c),
+       cast(max(c) as double) / sum(c)
+from (select count(*) as c from events group by event_type)
+""",
+    survey_ref="profile-skew",
+    doc="key-skew report (hottest-key share per candidate shuffle key) — "
+    "the diagnostic that picks plain hash vs salted/AQE-skew joins.",
+)
+def tbl_key_skew(spark, sf_dir):
+    from ..operators.profile import key_skew
+
+    return key_skew(T(spark, sf_dir, "events"), ["user_id", "event_type"])

@@ -183,3 +183,44 @@ def q4_order_priority(spark, sf_dir):
         & (li.l_shipdate > F.expr("o_orderdate + interval 60 days")),
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+select c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {sqlgen.dsum("l_quantity", "sum_qty")}
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on o_orderkey = l_orderkey
+where o_orderkey in (
+  select l_orderkey from lineitem
+  group by l_orderkey
+  having sum(cast(l_quantity as decimal(38,6))) > 300
+)
+group by c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+    survey_ref="J1,J2,A-having",
+    doc="TPC-H-q18-shaped: HAVING over a grouped subquery as a semi-join "
+    "on aggregated keys (the filter aggregates once, ships only keys).",
+)
+def q18_large_orders(spark, sf_dir):
+    from ..operators.joins import semi_join
+
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("sum(cast(l_quantity as decimal(38,6)))").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    orders = semi_join(
+        T(spark, sf_dir, "orders"), big, F.expr("o_orderkey = l_orderkey")
+    )
+    cust = T(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.expr(sqlgen.dsum("l_quantity", "sum_qty")))
+    )

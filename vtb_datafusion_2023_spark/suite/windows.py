@@ -211,3 +211,28 @@ def w12_rank_functions(spark, sf_dir):
         F.lead("event_id").over(w).alias("next_id"),
         F.lag("event_id").over(w).alias("prev_id"),
     )
+
+
+_TW_EPOCH = "cast(floor(epoch(ts)) as bigint)"
+
+
+@register(
+    "w13_rolling_time_window",
+    oracle=f"""
+select event_id, user_id,
+       {sqlgen.wrangesum("value", "user_id", _TW_EPOCH, 86400)} as tw_sum,
+       {sqlgen.wrangecount("value", "user_id", _TW_EPOCH, 86400)} as tw_n,
+       ({sqlgen.wrangesum("value", "user_id", _TW_EPOCH, 86400)}
+        / {sqlgen.wrangecount("value", "user_id", _TW_EPOCH, 86400)}) as tw_mean
+from events
+""",
+    survey_ref="w-time-range-frame",
+    doc="trailing 24h event-time window per user (numeric RANGE frame "
+    "over epoch seconds): spend-in-last-day at every event.",
+)
+def w13_rolling_time_window(spark, sf_dir):
+    from ..operators.windows import with_rolling_time
+
+    return with_rolling_time(
+        T(spark, sf_dir, "events"), "user_id", "ts", "value", "24 hours"
+    ).select("event_id", "user_id", "tw_sum", "tw_n", "tw_mean")
