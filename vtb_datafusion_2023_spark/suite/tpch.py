@@ -224,3 +224,37 @@ def q18_large_orders(spark, sf_dir):
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.expr(sqlgen.dsum("l_quantity", "sum_qty")))
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+select {sqlgen.dsum("l_extendedprice", "total_price")},
+       ({sqlgen.dsum("l_extendedprice")} / cast(7 as double)) as avg_yearly
+from lineitem
+join (
+  select l_partkey as pk, (cast(0.2 as double) * {sqlgen.davg("l_quantity")}) as thresh
+  from lineitem group by l_partkey
+) on l_partkey = pk
+where l_quantity < thresh
+""",
+    survey_ref="J-corr-agg",
+    doc="TPC-H-q17-shaped: correlated per-key aggregate threshold as an "
+    "aggregate-then-join (the per-part avg computes once, joins back on "
+    "the same key partitioning — no per-row subquery).",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.expr(f"cast(0.2 as double) * {sqlgen.davg('l_quantity')}").alias("thresh")
+    )
+    return (
+        li.join(thresh, li.l_partkey == thresh.pk)
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            F.expr(sqlgen.dsum("l_extendedprice", "total_price")),
+            F.expr(f"({sqlgen.dsum('l_extendedprice')} / cast(7 as double))").alias(
+                "avg_yearly"
+            ),
+        )
+    )
