@@ -454,3 +454,57 @@ def tbl_key_skew(spark, sf_dir):
     from ..operators.profile import key_skew
 
     return key_skew(T(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@register(
+    "p_temporal_battery",
+    oracle="""
+select event_id,
+       cast(date_trunc('month', ts) as timestamp) as month_start,
+       cast(date_trunc('week', ts) as timestamp) as week_start,
+       cast(date_trunc('quarter', ts) as timestamp) as quarter_start,
+       cast(ts + interval 3 month as timestamp) as plus_3m,
+       cast(date_diff('day', timestamp '1995-01-01 00:00:00', ts) as bigint) as days_since,
+       cast(extract(doy from ts) as bigint) as day_of_year,
+       cast(extract(week from ts) as bigint) as iso_week
+from events
+""",
+    survey_ref="P1-battery",
+    doc="temporal-function battery: truncation grains, interval add, "
+    "day diff, ISO week/doy — cross-engine semantics locked bitwise.",
+)
+def p_temporal_battery(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.date_trunc("quarter", "ts").alias("quarter_start"),
+        F.expr("ts + interval 3 months").alias("plus_3m"),
+        F.datediff(F.col("ts"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        F.dayofyear("ts").cast("bigint").alias("day_of_year"),
+        F.weekofyear("ts").cast("bigint").alias("iso_week"),
+    )
+
+
+@register(
+    "so4_intersect",
+    oracle="""
+select user_id from events where ts <  timestamp '2024-01-16 00:00:00'
+intersect
+select user_id from events where ts >= timestamp '2024-01-16 00:00:00'
+""",
+    survey_ref="SO-intersect",
+    doc="INTERSECT DISTINCT: users active in both halves of the time "
+    "range (plans as an aggregate + semi path, not a full join).",
+)
+def so4_intersect(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return (
+        ev.filter(F.col("ts") < cut)
+        .select("user_id")
+        .intersect(ev.filter(F.col("ts") >= cut).select("user_id"))
+    )
