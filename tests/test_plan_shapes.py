@@ -238,3 +238,63 @@ def test_rank_filters_plan_window_group_limit(spark, sf_small):
 def test_q4_exists_is_semi_join(spark, sf_small):
     p = plan_of(QS["q4_order_priority"](spark, sf_small))
     assert "LeftSemi" in p, p
+
+
+def test_q1_single_exchange_partial_agg(spark, sf_small):
+    """q1 is the canonical scan-bound aggregate: partial (map-side)
+    HashAggregate collapses the scan before ONE exchange on the tiny
+    (returnflag, linestatus) key."""
+    q = QS["q1_pricing_summary"](spark, sf_small)
+    p = plan_of(q)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("HashAggregate") == 2, p  # partial + final
+    f = formatted(q)
+    assert "LessThanOrEqual(l_shipdate" in f, f
+
+
+def test_q6_all_predicates_reach_scan(spark, sf_small):
+    """q6: every filter (date range, discount bounds, quantity cap) must
+    appear in PushedFilters — the scan, not the engine, drops the rows."""
+    f = formatted(QS["q6_forecast_revenue"](spark, sf_small))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in f, (frag, f)
+
+
+def test_q19_disjunction_stays_single_join_pass(spark, sf_small):
+    """q19's OR-of-ANDs must NOT expand into a union of scans: one
+    broadcast join over one lineitem scan, with the per-table quantity
+    envelope pushed into the scan as an Or() filter."""
+    q = QS["q19_disjunctive_revenue"](spark, sf_small)
+    p = plan_of(q)
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert p.count("FileScan") + p.count("BatchScan") == 2, p  # lineitem + part
+    f = formatted(q)
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in f, f
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark, sf_small):
+    p = plan_of(QS["q16_supplier_cnt"](spark, sf_small))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_q21_no_self_join_single_fact_scan(spark, sf_small):
+    """q21's EXISTS/NOT-EXISTS pair folds into one per-order aggregate —
+    the plan must scan lineitem exactly once (no late-pairs self-join)."""
+    f = formatted(QS["q21_waiting_supplier"](spark, sf_small))
+    assert len([ln for ln in f.splitlines() if "lineitem.parquet" in ln]) <= 1, f
+
+
+def test_q22_scalar_subquery_is_one_row_broadcast(spark, sf_small):
+    """q22's global-average threshold must plan as a 1-row broadcast
+    nested-loop join (computed once), plus a LeftAnti for NOT IN — never
+    a per-row subquery."""
+    p = plan_of(QS["q22_idle_customers"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "LeftAnti" in p, p

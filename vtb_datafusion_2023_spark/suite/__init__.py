@@ -69,5 +69,6 @@ def _load_all() -> None:
     from . import datapipe  # noqa: F401
     from . import streaming  # noqa: F401
     from . import tpch  # noqa: F401
+    from . import tpch2  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,567 @@
+"""Suite: TPC-H-shaped plan families beyond the multi-join star set.
+
+``tpch.py`` covers star joins + top-N (q3/q5/q10), EXISTS (q4), HAVING
+(q18) and correlated aggregates (q17).  This module adds the remaining
+canonical warehouse plan shapes, adapted to the driver's schema (no
+partsupp / commitdate / shipmode columns — substitutes are noted per
+query).  Together they generalize the reference's single feature-assembly
+join (J1/J2, /root/reference/run.py:435-464) into full analytical
+coverage.
+
+Scale notes (SCALE.md §22):
+- q1/q6 are single-scan aggregations: predicate + column pruning reach the
+  parquet reader, partial aggregation is map-side, one exchange on the
+  (tiny) group key.  The shape is scan-bound at 100 TB — the ideal plan.
+- q7/q8/q9 join the fact table once per fact side and broadcast every
+  dimension; the only big shuffle is the final group-by, whose key
+  cardinality (nation x year) is tiny, so partial aggs collapse nearly
+  all rows map-side.
+- q16's count(distinct) expands to a two-phase exact plan (group by
+  brand/type/size/supp, then re-group); the NOT IN blacklist becomes a
+  broadcast anti-join, never a per-row subquery.
+- q19's OR-of-ANDs stays a single broadcast-hash-join pass: part-only
+  conjuncts push into the part scan, lineitem-only bounds
+  (quantity ranges) push into the fact scan, and the residual OR
+  evaluates in codegen — no union-of-three-scans blowup.
+- q20/q21 nest semi/anti joins: each EXISTS ships only join keys
+  (LeftSemi/LeftAnti), so no intermediate row multiplication at any SF.
+- q22's scalar subquery is a 1-row aggregate broadcast as a nested-loop
+  join input — computed once, never per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+from . import register
+from ._util import T
+from .tpch import REVENUE
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+select l_returnflag, l_linestatus,
+       {sqlgen.dsum("l_quantity", "sum_qty")},
+       {sqlgen.dsum("l_extendedprice", "sum_base_price")},
+       {sqlgen.dsum(REVENUE, "sum_disc_price")},
+       {sqlgen.dsum(f"{REVENUE} * (1 + l_tax)", "sum_charge")},
+       {sqlgen.davg("l_quantity", "avg_qty")},
+       {sqlgen.davg("l_extendedprice", "avg_price")},
+       {sqlgen.davg("l_discount", "avg_disc")},
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '2001-06-01 00:00:00'
+group by l_returnflag, l_linestatus
+""",
+    survey_ref="A-group-agg,P10",
+    doc="TPC-H-q1-shaped: full-scan pricing summary — 8 aggregates over "
+    "2 tiny group keys; map-side partial agg collapses the scan.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= _ts("2001-06-01 00:00:00")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(sqlgen.dsum("l_quantity", "sum_qty")),
+        F.expr(sqlgen.dsum("l_extendedprice", "sum_base_price")),
+        F.expr(sqlgen.dsum(REVENUE, "sum_disc_price")),
+        F.expr(sqlgen.dsum(f"{REVENUE} * (1 + l_tax)", "sum_charge")),
+        F.expr(sqlgen.davg("l_quantity", "avg_qty")),
+        F.expr(sqlgen.davg("l_extendedprice", "avg_price")),
+        F.expr(sqlgen.davg("l_discount", "avg_disc")),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+select {sqlgen.dsum("l_extendedprice * l_discount", "revenue")}
+from lineitem
+where l_shipdate >= timestamp '1997-01-01 00:00:00'
+  and l_shipdate < timestamp '1998-01-01 00:00:00'
+  and l_discount >= cast(0.03 as double) and l_discount <= cast(0.07 as double)
+  and l_quantity < 24
+""",
+    survey_ref="F1,A-group-agg",
+    doc="TPC-H-q6-shaped: pure filter+global-sum — every predicate pushes "
+    "to the parquet scan (double casts on the discount bounds keep the "
+    "comparison in double on both engines; a bare 0.03 literal is DECIMAL "
+    "and would exclude the nearest-double 0.03 rows).",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+        & (F.col("l_discount") >= F.lit(0.03))
+        & (F.col("l_discount") <= F.lit(0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.expr(sqlgen.dsum("l_extendedprice * l_discount", "revenue")))
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+select supp_nation, cust_nation, l_year, {sqlgen.dsum("volume", "revenue")}
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+         cast(year(l_shipdate) as int) as l_year,
+         {REVENUE} as volume
+  from supplier
+  join lineitem on s_suppkey = l_suppkey
+  join orders on o_orderkey = l_orderkey
+  join customer on c_custkey = o_custkey
+  join nation n1 on s_nationkey = n1.n_nationkey
+  join nation n2 on c_nationkey = n2.n_nationkey
+  where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+     or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+) shipping
+group by supp_nation, cust_nation, l_year
+""",
+    survey_ref="J1,J2,A-group-agg",
+    doc="TPC-H-q7-shaped: the same dimension joined twice under different "
+    "roles (supplier nation / customer nation) with a cross-role "
+    "disjunction; both nation sides broadcast.",
+)
+def q7_nation_volume(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            F.expr(REVENUE).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.expr(sqlgen.dsum("volume", "revenue")))
+    )
+
+
+_Q8_NUM = sqlgen.dec_to_double(
+    "sum(cast((case when supp_nation = 'NATION_1' then volume end) as decimal(38,6)))"
+)
+_Q8_DEN = sqlgen.dec_to_double("sum(cast(volume as decimal(38,6)))")
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+select o_year, (coalesce({_Q8_NUM}, cast(0 as double)) / {_Q8_DEN}) as mkt_share
+from (
+  select cast(year(o_orderdate) as int) as o_year,
+         {REVENUE} as volume,
+         n1.n_name as supp_nation
+  from lineitem
+  join orders on o_orderkey = l_orderkey
+  join customer on c_custkey = o_custkey
+  join supplier on s_suppkey = l_suppkey
+  join part on p_partkey = l_partkey
+  join nation n1 on s_nationkey = n1.n_nationkey
+  join nation n2 on c_nationkey = n2.n_nationkey
+  join region on n2.n_regionkey = r_regionkey
+  where r_name = 'AMERICA' and p_type = 'ECONOMY'
+) all_nations
+group by o_year
+""",
+    survey_ref="J1,J2,P10,A-group-agg",
+    doc="TPC-H-q8-shaped: conditional-share ratio — one nation's fraction "
+    "of regional revenue per year; numerator and denominator aggregate in "
+    "one pass (a CASE inside the sum, not a second scan).",
+)
+def q8_market_share(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = F.broadcast(
+        T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    )
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("n2_key"))
+    )
+    all_nations = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(REVENUE).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return all_nations.groupBy("o_year").agg(
+        F.expr(
+            f"(coalesce({_Q8_NUM}, cast(0 as double)) / {_Q8_DEN})"
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+select n_name as nation, o_year, {sqlgen.dsum("amount", "sum_profit")}
+from (
+  select n_name, cast(year(o_orderdate) as int) as o_year,
+         ({REVENUE} - p_retailprice * l_quantity) as amount
+  from lineitem
+  join part on p_partkey = l_partkey
+  join supplier on s_suppkey = l_suppkey
+  join orders on o_orderkey = l_orderkey
+  join nation on s_nationkey = n_nationkey
+  where p_name like '%widget%'
+) profit
+group by n_name, o_year
+""",
+    survey_ref="J1,J2,A-group-agg",
+    doc="TPC-H-q9-shaped: per-nation-per-year profit on a part-name "
+    "pattern (p_retailprice*l_quantity stands in for the absent "
+    "ps_supplycost); LIKE prunes the broadcast part side before the join.",
+)
+def q9_product_profit(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(T(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(f"({REVENUE} - p_retailprice * l_quantity)").alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.expr(sqlgen.dsum("amount", "sum_profit")))
+    )
+
+
+@register(
+    "q12_late_shipments",
+    oracle="""
+select l_linestatus as shipmode,
+       cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as low_line_count
+from orders
+join lineitem on o_orderkey = l_orderkey
+where l_shipdate > o_orderdate + interval 90 day
+group by l_linestatus
+""",
+    survey_ref="J1,P4,A-group-agg",
+    doc="TPC-H-q12-shaped: conditional counts split by priority class "
+    "over late shipments (shipped >90 days after ordering; l_linestatus "
+    "stands in for the absent l_shipmode).",
+)
+def q12_late_shipments(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = "o_orderpriority in ('1-URGENT', '2-HIGH')"
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.expr("l_shipdate > o_orderdate + interval 90 days"))
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.expr(f"cast(sum(case when {hi} then 1 else 0 end) as bigint)").alias(
+                "high_line_count"
+            ),
+            F.expr(f"cast(sum(case when not ({hi}) then 1 else 0 end) as bigint)").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+_Q14_NUM = sqlgen.dec_to_double(
+    f"sum(cast((case when p_type = 'PROMO' then {REVENUE} end) as decimal(38,6)))"
+)
+_Q14_DEN = sqlgen.dec_to_double(f"sum(cast(({REVENUE}) as decimal(38,6)))")
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+select (cast(100 as double) * coalesce({_Q14_NUM}, cast(0 as double)) / {_Q14_DEN})
+       as promo_revenue
+from lineitem
+join part on l_partkey = p_partkey
+where l_shipdate >= timestamp '1997-09-01 00:00:00'
+  and l_shipdate < timestamp '1997-10-01 00:00:00'
+""",
+    survey_ref="J1,P10",
+    doc="TPC-H-q14-shaped: promo share of one month's revenue — "
+    "conditional/total ratio in a single aggregate pass over a broadcast "
+    "part join.",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-10-01 00:00:00"))
+    )
+    part = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.expr(
+            f"(cast(100 as double) * coalesce({_Q14_NUM}, cast(0 as double)) / {_Q14_DEN})"
+        ).alias("promo_revenue")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+select p_brand, p_type, p_size, count(distinct l_suppkey) as supplier_cnt
+from part
+join lineitem on p_partkey = l_partkey
+where p_brand <> 'Brand#4'
+  and p_size in (1, 5, 10, 15, 20, 25)
+  and l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0)
+group by p_brand, p_type, p_size
+""",
+    survey_ref="J3,SO1,A-group-agg",
+    doc="TPC-H-q16-shaped: exact count(distinct) per brand/type/size with "
+    "a NOT IN supplier blacklist planned as a broadcast anti-join "
+    "(s_acctbal<0 stands in for the comment-pattern complaint filter).",
+)
+def q16_supplier_cnt(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+    part = F.broadcast(
+        T(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#4")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+select {sqlgen.dsum(REVENUE, "revenue")}
+from lineitem
+join part on p_partkey = l_partkey
+where (p_brand = 'Brand#4' and p_size between 1 and 15
+       and l_quantity >= 1 and l_quantity <= 11)
+   or (p_brand = 'Brand#2' and p_size between 1 and 25
+       and l_quantity >= 10 and l_quantity <= 20)
+   or (p_brand = 'Brand#19' and p_size between 1 and 35
+       and l_quantity >= 20 and l_quantity <= 30)
+""",
+    survey_ref="J1,F2",
+    doc="TPC-H-q19-shaped: OR-of-ANDs mixed-table predicate — stays one "
+    "broadcast join pass; per-table bounds (brand/size union, quantity "
+    "envelope) push into each scan, the residual OR runs in codegen.",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    cond = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 35)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.expr(sqlgen.dsum(REVENUE, "revenue")))
+    )
+
+
+@register(
+    "q20_promo_suppliers",
+    oracle="""
+select s_name, s_acctbal
+from supplier
+where s_suppkey in (
+  select l_suppkey
+  from lineitem
+  where l_partkey in (select p_partkey from part where p_type = 'PROMO')
+    and l_shipdate >= timestamp '1997-01-01 00:00:00'
+    and l_shipdate < timestamp '1998-01-01 00:00:00'
+  group by l_suppkey, l_partkey
+  having sum(cast(l_quantity as decimal(38,6))) > 60
+)
+""",
+    survey_ref="J3-dual,A-having",
+    doc="TPC-H-q20-shaped: nested IN subqueries — part filter as a "
+    "broadcast semi-join into lineitem, grouped HAVING threshold, then a "
+    "semi-join into supplier; only keys ship at every level.",
+)
+def q20_promo_suppliers(spark, sf_dir):
+    from ..operators.joins import semi_join
+
+    promo = F.broadcast(
+        T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    li = semi_join(li, promo, li.l_partkey == promo.p_partkey)
+    heavy = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr("sum(cast(l_quantity as decimal(38,6)))").alias("_q"))
+        .filter(F.col("_q") > 60)
+        .select("l_suppkey")
+    )
+    supp = T(spark, sf_dir, "supplier")
+    return semi_join(supp, heavy, F.expr("s_suppkey = l_suppkey")).select(
+        "s_name", "s_acctbal"
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+with lines as (
+  select l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + interval 60 day) as late
+  from lineitem join orders on l_orderkey = o_orderkey
+), solo as (
+  select l_orderkey,
+         count(distinct l_suppkey) as n_supp,
+         count(distinct case when late then l_suppkey end) as n_late,
+         max(case when late then l_suppkey end) as bad_supp
+  from lines group by l_orderkey
+)
+select s_name, count(*) as numwait
+from solo
+join supplier on bad_supp = s_suppkey
+where n_supp > 1 and n_late = 1
+group by s_name
+order by numwait desc, s_name
+limit 10
+""",
+    survey_ref="J3-dual,A-group-agg",
+    doc="TPC-H-q21-shaped: sole-late-supplier in multi-supplier orders. "
+    "The EXISTS / NOT EXISTS pair collapses into ONE per-order aggregate: "
+    "because qualifying orders have exactly one late supplier (n_late=1), "
+    "max(case when late then suppkey) IS that supplier — no self-join "
+    "back to the late lines, one fact scan, one shuffle on the order key.",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("l_shipdate > o_orderdate + interval 60 days").alias("late"),
+    )
+    solo = (
+        lines.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.expr("case when late then l_suppkey end")).alias("n_late"),
+            F.expr("max(case when late then l_suppkey end)").alias("bad_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = F.broadcast(T(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        solo.join(supp, solo.bad_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+_Q22_AVG = sqlgen.davg("case when c_acctbal > 0 then c_acctbal end")
+
+
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+select c_nationkey as cntrycode, count(*) as numcust,
+       {sqlgen.dsum("c_acctbal", "totacctbal")}
+from customer
+cross join (select {_Q22_AVG} as avg_bal from customer) g
+where c_acctbal > avg_bal
+  and c_custkey not in (
+    select o_custkey from orders
+    where o_orderdate >= timestamp '2000-01-01 00:00:00'
+  )
+group by c_nationkey
+""",
+    survey_ref="J3,A-group-agg",
+    doc="TPC-H-q22-shaped: scalar-subquery threshold (global positive-"
+    "balance average, computed once and broadcast as a 1-row join input) "
+    "+ NOT IN anti-join against recent orders (every synthetic customer "
+    "has SOME order, so 'idle' = no order since 2000), grouped by nation.",
+)
+def q22_idle_customers(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    avg_bal = F.broadcast(cust.agg(F.expr(f"{_Q22_AVG} as avg_bal")))
+    ordered = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(ordered, cust.c_custkey == ordered.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(sqlgen.dsum("c_acctbal", "totacctbal")),
+        )
+    )
