@@ -279,3 +279,33 @@ def test_csv_robust_drops_corrupt_rows(spark, tmp_path):
     # quarantine path: the corrupt line survives with its raw text
     bad = kept.filter("_corrupt_record is not null").collect()
     assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+
+
+def test_decontaminate_drop_removes_exactly_flagged(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.text import decontaminate, decontaminate_drop
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = {r.doc_id for r in decontaminate(corpus, bench).collect()}
+    kept = {r.doc_id for r in decontaminate_drop(corpus, bench).collect()}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert kept == all_ids - flagged
+    assert flagged  # non-vacuous on the synthetic corpus
+
+
+def test_cap_per_group_bounds_and_determinism(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.filtering import cap_per_group
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    capped = cap_per_group(docs, "source", 5, "doc_id")
+    counts = {r["source"]: r["n"] for r in capped.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert counts and all(n <= 5 for n in counts.values()), counts
+    a = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    b = sorted(r.doc_id for r in cap_per_group(docs, "source", 5, "doc_id").select("doc_id").collect())
+    assert a == b  # same draw every run

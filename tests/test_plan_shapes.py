@@ -298,3 +298,21 @@ def test_q22_scalar_subquery_is_one_row_broadcast(spark, sf_small):
     p = plan_of(QS["q22_idle_customers"](spark, sf_small))
     assert "BroadcastNestedLoopJoin" in p, p
     assert "LeftAnti" in p, p
+
+
+def test_cap_per_source_plans_window_group_limit(spark, sf_small):
+    p = plan_of(QS["dp_cap_per_source"](spark, sf_small))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_decontaminate_broadcasts_benchmark_no_corpus_shuffle(spark, sf_small):
+    """The corpus side must probe a broadcast benchmark-gram set — the
+    only hashpartitioning exchange is the tiny (id, hits) group-by, never
+    the exploded corpus text."""
+    q = QS["text_decontaminate"](spark, sf_small)
+    p = plan_of(q)
+    assert "BroadcastHashJoin" in p, p
+    # exactly two shuffles, both tiny: the benchmark-gram distinct and the
+    # final (id, hits) group-by — the exploded corpus text never shuffles
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "SortMergeJoin" not in p, p

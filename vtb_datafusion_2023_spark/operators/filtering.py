@@ -131,3 +131,29 @@ def stratified_sample(
     corpus) in one scan-side filter — no shuffle, no count pass; seeded so
     reruns draw the same rows."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic per-group downsample: keep at most ``n`` rows per
+    ``key_col`` (e.g. cap any one source/domain's share of a training
+    corpus), selected by hash rank so the choice is content-independent,
+    reproducible, and identical on any engine or cluster layout.
+
+    The rank<=n filter triggers Catalyst's WindowGroupLimit rewrite:
+    every task keeps an n-row heap per group BEFORE the exchange, so the
+    shuffle carries O(groups x n) rows — a skewed 100 TB source costs the
+    same as a balanced one.  md5(id) (not rand()) orders the draw; the id
+    tie-break makes it total.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

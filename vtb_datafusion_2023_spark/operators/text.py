@@ -238,3 +238,50 @@ def pack_sequences(
         .withColumn("pack_id", F.floor(pre / F.lit(target_tokens)))
         .select(id_col, group_col, "n_tokens", "pack_id")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of word n-grams that
+    also appear in ``benchmark`` (the held-out eval corpus).  Returns
+    ``(id_col, n_hits)`` for contaminated documents only; anti-join the
+    result back (or use ``decontaminate_drop``) to clean the corpus.
+
+    Scale shape: benchmarks are MB-scale while the corpus is TB-scale, so
+    the distinct benchmark n-gram set is collected into a broadcast hash
+    side — the corpus pass is a narrow shingle+probe with NO shuffle of
+    document text; only (id, matched-gram) pairs reach the small grouped
+    count.  Shingling reuses ``dedup.word_shingles`` (JVM-side, codegen).
+    """
+    from .dedup import word_shingles
+
+    bench = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("_g"))
+        .distinct()
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_g")
+    )
+    return (
+        grams.join(F.broadcast(bench), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate_drop(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus minus every document sharing >= 1 word n-gram with the
+    benchmark (broadcast anti-join on the contaminated-id set)."""
+    bad = decontaminate(docs, benchmark, id_col, text_col, n).select(id_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

@@ -741,3 +741,70 @@ def sql_surface(spark, sf_dir):
         from documents
         """
     )
+
+
+# DuckDB mirror of dedup.word_shingles(n=3): 1-based clamped slices over
+# the whitespace tokens, distinct per document.
+_DUCK_TRIGRAMS = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(ws) - 2, 1) + 1), "
+    "i -> array_to_string(ws[i:i+2], ' ')))"
+)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+with bench as (
+  select distinct g
+  from (select unnest({_DUCK_TRIGRAMS}) as g
+        from (select string_split(text, ' ') as ws
+              from documents where doc_id % 97 = 0))
+),
+grams as (
+  select doc_id, unnest({_DUCK_TRIGRAMS}) as g
+  from (select doc_id, string_split(text, ' ') as ws
+        from documents where doc_id % 97 <> 0)
+)
+select doc_id, count(*) as n_hits
+from grams join bench using (g)
+group by doc_id
+""",
+    survey_ref="text-decontaminate",
+    doc="benchmark decontamination: word-trigram overlap between the "
+    "corpus and a held-out benchmark (docs with id%97=0 stand in); the "
+    "benchmark gram set broadcasts, the corpus pass is shuffle-free.",
+)
+def text_decontaminate(spark, sf_dir):
+    from ..operators.text import decontaminate
+
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=3)
+
+
+@register(
+    "dp_cap_per_source",
+    oracle="""
+select doc_id, source
+from (
+  select doc_id, source,
+         row_number() over (
+           partition by source
+           order by md5(cast(doc_id as varchar)), doc_id
+         ) as rn
+  from documents
+)
+where rn <= 40
+""",
+    survey_ref="dp-cap-per-group",
+    doc="per-source corpus cap (domain balancing): keep at most 40 docs "
+    "per source, drawn by md5 hash rank — deterministic, engine-portable, "
+    "and planned as WindowGroupLimit (per-task n-row heaps pre-shuffle).",
+)
+def dp_cap_per_source(spark, sf_dir):
+    from ..operators.filtering import cap_per_group
+
+    docs = T(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", 40, "doc_id").select("doc_id", "source")
