@@ -88,3 +88,37 @@ def test_dec_to_double_split_huge_within_one_ulp(d):
     ).fetchone()[0]
     want = float(int(d)) + float(d - int(d))
     assert got == want or abs(got - want) <= abs(np.spacing(want))
+
+
+def _py_fsum(xs):
+    """IEEE reference for sqlgen.fsum: same hi/lo fixed-point split in
+    Python float ops (Python and the engines share correctly-rounded
+    float64 arithmetic, and Python's int sums are exact)."""
+    import math
+
+    hi = [math.floor(x + 0.5) for x in xs]
+    lo = [math.floor((x - float(h)) * 1000000.0 + 0.5) for x, h in zip(xs, hi)]
+    return float(sum(hi)) + float(sum(lo)) / 1000000.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fsum_fixed_point_is_engine_stable(xs):
+    """sqlgen.fsum (fast fixed-point long sum) is bitwise identical in
+    DuckDB and the Python IEEE reference — ties at .5, negatives, and
+    1e9 magnitudes included.  NOTE: literals go in as cast('<repr>' as
+    double); a bare numeric literal is DECIMAL in DuckDB and double-
+    rounds, which is a harness artifact, not an engine divergence."""
+    con = duckdb.connect()
+    values = ",".join(f"(cast('{x!r}' as double))" for x in xs)
+    con.execute(f"create table t as select * from (values {values}) v(x)")
+    got = con.execute("select " + sqlgen.fsum("x") + " from t").fetchone()[0]
+    assert got == _py_fsum(xs)

@@ -47,13 +47,13 @@ def _ts(s: str):
     "q1_pricing_summary",
     oracle=f"""
 select l_returnflag, l_linestatus,
-       {sqlgen.dsum("l_quantity", "sum_qty")},
-       {sqlgen.dsum("l_extendedprice", "sum_base_price")},
-       {sqlgen.dsum(REVENUE, "sum_disc_price")},
-       {sqlgen.dsum(f"{REVENUE} * (1 + l_tax)", "sum_charge")},
-       {sqlgen.davg("l_quantity", "avg_qty")},
-       {sqlgen.davg("l_extendedprice", "avg_price")},
-       {sqlgen.davg("l_discount", "avg_disc")},
+       {sqlgen.fsum("l_quantity", "sum_qty")},
+       {sqlgen.fsum("l_extendedprice", "sum_base_price")},
+       {sqlgen.fsum(REVENUE, "sum_disc_price")},
+       {sqlgen.fsum(f"{REVENUE} * (1 + l_tax)", "sum_charge")},
+       {sqlgen.favg("l_quantity", "avg_qty")},
+       {sqlgen.favg("l_extendedprice", "avg_price")},
+       {sqlgen.favg("l_discount", "avg_disc")},
        count(*) as count_order
 from lineitem
 where l_shipdate <= timestamp '2001-06-01 00:00:00'
@@ -68,13 +68,13 @@ def q1_pricing_summary(spark, sf_dir):
         F.col("l_shipdate") <= _ts("2001-06-01 00:00:00")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.expr(sqlgen.dsum("l_quantity", "sum_qty")),
-        F.expr(sqlgen.dsum("l_extendedprice", "sum_base_price")),
-        F.expr(sqlgen.dsum(REVENUE, "sum_disc_price")),
-        F.expr(sqlgen.dsum(f"{REVENUE} * (1 + l_tax)", "sum_charge")),
-        F.expr(sqlgen.davg("l_quantity", "avg_qty")),
-        F.expr(sqlgen.davg("l_extendedprice", "avg_price")),
-        F.expr(sqlgen.davg("l_discount", "avg_disc")),
+        F.expr(sqlgen.fsum("l_quantity", "sum_qty")),
+        F.expr(sqlgen.fsum("l_extendedprice", "sum_base_price")),
+        F.expr(sqlgen.fsum(REVENUE, "sum_disc_price")),
+        F.expr(sqlgen.fsum(f"{REVENUE} * (1 + l_tax)", "sum_charge")),
+        F.expr(sqlgen.favg("l_quantity", "avg_qty")),
+        F.expr(sqlgen.favg("l_extendedprice", "avg_price")),
+        F.expr(sqlgen.favg("l_discount", "avg_disc")),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -82,7 +82,7 @@ def q1_pricing_summary(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     oracle=f"""
-select {sqlgen.dsum("l_extendedprice * l_discount", "revenue")}
+select {sqlgen.fsum("l_extendedprice * l_discount", "revenue")}
 from lineitem
 where l_shipdate >= timestamp '1997-01-01 00:00:00'
   and l_shipdate < timestamp '1998-01-01 00:00:00'
@@ -103,7 +103,7 @@ def q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") >= F.lit(0.03))
         & (F.col("l_discount") <= F.lit(0.07))
         & (F.col("l_quantity") < 24)
-    ).agg(F.expr(sqlgen.dsum("l_extendedprice * l_discount", "revenue")))
+    ).agg(F.expr(sqlgen.fsum("l_extendedprice * l_discount", "revenue")))
 
 
 @register(
