@@ -316,3 +316,42 @@ def test_decontaminate_broadcasts_benchmark_no_corpus_shuffle(spark, sf_small):
     # final (id, hits) group-by — the exploded corpus text never shuffles
     assert p.count("Exchange hashpartitioning") == 2, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_expectations_single_scan_single_aggregate(spark, sf_small):
+    """expect(): all rules evaluate inside one aggregate over one scan —
+    rule count never multiplies jobs."""
+    p = plan_of(QS["clean_expectations"](spark, sf_small))
+    assert p.count("FileScan") + p.count("BatchScan") == 1, p
+
+
+def test_incremental_merge_partials_match_full_recompute(spark, sf_small):
+    """Mergeable hi/lo state: merging per-batch partials is bitwise equal
+    to one global aggregate — and merging the SAME partials twice in a
+    different order changes nothing (associativity)."""
+    import struct
+
+    from vtb_datafusion_2023_spark.operators.rollup import (
+        finalize_partials,
+        merge_partials,
+        partial_agg,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    thirds = [
+        partial_agg(ev.filter(F.dayofmonth("day") % 3 == k), ["event_type", "day"], "value")
+        for k in range(3)
+    ]
+    merged = finalize_partials(merge_partials(thirds, ["event_type", "day"]))
+    rev = finalize_partials(merge_partials(thirds[::-1], ["event_type", "day"]))
+    full = finalize_partials(partial_agg(ev, ["event_type", "day"], "value"))
+
+    def snap(df):
+        return sorted(
+            (r.event_type, r.day, r.n, struct.pack("d", r.total))
+            for r in df.collect()
+        )
+
+    assert snap(merged) == snap(full) == snap(rev)

@@ -77,3 +77,28 @@ def key_skew(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Data-quality expectations: every rule is a SQL boolean each row
+    must satisfy; returns ``(rule, n_violations, n_rows)`` per rule.
+
+    ONE scan, one 1-row aggregate regardless of rule count — each rule
+    compiles to a conditional count inside the same HashAggregate (NULL
+    counts as a violation: an expectation that cannot be evaluated is not
+    met).  The result unpivots via ``stack``, so adding rules never adds
+    jobs — the 100 TB validation sweep costs exactly one pass.
+    """
+    aggs = [
+        F.expr(
+            f"cast(sum(case when not ({expr}) or ({expr}) is null "
+            f"then 1 else 0 end) as bigint)"
+        ).alias(name)
+        for name, expr in rules.items()
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    pairs = ", ".join(f"'{name}', {name}" for name in rules)
+    return row.selectExpr(
+        f"stack({len(rules)}, {pairs}) as (rule, n_violations)",
+        "cast(_n as bigint) as n_rows",
+    )

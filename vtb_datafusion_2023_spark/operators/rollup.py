@@ -59,3 +59,45 @@ def cube_agg(
             F.grouping_id().alias("lvl"),
         )
     )
+
+
+def partial_agg(
+    df: DataFrame,
+    keys: list,
+    value_col: str,
+    prefix: str = "total",
+) -> DataFrame:
+    """Per-key mergeable aggregation state: row count plus the fixed-point
+    hi/lo integer sums of ``value_col`` (``sqlgen.fsum_state``).
+
+    This is incremental-rollup building block #1: aggregate each new
+    ingest batch/partition to its partial state and persist it — history
+    never rescans.  The state is exact integers, so merge order and
+    partitioning cannot change the finished total by even one bit.
+    """
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.expr(e) for e in sqlgen.fsum_state(value_col, prefix)],
+    )
+
+
+def merge_partials(parts: list[DataFrame], keys: list[str], prefix: str = "total") -> DataFrame:
+    """Merge any number of partial-state tables (exact, associative):
+    union -> one re-aggregation on the same keys.  O(groups), not O(rows)
+    — the 100 TB lever for maintained dashboards: merging a day's partial
+    into a year's rollup touches only group cardinality."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*keys).agg(
+        F.expr("cast(sum(n) as bigint) as n"),
+        *[F.expr(e) for e in sqlgen.fsum_merge(prefix)],
+    )
+
+
+def finalize_partials(df: DataFrame, prefix: str = "total") -> DataFrame:
+    """Finish merged state into the double total; drops the state cols.
+    Bitwise identical to a single global aggregate over all rows."""
+    return df.withColumn(prefix, F.expr(sqlgen.fsum_final(prefix))).drop(
+        f"{prefix}_hi", f"{prefix}_lo"
+    )

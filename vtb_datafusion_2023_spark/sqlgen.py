@@ -124,6 +124,39 @@ def favg(x: str, alias: str | None = None) -> str:
     return f"{e} as {alias}" if alias else e
 
 
+def fsum_state(x: str, prefix: str) -> list[str]:
+    """Mergeable fixed-point sum STATE (hi/lo int64 partial sums).
+
+    Unlike a finished double sum, the integer state is exactly mergeable
+    in any order/grouping: re-aggregating partials with ``fsum_merge``
+    and finishing with ``fsum_final`` is bit-identical to a single global
+    ``fsum`` — the table-level analogue of Spark's internal partial
+    aggregation, used for incremental rollup maintenance."""
+    hi, lo = _fparts(x)
+    return [
+        f"cast(sum({hi}) as bigint) as {prefix}_hi",
+        f"cast(sum({lo}) as bigint) as {prefix}_lo",
+    ]
+
+
+def fsum_merge(prefix: str) -> list[str]:
+    """Re-aggregate fixed-point partial states (exact int64 sums)."""
+    return [
+        f"cast(sum({prefix}_hi) as bigint) as {prefix}_hi",
+        f"cast(sum({prefix}_lo) as bigint) as {prefix}_lo",
+    ]
+
+
+def fsum_final(prefix: str, alias: str | None = None) -> str:
+    """Finish a fixed-point state into the double total (same
+    recombination ops as ``fsum``, so merged == recomputed bitwise)."""
+    e = (
+        f"(cast({prefix}_hi as double) + "
+        f"cast({prefix}_lo as double) / cast(1000000 as double))"
+    )
+    return f"{e} as {alias}" if alias else e
+
+
 def moment_stats(
     x: str, prefix: str, percentile_fn: str, in_prec: int = 12, in_scale: int = 2
 ) -> list[str]:

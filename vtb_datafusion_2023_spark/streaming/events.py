@@ -49,6 +49,62 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+SENTINEL_USER = -1
+
+
+def events_stream_with_sentinel(
+    spark: SparkSession, sf_dir: str, advance: str = "10 hours"
+) -> DataFrame:
+    """Events file stream unioned with a far-future sentinel event pair
+    (user ``SENTINEL_USER``, one row per event type used in joins).
+
+    Outer streaming joins only EMIT their unmatched-with-null rows once
+    the watermark passes the row's expiry; a finite replay ends at the
+    corpus max event time, stranding the tail in the state store.  The
+    sentinel pushes max event time ``advance`` past the real data, so the
+    final (no-data) micro-batch's watermark flushes every real row.
+    Filter ``user_id != SENTINEL_USER`` downstream.  This is replay
+    harness plumbing — a live deployment's watermark advances naturally.
+    """
+    import os
+    import tempfile
+
+    from ..sources.readers import load_table
+
+    max_ns = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.expr("max(unix_micros(ts))"))
+        .collect()[0][0]
+        * 1000
+    )
+    qty, unit = advance.split()
+    unit_ns = {"hours": 3600, "hour": 3600, "minutes": 60, "minute": 60}[unit] * 10**9
+    sent_ns = max_ns + int(qty) * unit_ns
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sentinel_{uuid.uuid4().hex[:8]}"
+    )
+    rows = [
+        (-10**12 - i, sent_ns, SENTINEL_USER, et, 0.0, "{}")
+        for i, et in enumerate(["click", "purchase"])
+    ]
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    sentinel = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet").load(path)
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .format("parquet")
+        .load()
+    )
+    return raw.unionByName(sentinel).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -202,6 +258,7 @@ def attribution_join(
     convert_type: str = "purchase",
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (attribution): each ``trigger_type``
     event matched to the same user's ``convert_type`` events in
@@ -232,7 +289,7 @@ def attribution_join(
     cond = F.expr(
         f"t_user = c_user and c_ts > t_ts and c_ts <= t_ts + interval {max_delay}"
     )
-    return trig.join(conv, cond, "inner").select(
+    return trig.join(conv, cond, how).select(
         F.col("t_user").alias("user_id"),
         "trigger_id",
         "convert_id",

@@ -482,3 +482,29 @@ def agg_grouping_sets(spark, sf_dir):
         group by grouping sets ((event_type, source), (event_type), (source))
         """
     )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle=f"""
+select event_type, date_trunc('day', ts) as day,
+       count(*) as n, {sqlgen.fsum("value", "total")}
+from events
+group by event_type, date_trunc('day', ts)
+""",
+    survey_ref="agg-incremental",
+    doc="incremental rollup maintenance: old and new event batches "
+    "aggregate to mergeable integer hi/lo states independently; merging "
+    "the partials is bitwise identical to this full-recompute oracle — "
+    "daily ingest never rescans history.",
+)
+def agg_incremental_merge(spark, sf_dir):
+    from ..operators.rollup import finalize_partials, merge_partials, partial_agg
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    old = partial_agg(ev.filter(F.col("day") < cut), ["event_type", "day"], "value")
+    new = partial_agg(ev.filter(F.col("day") >= cut), ["event_type", "day"], "value")
+    return finalize_partials(merge_partials([old, new], ["event_type", "day"]))

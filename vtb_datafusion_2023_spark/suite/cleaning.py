@@ -158,3 +158,43 @@ def clean_mad_outliers(spark, sf_dir):
 
     out = mad_outliers(T(spark, sf_dir, "events"), ["user_id", "event_type"], "value", k=3.0)
     return out.select("event_id", "value", "med", "mad", "is_outlier")
+
+
+_EXPECT_RULES = {
+    "qty_positive": "l_quantity > 0",
+    "discount_unit_range": "l_discount >= 0 and l_discount <= 1",
+    "shipdate_present": "l_shipdate is not null",
+    "returnflag_domain": "l_returnflag in ('A', 'N', 'R')",
+    "low_tax": "l_tax < 0.05",
+}
+
+
+def _expect_rule_sql(name: str, expr: str) -> str:
+    return (
+        f"cast(sum(case when not ({expr}) or ({expr}) is null "
+        f"then 1 else 0 end) as bigint) as {name}"
+    )
+
+
+@register(
+    "clean_expectations",
+    oracle=f"""
+with agg as (
+  select count(*) as n_rows,
+         {", ".join(_expect_rule_sql(n, e) for n, e in _EXPECT_RULES.items())}
+  from lineitem
+)
+{" union all ".join(
+    f"select '{n}' as rule, {n} as n_violations, cast(n_rows as bigint) as n_rows from agg"
+    for n in _EXPECT_RULES
+)}
+""",
+    survey_ref="dq-expectations",
+    doc="single-scan data-quality expectations over lineitem: five rules "
+    "(one intentionally failing) evaluated as conditional counts in ONE "
+    "aggregate — rule count never adds scans.",
+)
+def clean_expectations(spark, sf_dir):
+    from ..operators.profile import expect
+
+    return expect(T(spark, sf_dir, "lineitem"), _EXPECT_RULES)

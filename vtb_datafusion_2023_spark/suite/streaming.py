@@ -168,3 +168,36 @@ def st_static_enrich(spark, sf_dir):
         )
     )
     return replay_to_table(spark, agg, mode="complete")
+
+
+@register(
+    "st_attribution_outer",
+    oracle="""
+select t.user_id,
+       t.event_id as trigger_id,
+       c.event_id as convert_id,
+       (epoch_us(c.ts) - epoch_us(t.ts)) as delay_us,
+       c.value as convert_value
+from (select * from events where event_type = 'click') t
+left join (select * from events where event_type = 'purchase') c
+  on t.user_id = c.user_id
+ and c.ts > t.ts and c.ts <= t.ts + interval 1 hour
+""",
+    survey_ref="streaming-outer-join",
+    doc="stream-stream LEFT OUTER interval join: unmatched clicks emit "
+    "null conversions once the watermark passes their expiry (a sentinel "
+    "event advances the final watermark during replay — harness plumbing "
+    "only); bitwise equal to the batch left interval join.",
+)
+def st_attribution_outer(spark, sf_dir):
+    from ..streaming.events import (
+        SENTINEL_USER,
+        attribution_join,
+        events_stream_with_sentinel,
+        replay_to_table,
+    )
+
+    ev = events_stream_with_sentinel(spark, sf_dir)
+    stream = attribution_join(ev, how="leftOuter")
+    out = replay_to_table(spark, stream, mode="append")
+    return out.filter(F.col("user_id") != SENTINEL_USER)
