@@ -35,6 +35,10 @@ HEADLINE = [
     "u6_mapinpandas_inference",
     "agg_time_rollup",
     "sw_session_window",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "tj_asof_join",
+    "text_tfidf",
 ]
 
 

@@ -565,3 +565,201 @@ def q22_idle_customers(spark, sf_dir):
             F.expr(sqlgen.dsum("c_acctbal", "totacctbal")),
         )
     )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+select c_count, count(*) as custdist
+from (
+  select c_custkey, count(o_orderkey) as c_count
+  from customer
+  left outer join (
+    select o_orderkey, o_custkey from orders
+    where o_orderpriority <> '1-URGENT'
+  ) o on c_custkey = o_custkey
+  group by c_custkey
+) c_orders
+group by c_count
+""",
+    survey_ref="J2-outer,A-two-level-agg",
+    doc="TPC-H-q13-shaped: distribution of order counts per customer "
+    "(priority filter stands in for the absent o_comment pattern).  "
+    "Scale plan: pre-aggregate orders to one row per custkey BEFORE the "
+    "outer join, so the join input shrinks 10x and the second group-by "
+    "key (c_count) is tiny.",
+)
+def q13_order_distribution(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q15_REV = f"""
+select l_suppkey as supplier_no, {sqlgen.fsum(REVENUE, "total_revenue")}
+from lineitem
+where l_shipdate >= timestamp '2000-01-01 00:00:00'
+  and l_shipdate < timestamp '2000-04-01 00:00:00'
+group by l_suppkey
+"""
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+with revenue as ({_Q15_REV})
+select s_suppkey, s_name, total_revenue
+from supplier
+join revenue on s_suppkey = supplier_no
+where total_revenue = (select max(total_revenue) from revenue)
+""",
+    survey_ref="A14,J1,scalar-subquery",
+    doc="TPC-H-q15-shaped: supplier(s) with the maximum quarterly revenue. "
+    "Scale plan: the revenue aggregate is computed once; its 1-row global "
+    "max broadcasts back onto it (q22's scalar-subquery pattern), and the "
+    "supplier dimension joins broadcast — no repeated fact scan at any SF.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("2000-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("2000-04-01 00:00:00"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(sqlgen.fsum(REVENUE, "total_revenue"))
+    )
+    top = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_rev")))
+    supp = F.broadcast(T(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        revenue.crossJoin(top)
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q11_VALUE = "l_extendedprice * l_quantity"
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+with stock as (
+  select l_partkey, {sqlgen.fsum(_Q11_VALUE, "value")}
+  from lineitem
+  join supplier on s_suppkey = l_suppkey
+  join nation on n_nationkey = s_nationkey
+  where n_name = 'NATION_7'
+  group by l_partkey
+)
+select l_partkey as ps_partkey, value
+from stock
+where value > (select {sqlgen.dsum("value")} * 0.0001 from stock)
+""",
+    survey_ref="A-group-agg,scalar-subquery,J1",
+    doc="TPC-H-q11-shaped: parts whose stocked value (extendedprice*qty "
+    "stands in for absent ps_supplycost*ps_availqty) exceeds a fraction "
+    "of the nation-wide total.  Scale plan: one fact aggregation feeds "
+    "both the per-part values and the 1-row global threshold (decimal-"
+    "exact re-sum of the group values, so the threshold is partition-"
+    "order independent); dims broadcast.",
+)
+def q11_important_parts(spark, sf_dir):
+    nation = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    stock = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.expr(sqlgen.fsum(_Q11_VALUE, "value")))
+    )
+    threshold = F.broadcast(
+        stock.agg(F.expr(f"{sqlgen.dsum('value')} * 0.0001 as threshold"))
+    )
+    return (
+        stock.crossJoin(threshold)
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("ps_partkey"), "value")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+with costs as (
+  select l_partkey, l_suppkey, min(l_extendedprice) as cost
+  from lineitem
+  join supplier on s_suppkey = l_suppkey
+  join nation on n_nationkey = s_nationkey
+  join region on r_regionkey = n_regionkey
+  where r_name = 'EUROPE'
+  group by l_partkey, l_suppkey
+),
+best as (
+  select l_partkey, l_suppkey, cost,
+         min(cost) over (partition by l_partkey) as min_cost
+  from costs
+)
+select s_acctbal, s_name, n_name, p_partkey, p_type, cost
+from best
+join supplier on s_suppkey = l_suppkey
+join nation on n_nationkey = s_nationkey
+join part on p_partkey = l_partkey
+where cost = min_cost and p_size = 15
+""",
+    survey_ref="J1,J2,A-argmin,scalar-correlated",
+    doc="TPC-H-q2-shaped: for each part, the EUROPE supplier(s) offering "
+    "the minimum observed price (lineitem stands in for the absent "
+    "partsupp).  Scale plan: the correlated min-cost subquery becomes a "
+    "window-min over the per-(part,supplier) aggregate — no self-join of "
+    "the fact.  Map-side partial agg collapses the fact before its "
+    "shuffle; the window's second exchange moves only the collapsed "
+    "(part,supplier) rows; all dimensions broadcast.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = T(spark, sf_dir, "nation")
+    eur_nations = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    supp = F.broadcast(
+        T(spark, sf_dir, "supplier").join(
+            eur_nations, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    costs = (
+        li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    part = F.broadcast(
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_type")
+    )
+    return (
+        best.join(supp, best.l_suppkey == supp.s_suppkey)
+        .join(part, best.l_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "cost")
+    )
