@@ -309,3 +309,23 @@ def test_cap_per_group_bounds_and_determinism(spark, sf_small):
     a = sorted(r.doc_id for r in capped.select("doc_id").collect())
     b = sorted(r.doc_id for r in cap_per_group(docs, "source", 5, "doc_id").select("doc_id").collect())
     assert a == b  # same draw every run
+
+
+def test_read_parquet_evolved_merges_added_columns(spark, sf_small, tmp_path):
+    from vtb_datafusion_2023_spark.sources.readers import load_table, read_parquet_evolved
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(v1)
+    # later writer adds a quality column
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", F.lit(0.5)
+    ).write.parquet(v2)
+    merged = read_parquet_evolved(spark, v1, v2)
+    assert set(merged.columns) == {"doc_id", "lang", "quality"}
+    assert merged.count() == docs.count()
+    # old files surface NULL for the new column; new files keep values
+    assert merged.filter(F.col("quality").isNull()).count() == docs.filter(F.col("doc_id") % 2 == 0).count()
+    # pushdown still reaches each file set
+    plan = merged.filter(F.col("doc_id") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]" in plan

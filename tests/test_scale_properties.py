@@ -15,6 +15,7 @@ from vtb_datafusion_2023_spark.operators.gstats import group_percentiles
 from vtb_datafusion_2023_spark.operators.pivots import pivot_agg
 from vtb_datafusion_2023_spark.operators.projections import conform_columns
 from vtb_datafusion_2023_spark.sources.artifacts import load_bin_edges
+from vtb_datafusion_2023_spark.sources.readers import load_table
 
 
 @pytest.fixture(scope="module")
@@ -227,3 +228,64 @@ def test_json_col_malformed_rows_yield_null_not_failure(spark):
     )
     out = {r["id"]: r["k"] for r in json_col(df, "props", "k bigint").collect()}
     assert out == {1: 7, 2: None, 3: None, 4: None}
+
+
+def test_weighted_sample_deterministic_and_monotone(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.filtering import weighted_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    a = sorted(r.doc_id for r in weighted_sample(docs, p, "doc_id").select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in weighted_sample(docs.repartition(7), p, "doc_id").select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0  # partition-layout independent
+    # p=1 keeps everything, p=0 keeps nothing
+    assert weighted_sample(docs, F.lit(1.0), "doc_id").count() == docs.count()
+    assert weighted_sample(docs, F.lit(0.0), "doc_id").count() == 0
+    # a different salt draws an (almost surely) different sample
+    c = sorted(
+        r.doc_id
+        for r in weighted_sample(docs, p, "doc_id", salt="other").select("doc_id").collect()
+    )
+    assert c != a
+    # narrow plan: no exchange
+    plan = weighted_sample(docs, p, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_percentile_filter_drops_bottom_fraction_per_group(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.filtering import percentile_filter
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang", "n_chars")
+    kept = percentile_filter(docs, "n_chars", ["lang"], 0.2)
+    assert "_cd" not in kept.columns
+    # per group: every kept score >= every dropped score
+    full = {(r.lang, r.doc_id): r.n_chars for r in docs.collect()}
+    kept_ids = {(r.lang, r.doc_id) for r in kept.collect()}
+    by_lang = {}
+    for (lang, did), n in full.items():
+        by_lang.setdefault(lang, []).append(((lang, did) in kept_ids, n))
+    for lang, rows in by_lang.items():
+        kmin = min((n for k, n in rows if k), default=None)
+        dmax = max((n for k, n in rows if not k), default=None)
+        if kmin is not None and dmax is not None:
+            assert kmin >= dmax, lang
+        # at most ~20% dropped (ties can keep extra, never drop extra)
+        dropped = sum(1 for k, _ in rows if not k)
+        assert dropped <= 0.2 * len(rows) + 1, lang
+
+
+def test_key_skew_sampled_probe_estimates_top_share(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.profile import key_skew
+
+    ev = load_table(spark, sf_small, "events")
+    exact = {r.column: r for r in key_skew(ev, ["user_id"]).collect()}
+    est = {r.column: r for r in key_skew(ev, ["user_id"], sample_fraction=0.5, seed=7).collect()}
+    # deterministic given the seed
+    est2 = {r.column: r for r in key_skew(ev, ["user_id"], sample_fraction=0.5, seed=7).collect()}
+    assert est["user_id"].n == est2["user_id"].n
+    # the sampled share is in the right ballpark (binomial ratio, n~half)
+    assert est["user_id"].top_share < 10 * exact["user_id"].top_share
+    assert est["user_id"].n < exact["user_id"].n

@@ -157,3 +157,59 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    p_col,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Importance-weighted Bernoulli downsampling with a deterministic,
+    engine-portable coin: keep each row with its own probability ``p_col``
+    (a column or expression in [0, 1] — e.g. a quality score), decided by
+    an md5 hash of the row id, never ``rand()``.
+
+    The uniform draw is the first 8 hex digits of md5(id || ':' || salt)
+    as an integer in [0, 2^32); the row survives iff
+    ``u < floor(p * 2^32)``.  Every step (md5, hex parse, floor, integer
+    compare) is bit-identical across engines and partition layouts, so
+    the sample is reproducible at any scale and a different ``salt``
+    yields an independent resample.  Pure narrow predicate: no shuffle,
+    pushes below wide transforms.  Generalizes ``deterministic_mix``
+    (per-source constant rates) to per-row probabilities.
+    """
+    p = F.col(p_col) if isinstance(p_col, str) else p_col
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return df.filter(u.cast("double") < F.floor(p * F.lit(4294967296.0)))
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    drop_below: float,
+) -> DataFrame:
+    """Per-group percentile threshold filter: within each group, drop the
+    rows whose ``score_col`` falls in the bottom ``drop_below`` fraction
+    (cume_dist < drop_below), e.g. "discard the worst 20% of documents
+    per language".
+
+    cume_dist (share of rows with score <= mine) is rank-based, so the
+    cut is tie-stable and identical across engines — no percentile
+    interpolation, no RNG.  One shuffle on the group key; the window
+    carries only (group, score), and at 100 TB per-group state is a sort
+    of that group's rows — pair with salting only if one group dominates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col(score_col))
+    return (
+        df.withColumn("_cd", F.cume_dist().over(w))
+        .filter(F.col("_cd") >= F.lit(drop_below))
+        .drop("_cd")
+    )

@@ -49,7 +49,12 @@ def profile(df: DataFrame, approx: bool = False) -> DataFrame:
     return wide.selectExpr(expr)
 
 
-def key_skew(df: DataFrame, cols: list[str]) -> DataFrame:
+def key_skew(
+    df: DataFrame,
+    cols: list[str],
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
     """Key-skew report: per candidate key column — row count, distinct
     keys, the hottest key's row count and share.  This is the number that
     decides the shuffle strategy at 100 TB: top_share ~ 1/n_keys means
@@ -58,9 +63,16 @@ def key_skew(df: DataFrame, cols: list[str]) -> DataFrame:
     skew handling.
 
     Per column: one partial-aggregable two-level count (groupBy(col) ->
-    max), unioned; cost is one shuffle per audited column, run it on a
-    sample for a quick probe.
+    max), unioned; cost is one shuffle per audited column.  At 100 TB set
+    ``sample_fraction`` (e.g. 0.01): a seeded Bernoulli row-sample scans
+    1% and the probe becomes sub-minute — ``top_share`` is a ratio of two
+    binomial draws from the same sample, so its estimate converges fast
+    for exactly the hot keys the probe exists to find; ``n_keys`` is the
+    sample's distinct count (an undercount for long-tailed keys — read it
+    as a floor, use ``sketches.approx_distinct`` for the true value).
     """
+    if sample_fraction is not None:
+        df = df.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
     parts = []
     for c in cols:
         counts = df.groupBy(c).agg(F.count(F.lit(1)).alias("_c"))

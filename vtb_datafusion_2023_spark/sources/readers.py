@@ -125,3 +125,18 @@ def read_csv_robust(
     if drop_corrupt:
         df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return df
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written at different schema versions as one DataFrame.
+
+    ``mergeSchema`` unions the footer schemas at planning time (columns
+    added over a dataset's lifetime appear as NULL in files that predate
+    them) — the normal state of a 100 TB dataset that has been appended
+    to for years.  Column pruning and predicate pushdown still apply
+    per-file against each file's physical schema, so old files are not
+    penalized.  Type WIDENING across versions (int -> long etc.) is not
+    handled here — evolve by adding columns, or migrate with an explicit
+    cast-and-rewrite pass.
+    """
+    return spark.read.option("mergeSchema", True).parquet(*paths)

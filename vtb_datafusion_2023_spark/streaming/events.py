@@ -309,3 +309,46 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> 
     re-resolves the static plan).
     """
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def attribution_join_full(
+    events: DataFrame,
+    trigger_type: str = "click",
+    convert_type: str = "purchase",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: ``attribution_join`` plus
+    the null-extended rows of BOTH sides — unattributed triggers and
+    organic (trigger-less) conversions surface in the same pass.
+
+    Outer rows emit only once the watermark proves no match can still
+    arrive, so state stays bounded exactly as in the inner form; the
+    output keeps both user columns (either may be NULL on an outer row),
+    unlike the single ``user_id`` of the inner/leftOuter variants.
+    """
+    trig = events.filter(F.col("event_type") == trigger_type).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("trigger_id"),
+    )
+    conv = events.filter(F.col("event_type") == convert_type).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("convert_id"),
+        F.col("value").alias("convert_value"),
+    )
+    if events.isStreaming:
+        trig = trig.withWatermark("t_ts", watermark)
+        conv = conv.withWatermark("c_ts", watermark)
+    cond = F.expr(
+        f"t_user = c_user and c_ts > t_ts and c_ts <= t_ts + interval {max_delay}"
+    )
+    return trig.join(conv, cond, "fullOuter").select(
+        F.col("t_user").alias("trig_user"),
+        F.col("c_user").alias("conv_user"),
+        "trigger_id",
+        "convert_id",
+        (F.unix_micros("c_ts") - F.unix_micros("t_ts")).alias("delay_us"),
+        "convert_value",
+    )

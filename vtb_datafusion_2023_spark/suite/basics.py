@@ -508,3 +508,36 @@ def so4_intersect(spark, sf_dir):
         .select("user_id")
         .intersect(ev.filter(F.col("ts") >= cut).select("user_id"))
     )
+
+
+@register(
+    "p_array_battery",
+    oracle="""
+select vec_id,
+       len(embedding) as dims,
+       embedding[1] as head,
+       embedding[-1] as tail,
+       list_min(embedding) as mn,
+       list_max(embedding) as mx,
+       list_position(embedding, list_min(embedding)) as pos_mn
+from embeddings
+""",
+    survey_ref="nested-array-functions",
+    doc="array-function battery over the embedding column: length, "
+    "positional access (1-based, negative tail), min/max reduction, and "
+    "first-occurrence position — all JVM-side builtins inside one narrow "
+    "projection (no Python, no shuffle); the nested-type surface the "
+    "multimodal/similarity operators build on.",
+)
+def p_array_battery(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dims"),
+        F.element_at(e, 1).alias("head"),
+        F.element_at(e, -1).alias("tail"),
+        F.array_min(e).alias("mn"),
+        F.array_max(e).alias("mx"),
+        F.array_position(e, F.array_min(e)).alias("pos_mn"),
+    )

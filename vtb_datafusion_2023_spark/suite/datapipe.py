@@ -808,3 +808,48 @@ def dp_cap_per_source(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     return cap_per_group(docs, "source", 40, "doc_id").select("doc_id", "source")
+
+
+@register(
+    "dp_weighted_sample",
+    oracle="""
+select doc_id, source, n_chars
+from documents
+where cast(cast(('0x' || substring(md5(cast(doc_id as varchar) || ':ws'), 1, 8)) as bigint) as double)
+      < floor(least(1.0, n_chars / 2000.0) * 4294967296.0)
+""",
+    survey_ref="dp-weighted-sample,SO3",
+    doc="importance-weighted downsampling: each document survives with "
+    "probability proportional to its length score (least(1, n_chars/2000)) "
+    "decided by an md5-hash coin — deterministic, partition-independent, "
+    "no RNG; a pure narrow predicate (no shuffle).",
+)
+def dp_weighted_sample(spark, sf_dir):
+    from ..operators.filtering import weighted_sample
+
+    docs = T(spark, sf_dir, "documents")
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    return weighted_sample(docs, p, "doc_id", "ws").select("doc_id", "source", "n_chars")
+
+
+@register(
+    "dp_quality_percentile",
+    oracle="""
+select doc_id, lang, n_chars
+from (
+  select doc_id, lang, n_chars,
+         cume_dist() over (partition by lang order by n_chars) as cd
+  from documents
+)
+where cd >= 0.2
+""",
+    survey_ref="dp-percentile-filter,A7",
+    doc="per-group percentile threshold: drop the shortest 20% of "
+    "documents within each language (cume_dist window — rank-based, "
+    "tie-stable, interpolation-free); one shuffle on the group key.",
+)
+def dp_quality_percentile(spark, sf_dir):
+    from ..operators.filtering import percentile_filter
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return percentile_filter(docs, "n_chars", ["lang"], 0.2)

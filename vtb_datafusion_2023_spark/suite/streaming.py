@@ -201,3 +201,41 @@ def st_attribution_outer(spark, sf_dir):
     stream = attribution_join(ev, how="leftOuter")
     out = replay_to_table(spark, stream, mode="append")
     return out.filter(F.col("user_id") != SENTINEL_USER)
+
+
+@register(
+    "st_attribution_full",
+    oracle="""
+select t.user_id as trig_user,
+       c.user_id as conv_user,
+       t.event_id as trigger_id,
+       c.event_id as convert_id,
+       (epoch_us(c.ts) - epoch_us(t.ts)) as delay_us,
+       c.value as convert_value
+from (select * from events where event_type = 'click') t
+full outer join (select * from events where event_type = 'purchase') c
+  on t.user_id = c.user_id
+ and c.ts > t.ts and c.ts <= t.ts + interval 1 hour
+""",
+    survey_ref="streaming-full-outer-join",
+    doc="stream-stream FULL OUTER interval join: unmatched rows on BOTH "
+    "sides emit with nulls once the watermark passes their expiry — "
+    "unattributed clicks AND organic purchases in one pass; bitwise "
+    "equal to the batch full interval join (the sentinel advances the "
+    "closing watermark during replay).",
+)
+def st_attribution_full(spark, sf_dir):
+    from ..streaming.events import (
+        SENTINEL_USER,
+        attribution_join_full,
+        events_stream_with_sentinel,
+        replay_to_table,
+    )
+
+    ev = events_stream_with_sentinel(spark, sf_dir)
+    stream = attribution_join_full(ev)
+    out = replay_to_table(spark, stream, mode="append")
+    return out.filter(
+        (F.col("trig_user").isNull() | (F.col("trig_user") != SENTINEL_USER))
+        & (F.col("conv_user").isNull() | (F.col("conv_user") != SENTINEL_USER))
+    )
