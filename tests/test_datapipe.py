@@ -329,3 +329,94 @@ def test_read_parquet_evolved_merges_added_columns(spark, sf_small, tmp_path):
     # pushdown still reaches each file set
     plan = merged.filter(F.col("doc_id") == 2)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]" in plan
+
+
+# ---------------------------------------------------------------------------
+# segment dedup / shard assign / bm25 / histogram
+
+
+def test_segment_dedup_drops_shared_spans_keeps_unique(spark):
+    from vtb_datafusion_2023_spark.operators.text import segment_dedup
+
+    boiler = "all rights reserved worldwide"  # 4 tokens = 1 shared segment
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "iota kappa lambdax mu nu xi omicron pi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.text_dedup, r.n_segments_kept)
+        for r in segment_dedup(df, segment_tokens=4, max_count=1).collect()
+    }
+    # the boilerplate segment occurs in docs 1 and 2 -> dropped from both
+    assert out[1] == ("alpha beta gamma delta", 1)
+    assert out[2] == ("epsilon zeta eta theta", 1)
+    # doc 3 is untouched (both its segments are unique)
+    assert out[3] == ("iota kappa lambdax mu nu xi omicron pi", 2)
+
+
+def test_segment_dedup_fully_boilerplate_doc_disappears(spark):
+    from vtb_datafusion_2023_spark.operators.text import segment_dedup
+
+    rows = [(1, "x y"), (2, "x y"), (3, "p q")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = segment_dedup(df, segment_tokens=2, max_count=1)
+    assert {r.doc_id for r in out.collect()} == {3}
+
+
+def test_shard_assign_positions_are_dense_and_deterministic(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.filtering import shard_assign
+
+    d = load_table(spark, sf_small, "documents")
+    a = shard_assign(d, "doc_id", n_shards=4, salt="s1").select(
+        "doc_id", "shard", "pos"
+    )
+    rows = a.collect()
+    # every row assigned; positions dense 0..n_s-1 within each shard
+    assert len(rows) == d.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic rerun; different salt reorders
+    again = {(r.doc_id, r.shard, r.pos) for r in a.collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    other = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shard_assign(d, "doc_id", n_shards=4, salt="s2").collect()
+    }
+    assert other != again
+
+
+def test_bm25_prefers_matching_docs(spark):
+    from vtb_datafusion_2023_spark.operators.text import bm25_search
+
+    rows = [
+        (1, "spark query engine spark spark"),
+        (2, "spark engine"),
+        (3, "completely unrelated words here"),
+        (4, "query engine query"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bm25_search(df, ["spark", "query"], k=10).collect()
+    got = {r.doc_id: r for r in out}
+    # doc 3 matches nothing -> absent; doc 1 hits both terms, high tf -> top
+    assert 3 not in got
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)][0] == 1
+    assert all(r.score > 0 for r in out)
+
+
+def test_histogram_accounts_for_every_row_and_clamps(spark):
+    from vtb_datafusion_2023_spark.operators.profile import histogram
+
+    rows = [(float(v),) for v in [-5.0, 0.0, 12.5, 25.0, 99.9, 250.0, 1e9]]
+    df = spark.createDataFrame(rows, "x double")
+    out = histogram(df, "x", 0.0, 100.0, 4).collect()
+    assert sum(r.n for r in out) == len(rows)
+    bins = {r.bin: r for r in out}
+    assert bins[0].n == 3 and bins[0].min_val == -5.0  # clamped below
+    assert bins[3].n == 3 and bins[3].max_val == 1e9  # clamped above
+    assert bins[0].bin_lo == 0.0 and bins[0].bin_hi == 25.0

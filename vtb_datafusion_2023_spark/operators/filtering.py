@@ -188,6 +188,44 @@ def weighted_sample(
     return df.filter(u.cast("double") < F.floor(p * F.lit(4294967296.0)))
 
 
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: every row
+    gets a ``shard`` in [0, n_shards) and a ``pos`` (0-based) within its
+    shard, both derived purely from ``md5(id || ':' || salt)`` — so the
+    worldwide sample order is reproducible on any engine, any partition
+    layout, any cluster size, and a different ``salt`` is an independent
+    reshuffle (epoch 2 = ``salt='epoch2'``).
+
+    Within a shard, rows are ordered by the hash (i.e. uniformly shuffled);
+    ``pos`` is the training read order.  Writing ``partitionBy('shard')``
+    then sorting by ``pos`` yields ready-to-stream epochs.
+
+    Scale: ONE shuffle on ``shard`` (n_shards ~ thousands at 100 TB keeps
+    per-shard sorts in-memory); no global sort, no RNG, no driver state.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (u % n_shards).cast("bigint"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+            ).cast("bigint")
+            - 1,
+        )
+        .drop("_h")
+    )
+
+
 def percentile_filter(
     df: DataFrame,
     score_col: str,

@@ -91,6 +91,41 @@ def key_skew(
     return out
 
 
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column over [lo, hi): per bin —
+    row count, actual min/max seen.  Values outside the range clamp into
+    the edge bins (bin 0 / bin n_bins-1), so the histogram always accounts
+    for every non-null row.
+
+    ``bin = clamp(floor((x - lo) / width), 0, n_bins-1)`` is a pure
+    codegen expression (floor on double is exact and engine-identical),
+    and the aggregation is partial-aggregable with ~n_bins groups — the
+    100 TB cost is one scan plus a shuffle of n_bins rows per task.
+    Empty bins are absent (join a bin spine if a dense axis is needed).
+    """
+    width = (hi - lo) / n_bins
+    x = F.col(col).cast("double")
+    b = F.floor((x - F.lit(lo)) / F.lit(width))
+    clamped = F.least(F.lit(n_bins - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), b))
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(clamped.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(x).alias("min_val"),
+            F.max(x).alias("max_val"),
+        )
+        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
+        .withColumn("bin_hi", F.lit(lo) + (F.col("bin") + 1) * F.lit(width))
+    )
+
+
 def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     """Data-quality expectations: every rule is a SQL boolean each row
     must satisfy; returns ``(rule, n_violations, n_rows)`` per rule.

@@ -121,6 +121,131 @@ def chunk_documents(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 16,
+    max_count: int = 1,
+) -> DataFrame:
+    """C4-style duplicate-span removal: split every document into
+    consecutive ``segment_tokens``-token segments, drop each segment whose
+    exact text occurs more than ``max_count`` times in the WHOLE corpus
+    (boilerplate, license headers, navigation chrome), and reassemble the
+    survivors in original order.  Documents whose every segment was
+    boilerplate disappear entirely.
+
+    Returns ``(doc_col, text_dedup, n_segments_kept)``.
+
+    Scale: explode is a narrow fan-out; the global occurrence count is a
+    window count partitioned by the segment text (ONE shuffle of the
+    segment rows — no second join pass), and reassembly is one groupBy on
+    the doc id.  Hot boilerplate segments land in one partition each;
+    at 100 TB pre-hash the segment (`md5`) to keep shuffle keys small and
+    let AQE split stragglers.
+    """
+    from pyspark.sql.window import Window
+
+    seg = chunk_documents(df, text_col=text_col, doc_col=doc_col, chunk_tokens=segment_tokens)
+    kept = (
+        seg.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("chunk")))
+        .filter(F.col("_n") <= max_count)
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_id", "chunk")))
+    return kept.groupBy(doc_col).agg(
+        F.array_join(F.transform(ordered, lambda s: s["chunk"]), " ").alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_segments_kept"),
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-``k`` document search for a bag of ``query_terms``:
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with the Robertson-Sparck-Jones idf ``ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Returns ``(id_col, score, rank)`` for the top ``k`` docs, ties broken
+    by id.
+
+    Scale: the corpus is scanned once for per-doc lengths (partial-agg to
+    one global avgdl) and once for the query terms' postings — the explode
+    filters to the ≤|q| query terms BEFORE the (doc, term) aggregation, so
+    the shuffle carries only matching postings, not the whole corpus
+    vocabulary.  Per-term scores assemble via conditional aggregation in a
+    FIXED term order, so the floating-point sum is deterministic across
+    partitioning and engines.  idf is computed driver-side with libm
+    ``math.log`` over the ≤|q| distinct df values (broadcast join) — same
+    exact-log contract as :func:`tfidf`.  Final top-k is a rank over a
+    |q|-column-wide aggregate of only the matching docs.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    terms = sorted(set(query_terms))
+    toks = F.split(F.col(text_col), " ")
+    lens = df.select(F.col(id_col), F.size(toks).cast("bigint").alias("dl"))
+    totals = lens.agg(
+        F.sum("dl").alias("_sum_dl"), F.count(F.lit(1)).alias("_n_docs")
+    ).collect()[0]
+    n_docs, avgdl = int(totals["_n_docs"]), float(totals["_sum_dl"]) / float(totals["_n_docs"])
+
+    posting = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfs = sorted({r[0] for r in df_t.select("df").distinct().collect()})
+    idf = df.sparkSession.createDataFrame(
+        [(d, math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))) for d in dfs],
+        "df bigint, _idf double",
+    )
+    scored = (
+        posting.join(df_t, "term")
+        .join(F.broadcast(idf), "df")
+        .join(lens, id_col)
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    # fixed-order sum: one conditional-max per query term, added textually
+    # left-to-right -> bitwise-deterministic float total
+    per_term = [
+        F.max(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s_{i}")
+        for i, t in enumerate(terms)
+    ]
+    wide = scored.groupBy(id_col).agg(*per_term)
+    score = None
+    for i in range(len(terms)):
+        c = F.coalesce(F.col(f"_s_{i}"), F.lit(0.0).cast("double"))
+        score = c if score is None else score + c
+    # distributed top-k (TakeOrdered: per-partition k-heaps, no global
+    # sort), then rank the surviving <=k rows with a trivial window
+    top = wide.withColumn("score", score).orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
+        .cast("bigint"),
+    ).select(id_col, "score", "rank")
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token multiset (classic near-dup canonicalization — word-order

@@ -541,3 +541,26 @@ def p_array_battery(spark, sf_dir):
         F.array_max(e).alias("mx"),
         F.array_position(e, F.array_min(e)).alias("pos_mn"),
     )
+
+
+@register(
+    "tbl_histogram",
+    oracle="""
+with b as (
+  select least(19, greatest(0,
+           cast(floor((value - cast(0 as double)) / cast('25.0' as double)) as bigint))) as bin,
+         value
+  from events where value is not null)
+select bin, count(*) as n, min(value) as min_val, max(value) as max_val,
+       cast(0 as double) + bin * cast('25.0' as double) as bin_lo,
+       cast(0 as double) + (bin + 1) * cast('25.0' as double) as bin_hi
+from b group by bin
+""",
+    survey_ref="profile-histogram",
+    doc="fixed-width histogram (20 bins over [0,500), edge-clamped): "
+    "pure-codegen bin expression, partial-aggregable, ~n_bins-row shuffle.",
+)
+def tbl_histogram(spark, sf_dir):
+    from ..operators.profile import histogram
+
+    return histogram(T(spark, sf_dir, "events"), "value", 0.0, 500.0, 20)

@@ -853,3 +853,107 @@ def dp_quality_percentile(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return percentile_filter(docs, "n_chars", ["lang"], 0.2)
+
+
+@register(
+    "dd_segment_dedup",
+    oracle="""
+with t as (select doc_id, string_split(text, ' ') as toks from documents),
+c as (select doc_id, toks,
+             unnest(range(cast(ceil(len(toks)/3.0) as bigint))) as chunk_id
+      from t),
+s as (select doc_id, chunk_id,
+             array_to_string(toks[chunk_id*3+1 : (chunk_id+1)*3], ' ') as chunk
+      from c),
+k as (select doc_id, chunk_id, chunk,
+             count(*) over (partition by chunk) as n
+      from s)
+select doc_id,
+       string_agg(chunk, ' ' order by chunk_id) as text_dedup,
+       count(*) as n_segments_kept
+from k where n <= 1
+group by doc_id
+""",
+    survey_ref="dd-segment-dedup",
+    doc="C4-style duplicate-span removal: 3-token segments occurring more "
+    "than once corpus-wide are dropped, survivors reassembled in order; "
+    "one segment-keyed window shuffle + one doc regroup.",
+)
+def dd_segment_dedup(spark, sf_dir):
+    from ..operators.text import segment_dedup
+
+    return segment_dedup(
+        T(spark, sf_dir, "documents"), segment_tokens=3, max_count=1
+    )
+
+
+@register(
+    "dp_shard_assign",
+    oracle="""
+select doc_id,
+       cast(('0x' || substring(md5(cast(doc_id as varchar) || ':ep1'), 1, 8)) as bigint) % 4 as shard,
+       cast(row_number() over (
+           partition by cast(('0x' || substring(md5(cast(doc_id as varchar) || ':ep1'), 1, 8)) as bigint) % 4
+           order by md5(cast(doc_id as varchar) || ':ep1'), doc_id
+       ) as bigint) - 1 as pos
+from documents
+""",
+    survey_ref="dp-global-shuffle,SO5",
+    doc="deterministic global shuffle for training epochs: md5-derived "
+    "shard + in-shard position, reproducible on any engine/partitioning; "
+    "one shuffle on shard, different salt = independent epoch reshuffle.",
+)
+def dp_shard_assign(spark, sf_dir):
+    from ..operators.filtering import shard_assign
+
+    docs = T(spark, sf_dir, "documents")
+    return shard_assign(docs, "doc_id", n_shards=4, salt="ep1").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@register(
+    "text_bm25",
+    oracle="""
+with lens as (select doc_id, cast(len(string_split(text, ' ')) as bigint) as dl
+              from documents),
+tot as (select cast(sum(dl) as bigint) as sdl, count(*) as nd from lens),
+posting as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest(string_split(text, ' ')) as term from documents)
+  where term in ('customer', 'stream', 'vector')
+  group by 1, 2),
+dft as (select term, count(*) as df from posting group by 1),
+scored as (
+  select p.doc_id, p.term,
+         ln(cast(1 as double)
+            + (tot.nd - d.df + cast('0.5' as double)) / (d.df + cast('0.5' as double)))
+         * (p.tf * cast('2.2' as double))
+         / (p.tf + cast('1.2' as double)
+            * (cast('0.25' as double)
+               + cast('0.75' as double) * l.dl
+                 / (cast(tot.sdl as double) / cast(tot.nd as double)))) as s
+  from posting p join dft d using (term) join lens l using (doc_id), tot),
+wide as (
+  select doc_id,
+         coalesce(max(case when term = 'customer' then s end), cast(0 as double))
+       + coalesce(max(case when term = 'stream' then s end), cast(0 as double))
+       + coalesce(max(case when term = 'vector' then s end), cast(0 as double)) as score
+  from scored group by doc_id)
+select doc_id, score, "rank" from (
+  select doc_id, score,
+         cast(row_number() over (order by score desc, doc_id) as bigint) as "rank"
+  from wide)
+where "rank" <= 10
+""",
+    survey_ref="text-bm25",
+    doc="BM25 top-10 search (k1=1.2, b=0.75): postings filtered to the "
+    "query terms before the shuffle, libm-exact idf via broadcast lookup, "
+    "fixed-term-order score sum, distributed TakeOrdered top-k.",
+)
+def text_bm25(spark, sf_dir):
+    from ..operators.text import bm25_search
+
+    return bm25_search(
+        T(spark, sf_dir, "documents"), ["customer", "stream", "vector"], k=10
+    )
