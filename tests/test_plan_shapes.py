@@ -397,3 +397,77 @@ def test_q2_argmin_is_window_not_self_join(spark, sf_small):
     assert p.count("FileScan parquet [l_") == 1, p
     assert "Window" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan_at_scale(spark, sf_small):
+    """Runtime bloom-filter join pruning (on by default in Spark 4) injects
+    a might_contain predicate on the FACT side of a selective dim join, so
+    at 100 TB the shuffle carries only rows that can match.  Locally the
+    10 GB application-side threshold suppresses it (correct: the filter
+    costs more than a tiny scan), so the test simulates scale by dropping
+    that threshold and forcing a shuffle join."""
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_small, "lineitem")
+        su = load_table(spark, sf_small, "supplier").filter("s_nationkey = 3")
+        j = li.join(su, li.l_suppkey == su.s_suppkey).groupBy("s_name").count()
+        p = plan_of(j)
+        assert "might_contain" in p and "bloom_filter_agg" in p
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_zorder_parquet_prunes_on_both_columns(spark, tmp_path):
+    """write_zorder_parquet: each file covers a small (a, b) tile, so
+    min/max stats prune files for selective predicates on EITHER column —
+    unlike a linear (a, b) sort, where every file spans the full b range
+    and b predicates skip nothing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vtb_datafusion_2023_spark.sources.writers import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    grid = spark.range(10000).selectExpr("id % 100 as a", "id div 100 as b")
+
+    def overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        files = glob.glob(path + "/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            if min(s.min for s in stats) <= hi and max(s.max for s in stats) >= lo:
+                hit += 1
+        return hit, len(files)
+
+    linear = str(tmp_path / "linear")
+    write_sorted_parquet(grid, linear, ["a", "b"], n_files=16)
+    zorder = str(tmp_path / "zorder")
+    write_zorder_parquet(grid, zorder, ["a", "b"], n_files=16)
+
+    # leading-column predicate prunes in both layouts
+    lin_a, lin_n = overlapping(linear, "a", 0, 9)
+    z_a, z_n = overlapping(zorder, "a", 0, 9)
+    assert lin_a < lin_n and z_a < z_n
+    # second-column predicate: linear sort keeps every file, z-order prunes
+    lin_b, _ = overlapping(linear, "b", 0, 9)
+    z_b, _ = overlapping(zorder, "b", 0, 9)
+    assert lin_b == lin_n
+    assert z_b <= z_n // 2, (z_b, z_n)
+    # lossless
+    assert spark.read.parquet(zorder).count() == 10000
