@@ -308,39 +308,37 @@ def simhash_near_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("_id", "_sh"))).alias("_m"))
         .filter(F.size("_m") > 1)
     )
+    def mk_pair(x: Column, y: Column) -> Column:
+        return F.struct(
+            x["_id"].alias("id_a"),
+            y["_id"].alias("id_b"),
+            F.bit_count(x["_sh"].bitwiseXOR(y["_sh"])).alias("hamming"),
+        )
+
     all_pairs = F.flatten(
         F.transform(
             F.col("_m"),
             lambda x, i: F.transform(
                 F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
-                lambda y: F.struct(
-                    x["_id"].alias("id_a"),
-                    y["_id"].alias("id_b"),
-                    x["_sh"].alias("sh_a"),
-                    y["_sh"].alias("sh_b"),
-                ),
+                lambda y: mk_pair(x, y),
             ),
         )
     )
-    rep = F.element_at(F.col("_m"), 1)
     star_pairs = F.transform(
         F.slice(F.col("_m"), 2, F.size(F.col("_m"))),
-        lambda y: F.struct(
-            rep["_id"].alias("id_a"),
-            y["_id"].alias("id_b"),
-            rep["_sh"].alias("sh_a"),
-            y["_sh"].alias("sh_b"),
-        ),
+        lambda y: mk_pair(F.element_at(F.col("_m"), 1), y),
     )
     pair_structs = F.when(F.size("_m") > max_bucket_size, star_pairs).otherwise(all_pairs)
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("_p"))
-        .select("_p.id_a", "_p.id_b", "_p.sh_a", "_p.sh_b")
+    # hamming verify INSIDE the bucket array, before the explode: the
+    # pigeonhole buckets expand to O(m^2) candidates (236k at sf0.1) of
+    # which only the true near-dups survive — filtering in the lambda
+    # means the explode+dedup shuffle carries survivors only.
+    survivors = F.filter(pair_structs, lambda p: p["hamming"] <= max_hamming)
+    return (
+        buckets.select(F.explode(survivors).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.hamming")
         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -410,3 +410,137 @@ def decontaminate_drop(
     benchmark (broadcast anti-join on the contaminated-id set)."""
     bad = decontaminate(docs, benchmark, id_col, text_col, n).select(id_col)
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+# HTML entities decoded by strip_html (frozen, order matters: &amp; last so
+# freshly decoded ampersands don't cascade into further decoding).
+HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def strip_html(df: DataFrame, text_col: str = "text", out_col: str = "text_clean") -> DataFrame:
+    """C4-style HTML boilerplate stripping: drop ``<script>``/``<style>``
+    blocks, remove comments and all remaining tags, decode the common
+    entities, collapse whitespace.  The standard first pass when the raw
+    corpus is crawled web pages.
+
+    Pure codegen regexp/replace chain (RE2-safe patterns: no
+    backreferences or lookarounds), one narrow projection — streams at
+    scan speed over 100 TB, no shuffle.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    oov_weight: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model surprisal per document: mean
+    ``-ln p(token)`` under the corpus's own unigram distribution, with
+    tokens seen fewer than ``min_count`` times scored as OOV at
+    ``oov_weight / total``.  High surprisal = rare-word soup / junk; low =
+    repetitive boilerplate — the cheap LM-based quality filter between
+    heuristics and a real perplexity model.
+
+    Two corpus passes: (1) token counts (explode -> hash agg, one shuffle
+    on token); (2) posexplode -> broadcast-join the per-count ``ln``
+    lookup (computed driver-side with libm ``math.log`` over the distinct
+    count values, same exact-log contract as :func:`tfidf`) -> reassemble
+    per doc.  The per-doc float sum folds oldest->newest over a
+    position-sorted array, so it is bitwise-deterministic across
+    partitionings and engines.
+
+    Returns ``(id_col, n_tokens, surprisal)``.
+    """
+    import math
+
+    toks = F.split(F.col(text_col), " ")
+    pos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    )
+    counts = pos.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = counts.filter(F.col("cnt") >= min_count)
+    total = int(counts.agg(F.sum("cnt").alias("t")).collect()[0]["t"])
+    cnt_values = sorted(r[0] for r in vocab.select("cnt").distinct().collect())
+    ln_map = df.sparkSession.createDataFrame(
+        [(c, math.log(c / total)) for c in cnt_values], "cnt bigint, _lnp double"
+    )
+    ln_oov = math.log(oov_weight / total)
+    scored = (
+        pos.join(vocab, "term", "left")
+        .join(F.broadcast(ln_map), "cnt", "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("_lnp"), F.lit(ln_oov)).alias("_lnp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "_lnp"))), lambda s: -s["_lnp"]
+        ).alias("_nl"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("_nl"), 2, F.size(F.col("_nl"))),
+        F.element_at(F.col("_nl"), 1),
+        lambda acc, x: acc + x,
+    )
+    return per_doc.select(
+        id_col, "n_tokens", (fold / F.col("n_tokens")).alias("surprisal")
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n_values: tuple[int, ...] = (1, 2, 3),
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level top-``k`` word n-grams per n — the vocabulary /
+    collocation profile of a training corpus (and the building block for
+    contamination and boilerplate reports).
+
+    One explode + hash count per n (shuffle carries (ngram, partial
+    count) pairs only), unioned, then a per-n top-k window over the
+    counted (tiny) result.  Ties break on the gram text for determinism.
+    Returns ``(n, ngram, cnt, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    parts = []
+    for n in n_values:
+        toks = F.split(F.col(text_col), " ")
+        cnt_grams = F.size(toks) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt_grams, F.lit(1))),
+            lambda i, _n=n: F.array_join(F.slice(toks, i, _n), " "),
+        )
+        parts.append(
+            df.filter(F.size(toks) >= n).select(
+                F.lit(n).alias("n"), F.explode(grams).alias("ngram")
+            )
+        )
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    counted = allg.groupBy("n", "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("n").orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("n", "ngram", "cnt", "rank")
+    )

@@ -219,3 +219,41 @@ def with_rolling_time(
         .withColumn(f"{prefix}_mean", F.expr(f"({rsum} / {rcnt})"))
         .drop(epoch)
     )
+
+
+def with_ewma(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.1,
+    n: int = 32,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per user in row order,
+    bounded to the trailing ``n`` rows (current inclusive):
+    ``y_t = (1-alpha)*y_{t-1} + alpha*x_t`` seeded with the oldest value
+    in the frame — the smoothing companion to ``with_rolling``'s flat
+    trailing mean (pandas ``ewm(alpha).mean()`` over a clipped window).
+
+    The recurrence is a left Horner fold over the frame, evaluated with
+    ``aggregate`` on a window-ordered ``collect_list`` — both engines
+    fold oldest->newest with the identical ``acc*(1-a) + x*a`` double
+    expression, so results are bitwise-reproducible (the oracle uses
+    DuckDB ``list_reduce`` over the same frame).
+
+    Scale: one shuffle+sort on (user, order) shared with every other
+    window over the same key; per-row state is the O(n) trailing frame
+    (n is a small constant), not the whole partition.
+    """
+    out = out_col or f"{value_col}_ewma"
+    w = _w(user_col, order_cols).rowsBetween(-(n - 1), Window.currentRow)
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a = F.lit(float(alpha))
+    one_m = F.lit(1.0 - float(alpha))
+    fold = F.aggregate(
+        F.slice(arr, 2, n),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * one_m + x * a,
+    )
+    return df.withColumn(out, fold)

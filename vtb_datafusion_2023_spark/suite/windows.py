@@ -236,3 +236,29 @@ def w13_rolling_time_window(spark, sf_dir):
     return with_rolling_time(
         T(spark, sf_dir, "events"), "user_id", "ts", "value", "24 hours"
     ).select("event_id", "user_id", "tw_sum", "tw_n", "tw_mean")
+
+
+@register(
+    "w14_ewma",
+    oracle=f"""
+select event_id,
+       list_reduce(
+         list(cast(value as double))
+           over (partition by user_id order by {_ORD}
+                 rows between 31 preceding and current row),
+         (acc, x) -> acc * cast(0.9 as double) + x * cast(0.1 as double)
+       ) as value_ewma
+from events
+""",
+    survey_ref="w-ewma",
+    doc="per-user EWMA (alpha=0.1) over the trailing 32-row frame; both "
+    "engines left-fold oldest->newest with the identical double "
+    "recurrence, so values are bitwise-reproducible.",
+)
+def w14_ewma(spark, sf_dir):
+    from ..operators.windows import with_ewma
+
+    return with_ewma(
+        T(spark, sf_dir, "events"), "user_id", ["ts", "event_id"], "value",
+        alpha=0.1, n=32,
+    ).select("event_id", "value_ewma")
