@@ -149,11 +149,14 @@ def with_event_deltas(
 ) -> DataFrame:
     """Inter-event time per user: microseconds since the previous event in
     row order (NULL for each user's first event).  Integer µs on both
-    engines (``unix_micros`` / ``epoch_us``) — no float rounding."""
+    engines (``unix_micros`` / ``epoch_us``) — no float rounding.  The
+    cast makes the operator safe on a raw TIMESTAMP_NTZ scan (no-op when
+    the input is already session-UTC TIMESTAMP)."""
     w = _w(user_col, order_cols)
+    ts = F.col(ts_col).cast("timestamp")
     return df.withColumn(
         out_col,
-        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)),
+        F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w)),
     )
 
 

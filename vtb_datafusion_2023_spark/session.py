@@ -47,10 +47,14 @@ _RUNTIME_CONFS = {
     # caps split size and a lower open-cost only packs many small files
     # more densely per task — safe in both regimes.
     "spark.sql.files.openCostInBytes": "524288",
-    # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
-    # vectorized reader rejects; read the raw int64 nanos and convert in
-    # sources.readers (truncating to µs — DuckDB does the same on read).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE on events.ts: the driver's events.parquet stores
+    # TIMESTAMP(NANOS), which Spark 4 scans natively as TIMESTAMP_NTZ
+    # (µs-truncated, bit-identical to DuckDB's read of the same file).
+    # sources.readers.load_table casts it to a session-UTC TIMESTAMP.
+    # We deliberately do NOT set spark.sql.legacy.parquet.nanosAsLong:
+    # it only takes effect if set before the first scan plan, so as a
+    # runtime conf it made the read path session-order-dependent (the
+    # round-1 flaky-pytest root cause).
     # exact `percentile`, not approx — required for reference parity
     # (SURVEY §7.4.2); nothing to set, noted for readers.
 }

@@ -27,18 +27,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic parquet table (TESTDATA.md).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in ``session``) it scans
-    as int64 nanos, which we truncate to µs — bit-identical to DuckDB's
-    read of the same file.  The conversion is a narrow projection; filter
-    pushdown on the int64 column still works.
+    ``events.ts`` is stored as TIMESTAMP(NANOS); Spark 4 scans that
+    natively as TIMESTAMP_NTZ with µs truncation — bit-identical to
+    DuckDB's read of the same file.  We normalize to a session-UTC
+    TIMESTAMP so every downstream operator (``unix_micros``, windows,
+    watermarks) sees one type regardless of reader mode.  The ``bigint``
+    branch covers sessions where a caller set the legacy
+    ``nanosAsLong`` conf before their first scan.  The conversion is a
+    narrow projection; filter pushdown on the column still works.
     """
     from ..session import tune_session
 
     tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -24,7 +24,8 @@ from .. import sqlgen
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos in the driver parquet
+        # TIMESTAMP(NANOS) in the driver parquet scans as NTZ (µs-truncated)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -34,8 +35,8 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the driver's events parquet (nanos ts ->
-    µs timestamp, same conversion as the batch reader)."""
+    """File-source stream over the driver's events parquet (NTZ ts ->
+    session-UTC timestamp, same normalization as the batch reader)."""
     from ..session import tune_session
 
     tune_session(spark)
@@ -46,7 +47,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load()
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 SENTINEL_USER = -1
@@ -66,25 +67,26 @@ def events_stream_with_sentinel(
     Filter ``user_id != SENTINEL_USER`` downstream.  This is replay
     harness plumbing — a live deployment's watermark advances naturally.
     """
+    import datetime as _dt
     import os
     import tempfile
 
     from ..sources.readers import load_table
 
-    max_ns = (
+    max_us = (
         load_table(spark, sf_dir, "events")
         .agg(F.expr("max(unix_micros(ts))"))
         .collect()[0][0]
-        * 1000
     )
     qty, unit = advance.split()
-    unit_ns = {"hours": 3600, "hour": 3600, "minutes": 60, "minute": 60}[unit] * 10**9
-    sent_ns = max_ns + int(qty) * unit_ns
+    unit_us = {"hours": 3600, "hour": 3600, "minutes": 60, "minute": 60}[unit] * 10**6
+    sent_us = max_us + int(qty) * unit_us
+    sent_ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=sent_us)
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_sentinel_{uuid.uuid4().hex[:8]}"
     )
     rows = [
-        (-10**12 - i, sent_ns, SENTINEL_USER, et, 0.0, "{}")
+        (-10**12 - i, sent_ts, SENTINEL_USER, et, 0.0, "{}")
         for i, et in enumerate(["click", "purchase"])
     ]
     spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
@@ -100,9 +102,7 @@ def events_stream_with_sentinel(
         .format("parquet")
         .load()
     )
-    return raw.unionByName(sentinel).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    return raw.unionByName(sentinel).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
@@ -293,7 +293,10 @@ def attribution_join(
         F.col("t_user").alias("user_id"),
         "trigger_id",
         "convert_id",
-        (F.unix_micros("c_ts") - F.unix_micros("t_ts")).alias("delay_us"),
+        (
+            F.unix_micros(F.col("c_ts").cast("timestamp"))
+            - F.unix_micros(F.col("t_ts").cast("timestamp"))
+        ).alias("delay_us"),
         "convert_value",
     )
 
@@ -349,6 +352,9 @@ def attribution_join_full(
         F.col("c_user").alias("conv_user"),
         "trigger_id",
         "convert_id",
-        (F.unix_micros("c_ts") - F.unix_micros("t_ts")).alias("delay_us"),
+        (
+            F.unix_micros(F.col("c_ts").cast("timestamp"))
+            - F.unix_micros(F.col("t_ts").cast("timestamp"))
+        ).alias("delay_us"),
         "convert_value",
     )

@@ -56,19 +56,28 @@ _LOADED = False
 
 
 def _load_all() -> None:
-    """Import every suite module (each registers its queries on import)."""
+    """Import every suite module (each registers its queries on import).
+
+    ORDER MATTERS for the driver's correctness gate: it runs queries in
+    registration order under a wall-clock budget (round 1 covered only the
+    first 50 of 135).  Modules whose queries lacked a green row in
+    CORRECTNESS_r01 import first (joins J1-J5/A14, windows W2-W14,
+    pipeline, the dedup/ANN/text/multimodal extensions, streaming, TPC-H);
+    the modules fully certified in round 1 (basics, aggregates, cleaning)
+    re-certify last.
+    """
     global _LOADED
     if _LOADED:
         return
-    from . import basics  # noqa: F401
-    from . import aggregates  # noqa: F401
-    from . import cleaning  # noqa: F401
-    from . import windows  # noqa: F401
     from . import joins  # noqa: F401
+    from . import windows  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import streaming  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpch2  # noqa: F401
+    from . import basics  # noqa: F401
+    from . import aggregates  # noqa: F401
+    from . import cleaning  # noqa: F401
 
     _LOADED = True

