@@ -89,10 +89,20 @@ def test_run_submission_deterministic(spark, tx):
 def test_run_submission_bucketed_matches_and_skips_exchange(spark, tx, tmp_path):
     """ROADMAP #7: bucketing the cleaned intermediate must not change the
     submission, and per-user groupBys over the bucketed table must plan
-    without a user_id exchange."""
-    plain = run_submission(spark, tx, cat_vocab=CAT_VOCAB, n_reps=2).toPandas()
+    without a user_id exchange.  (Linear branch-A scorer: the property
+    under test is the bucketed exchange elision, which is independent of
+    the scorer; the real-weights path is covered by the e2e and
+    determinism tests.)"""
+    plain = run_submission(
+        spark, tx, cat_vocab=CAT_VOCAB, n_reps=2, use_real_rnn=False
+    ).toPandas()
     bucketed = run_submission(
-        spark, tx, cat_vocab=CAT_VOCAB, n_reps=2, bucket_dir=str(tmp_path)
+        spark,
+        tx,
+        cat_vocab=CAT_VOCAB,
+        n_reps=2,
+        bucket_dir=str(tmp_path),
+        use_real_rnn=False,
     ).toPandas()
     assert (plain["user_id"].to_numpy() == bucketed["user_id"].to_numpy()).all()
     assert (plain["target"].to_numpy() == bucketed["target"].to_numpy()).all()

@@ -22,7 +22,12 @@ def test_sessionize_emits_on_timeout(spark, tmp_path):
         pdf = pd.DataFrame(
             {
                 "event_id": range(len(rows)),
-                "ts": [int((base + pd.Timedelta(seconds=s)).value) for s, _u, _v in rows],
+                # naive datetime64[us] -> TIMESTAMP(MICROS, adj=false)
+                # parquet, the driver file's physical type (scans as
+                # TIMESTAMP_NTZ)
+                "ts": pd.Series(
+                    [base + pd.Timedelta(seconds=s) for s, _u, _v in rows]
+                ).astype("datetime64[us]"),
                 "user_id": [u for _s, u, _v in rows],
                 "event_type": "click",
                 "value": [v for _s, _u, v in rows],
@@ -39,7 +44,7 @@ def test_sessionize_emits_on_timeout(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
         .load(str(src))
-        .withColumn("ts", F.expr("timestamp_micros(cast(ts / 1000 as long))"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     sessions = sessionize(stream, gap_minutes=0.005)  # 300 ms inactivity gap
     q = (

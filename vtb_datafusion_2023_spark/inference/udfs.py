@@ -94,3 +94,136 @@ def score_with_model(
             yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"), "score": acc})
 
     return df.select(id_col, vec_col).mapInPandas(run, schema=SCORE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real reference weights, no torch: the checkpoints load through the
+# restricted numpy unpickler (torch_ckpt) and score through the eval-mode
+# numpy forwards (nn_numpy).  U1/U2 and U4 are thereby REAL model
+# executions, not stand-ins — same broadcast + mapInPandas plumbing.
+
+REFERENCE_RNN_CKPT = "/root/reference/nn_weights.ckpt"
+REFERENCE_VRAE_CKPT = "/root/reference/model_dir/vrae_5896.pth"
+
+
+def rnn_scorer_model(path: str = REFERENCE_RNN_CKPT) -> BroadcastModel:
+    """U1/U2: TransactionsRnn weights (model.py:231 ``nn_weights.ckpt``)
+    as a broadcastable plain dict of numpy arrays."""
+    from .torch_ckpt import load_state_dict
+
+    return BroadcastModel(kind="numpy_rnn", payload=load_state_dict(path))
+
+
+def vrae_encoder_model(path: str = REFERENCE_VRAE_CKPT) -> BroadcastModel:
+    """U4: VRAE encoder weights (run.py:176 ``vrae_5896.pth``)."""
+    from .torch_ckpt import load_state_dict
+
+    return BroadcastModel(kind="numpy_vrae", payload=load_state_dict(path))
+
+
+def score_rnn_sequences(
+    df: DataFrame,
+    model: BroadcastModel,
+    id_col: str = "user_id",
+    seq_col: str = "seq",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """U1/U2: per-user code sequences -> P(default) with the real BiGRU.
+
+    ``seq_col`` is the time-major (T, n_features) array<array<double>>
+    from ``plans.rnn_input_sequences`` (fixed T after padding); the UDF
+    transposes to the reference's (n_features, T) code layout
+    (model.py:188 ``x.values.transpose()``).  Weights ride one broadcast;
+    rows are scored independently, so the result is partitioning-invariant
+    once rounded (``round_digits`` absorbs the float32-ulp batch-shape
+    sensitivity of BLAS — see nn_numpy module docstring).
+    """
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast({"sd": model.payload})
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .nn_numpy import TransactionsRnnScorer
+
+        scorer = TransactionsRnnScorer(b.value["sd"])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.empty(len(pdf), dtype=np.float64)
+            seqs = [
+                np.asarray([np.asarray(step, dtype=np.float64) for step in s]).T
+                for s in pdf[seq_col]
+            ]
+            by_shape: dict[tuple, list[int]] = {}
+            for i, s in enumerate(seqs):
+                by_shape.setdefault(s.shape, []).append(i)
+            for shape, idxs in by_shape.items():
+                codes = np.stack([seqs[i] for i in idxs]).astype(np.int64)
+                out[idxs] = scorer.score(codes)
+            if round_digits is not None:
+                out = np.round(out, round_digits)
+            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"), "score": out})
+
+    return df.select(id_col, seq_col).mapInPandas(run, schema=SCORE_SCHEMA)
+
+
+def encode_with_vrae(
+    df: DataFrame,
+    model: BroadcastModel,
+    id_col: str = "user_id",
+    seq_col: str = "seq",
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """U4: per-user feature sequences -> 40-dim latent means with the real
+    VRAE LSTM encoder.
+
+    ``seq_col`` is time-major (T, n_features) from
+    ``plans.vrae_input_sequences``; variable-length sequences are grouped
+    by length inside each Arrow batch so each group encodes as one
+    vectorized (B, T, F) forward.  (The reference instead fixes T by
+    drop_last batching — vrae.py:433-436; natural-length encoding is the
+    semantically-faithful generalization.)
+
+    Feature vectors narrower than the encoder's input width are
+    right-padded with zeros — the reference does the same conform by
+    ``reindex(columns=cols).fillna(0)`` against its closed 394-column
+    one-hot layout (run.py:104-108): absent columns are zeros.
+    """
+    from .nn_numpy import VraeEncoder
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast({"sd": model.payload})
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("latent", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = VraeEncoder(b.value["sd"])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seqs = [
+                np.asarray(
+                    [np.asarray(step, dtype=np.float32) for step in s], dtype=np.float32
+                )
+                for s in pdf[seq_col]
+            ]
+            for i, s in enumerate(seqs):
+                if s.shape[1] < enc.n_features:
+                    seqs[i] = np.pad(s, ((0, 0), (0, enc.n_features - s.shape[1])))
+            lat = np.empty((len(seqs), enc.latent_length), dtype=np.float64)
+            by_len: dict[int, list[int]] = {}
+            for i, s in enumerate(seqs):
+                by_len.setdefault(s.shape[0], []).append(i)
+            for _, idxs in by_len.items():
+                batch = np.stack([seqs[i] for i in idxs])
+                lat[idxs] = enc.encode(batch).astype(np.float64)
+            if round_digits is not None:
+                lat = np.round(lat, round_digits)
+            yield pd.DataFrame(
+                {"user_id": pdf[id_col].astype("int64"), "latent": list(lat)}
+            )
+
+    return df.select(id_col, seq_col).mapInPandas(run, schema=schema)

@@ -43,14 +43,24 @@ def bin_by_edges(col: Column | str, edges: Sequence[float]) -> Column:
     (/root/reference/model.py:172-181).
 
     Half-open (lo, hi] intervals like pd.cut default (right=True); values
-    outside all edges -> NULL (pandas NaN).  A when-chain keeps it codegen-
-    friendly; for very long edge lists use ML Bucketizer instead.
+    outside all edges -> NULL (pandas NaN).
+
+    Short edge lists compile to a when-chain (constant-folds well); long
+    lists (the reference's 395-edge mcc bins) would blow the analyzer's
+    expression-tree depth, so they compile instead to a rank scan over an
+    array literal: ``bin = size(filter(edges, e -> x > e)) - 1`` with an
+    in-range guard — one shallow expression whatever the edge count.
     """
     c = F.col(col) if isinstance(col, str) else col
-    expr = F.lit(None).cast("int")
-    for i in range(len(edges) - 1, 0, -1):
-        expr = F.when((c > edges[i - 1]) & (c <= edges[i]), i - 1).otherwise(expr)
-    return expr
+    n = len(edges)
+    if n <= 64:
+        expr = F.lit(None).cast("int")
+        for i in range(n - 1, 0, -1):
+            expr = F.when((c > edges[i - 1]) & (c <= edges[i]), i - 1).otherwise(expr)
+        return expr
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    rank = F.size(F.filter(arr, lambda e: c.cast("double") > e))
+    return F.when((rank >= 1) & (rank <= n - 1), rank - 1).cast("int")
 
 
 def conform_columns(df: DataFrame, columns: Sequence[str], fill: float = 0.0) -> DataFrame:

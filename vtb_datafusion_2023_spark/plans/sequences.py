@@ -54,6 +54,43 @@ def vrae_input_sequences(
     return assemble_sequences(t, "user_id", order, feature_cols)
 
 
+def reference_feature_frame(
+    tx: DataFrame,
+    cat_col: str = "cat",
+    amt_col: str = "amt",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, ts, ord, cat, amt) -> the reference RNN's seven raw
+    feature columns (model.py:253-265: hour/day/month/number_day time
+    parts + mcc_code/currency_rk/transaction_amt).
+
+    The engine's generic log has a free-form category instead of MCC and
+    no currency: both are derived deterministically (xxhash64 into the
+    mcc range; user-keyed currency pick over the reference's {48,50,60})
+    so ``nn_bins.pickle`` digitization sees in-domain values.  A caller
+    whose data has real ``mcc_code``/``currency_rk`` columns should
+    project them directly instead.
+    """
+    ts = F.col(ts_col)
+    return tx.select(
+        "user_id",
+        ts.alias("ts"),
+        "ord",
+        F.col(amt_col).alias("transaction_amt"),
+        (
+            F.pmod(F.xxhash64(F.col(cat_col).cast("string")), F.lit(8600)) + F.lit(742)
+        ).alias("mcc_code"),
+        F.element_at(
+            F.array(F.lit(48), F.lit(50), F.lit(60)),
+            (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("currency_rk"),
+        F.hour(ts).alias("hour"),
+        ((F.dayofweek(ts) + 6) % 7).alias("day"),
+        F.month(ts).alias("month"),
+        F.dayofmonth(ts).alias("number_day"),
+    )
+
+
 def rnn_input_sequences(
     tx: DataFrame,
     bin_edges: dict[str, list[float]],

@@ -14,9 +14,13 @@ Stages (all from the operator library):
 6. Submission: union-fill dropped users at the global max A14/J4, sort
    W6, CSV S3 (run.py:477-486).
 
-The torch/CatBoost models are not installable here, so scoring uses the
-deterministic linear stand-in from ``inference.udfs`` — swapping in real
-artifacts changes ONLY the BroadcastModel payload.
+Branch A scores through the REAL reference weights when the artifacts
+are present: ``nn_weights.ckpt`` loads via the restricted numpy
+unpickler (``inference.torch_ckpt``) and runs the eval-mode BiGRU
+forward (``inference.nn_numpy``) inside mapInPandas — torch is not
+needed.  The final U6 stage keeps the deterministic linear stand-in
+(CatBoost ``.cbm`` is a closed format without catboost installed);
+swapping in a real model changes ONLY the BroadcastModel payload.
 
 The three branches are independent DAG subtrees off one scan: Spark runs
 them as parallel jobs feeding the assembly joins (vs the reference's
@@ -42,29 +46,67 @@ from ..operators.joins import (
 from .features import branch_c_features
 
 
+REFERENCE_BINS = "/root/reference/nn_bins.pickle"
+
+
+def _real_rnn_artifacts() -> tuple | None:
+    """(bin_edges, BroadcastModel) from the reference artifacts, or None
+    when they are absent (the engine then falls back to the linear
+    stand-in so the pipeline stays runnable anywhere)."""
+    import os
+
+    from ..inference.udfs import REFERENCE_RNN_CKPT, rnn_scorer_model
+    from ..sources.artifacts import load_bin_edges
+
+    if not (os.path.exists(REFERENCE_BINS) and os.path.exists(REFERENCE_RNN_CKPT)):
+        return None
+    return load_bin_edges(REFERENCE_BINS), rnn_scorer_model()
+
+
 def _rnn_branch(
-    tx: DataFrame, n_reps: int, seed: int, weights: Sequence[float]
+    tx: DataFrame,
+    n_reps: int,
+    seed: int,
+    weights: Sequence[float],
+    use_real_rnn: bool = True,
 ) -> DataFrame:
-    """Branch A: defence ensemble — seeded bootstrap x simple scorer x
-    mean (model.py:247-294).  The per-repetition scorer aggregates each
-    user's sampled rows to a fixed feature vector, then applies the
-    broadcast linear model via mapInPandas."""
+    """Branch A: ``reliable_predict`` (model.py:247-294) — seeded
+    bootstrap x RNN scorer x mean.
+
+    With the reference artifacts present (the default), each repetition
+    scores through the REAL weights: nn_bins digitize -> last-300
+    zero-padded sequences -> broadcast ``nn_weights.ckpt`` -> numpy BiGRU
+    forward (eval mode; the reference's per-pass dropout noise is what
+    its 50-rep average suppresses — our reps differ by bootstrap draw).
+    Without them, a per-user aggregate + broadcast linear model exercises
+    the identical plumbing."""
+    real = _real_rnn_artifacts() if use_real_rnn else None
     runs = []
     for i, rep in enumerate(bootstrap_runs(tx, n_reps, fraction=0.95, seed=seed)):
-        per_user = rep.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("double").alias("f0"),
-            F.avg("amt").alias("f1"),
-            F.avg(F.col("cat").cast("double")).alias("f2"),
-        )
-        assembled = per_user.select(
-            "user_id", F.array("f0", "f1", "f2").alias("features")
-        )
-        scored = score_with_model(
-            assembled,
-            linear_scorer(list(weights)),
-            id_col="user_id",
-            vec_col="features",
-        ).withColumnRenamed("vec_id", "user_id")
+        if real is not None:
+            from ..inference.udfs import score_rnn_sequences
+            from .sequences import reference_feature_frame, rnn_input_sequences
+
+            bins, model = real
+            seqs = rnn_input_sequences(reference_feature_frame(rep), bins, seq_len=300)
+            scored = score_rnn_sequences(
+                seqs, model, id_col="user_id", seq_col="seq"
+            ).withColumnRenamed("vec_id", "user_id")
+        else:
+            per_user = rep.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("double").alias("f0"),
+                F.avg("amt").alias("f1"),
+                F.avg(F.col("cat").cast("double")).alias("f2"),
+            )
+            assembled = per_user.select(
+                "user_id", F.array("f0", "f1", "f2").alias("features")
+            )
+            scored = score_with_model(
+                assembled,
+                linear_scorer(list(weights)),
+                id_col="user_id",
+                vec_col="features",
+            ).withColumnRenamed("vec_id", "user_id")
         runs.append(scored.select("user_id", F.col("score").alias("target")))
     return ensemble_mean(runs, key="user_id", score_col="target").withColumnRenamed(
         "target_mean", "nn_predict"
@@ -80,6 +122,7 @@ def run_submission(
     seed: int = 42,
     output_path: str | None = None,
     bucket_dir: str | None = None,
+    use_real_rnn: bool = True,
 ) -> DataFrame:
     """Full pipeline: (user_id, cat, amt, ts, ord) -> (user_id, target).
 
@@ -94,7 +137,13 @@ def run_submission(
     reads pre-partitioned data with no user_id exchange.
     """
     # Branch A on the raw log (the reference scores the RNN before cleaning)
-    nn = _rnn_branch(tx, n_reps=n_reps, seed=seed, weights=[0.01, 0.002, 0.001])
+    nn = _rnn_branch(
+        tx,
+        n_reps=n_reps,
+        seed=seed,
+        weights=[0.01, 0.002, 0.001],
+        use_real_rnn=use_real_rnn,
+    )
 
     # Robust cleaning (A7-A9) then branch C features
     cleaned = clean_transactions(

@@ -48,8 +48,8 @@ _RUNTIME_CONFS = {
     # more densely per task — safe in both regimes.
     "spark.sql.files.openCostInBytes": "524288",
     # NOTE on events.ts: the driver's events.parquet stores
-    # TIMESTAMP(NANOS), which Spark 4 scans natively as TIMESTAMP_NTZ
-    # (µs-truncated, bit-identical to DuckDB's read of the same file).
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 scans as
+    # TIMESTAMP_NTZ (bit-identical to DuckDB's read of the same file).
     # sources.readers.load_table casts it to a session-UTC TIMESTAMP.
     # We deliberately do NOT set spark.sql.legacy.parquet.nanosAsLong:
     # it only takes effect if set before the first scan plan, so as a

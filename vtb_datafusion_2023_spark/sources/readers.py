@@ -27,14 +27,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic parquet table (TESTDATA.md).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); Spark 4 scans that
-    natively as TIMESTAMP_NTZ with µs truncation — bit-identical to
-    DuckDB's read of the same file.  We normalize to a session-UTC
-    TIMESTAMP so every downstream operator (``unix_micros``, windows,
-    watermarks) sees one type regardless of reader mode.  The ``bigint``
-    branch covers sessions where a caller set the legacy
-    ``nanosAsLong`` conf before their first scan.  The conversion is a
-    narrow projection; filter pushdown on the column still works.
+    ``events.ts`` is stored as TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    Spark 4 scans that as TIMESTAMP_NTZ — bit-identical to DuckDB's read
+    of the same file.  We normalize to a session-UTC TIMESTAMP so every
+    downstream operator (``unix_micros``, windows, watermarks) sees one
+    type regardless of reader mode.  The ``bigint`` branch covers
+    nanos-typed variants read under the legacy ``nanosAsLong`` conf.
+    The conversion is a narrow projection; filter pushdown on the
+    column still works.
     """
     from ..session import tune_session
 

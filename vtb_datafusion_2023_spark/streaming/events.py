@@ -24,7 +24,7 @@ from .. import sqlgen
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        # TIMESTAMP(NANOS) in the driver parquet scans as NTZ (µs-truncated)
+        # TIMESTAMP(MICROS, adj=false) in the driver parquet scans as NTZ
         T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),

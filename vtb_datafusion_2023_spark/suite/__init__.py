@@ -72,6 +72,7 @@ def _load_all() -> None:
     from . import joins  # noqa: F401
     from . import windows  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import inference  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import streaming  # noqa: F401
     from . import tpch  # noqa: F401
