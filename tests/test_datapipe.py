@@ -72,6 +72,26 @@ def test_lsh_ann_subset_of_bruteforce_candidates(spark, sf_small):
         assert abs(cos_by_pair[(r.query_id, r.neighbor_id)] - r.cos) < 1e-12
 
 
+def test_ngram_jaccard_prefix_filter_matches_naive(spark, sf_small):
+    """The prefix-filtered AllPairs default must return EXACTLY the naive
+    full-posting-join result (candidates are a superset; verify is an
+    exact set intersection)."""
+    from vtb_datafusion_2023_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = docs(spark, sf_small)
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.6).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", n=1, threshold=0.6, prefix_filter=False
+        ).collect()
+    }
+    assert fast == naive and len(fast) > 0
+
+
 def test_media_features_plumbing(spark, sf_small):
     d = docs(spark, sf_small).select(
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")

@@ -1,0 +1,65 @@
+"""Embedding near-dup: the banded-LSH default path vs the exact all-pairs
+verifier — soundness (subset, exact cosines), recall bound, and the
+plan-shape guarantee that the default never plans a nested-loop join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vtb_datafusion_2023_spark.operators.similarity import cosine_near_pairs
+from vtb_datafusion_2023_spark.sources.readers import load_table
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b): r.cos for r in df.collect()}
+
+
+def test_banded_pairs_sound_and_recall_bounded(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = _pairs(cosine_near_pairs(emb, threshold=0.4, exact=True))
+    banded = _pairs(cosine_near_pairs(emb, threshold=0.4))
+    # soundness: every banded pair is a true pair with the identical
+    # exact cosine (verify step is exact; LSH only prunes candidates)
+    for pair, cos in banded.items():
+        assert pair in exact
+        assert cos == exact[pair]
+    # recall: the r=4, b=8 default must keep a useful fraction of true
+    # pairs on the driver's embedding fixture
+    assert len(exact) > 0
+    assert len(banded) >= 0.5 * len(exact), (len(banded), len(exact))
+
+
+def test_banded_path_plans_no_nested_loop_join(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    plan = (
+        cosine_near_pairs(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the exact verifier IS the nested-loop shape (that's why it's opt-in)
+    exact_plan = (
+        cosine_near_pairs(emb, threshold=0.4, exact=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoopJoin" in exact_plan or "CartesianProduct" in exact_plan
+
+
+def test_banded_pairs_deterministic_across_partitionings(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    one = _pairs(cosine_near_pairs(emb.repartition(1), threshold=0.4))
+    many = _pairs(cosine_near_pairs(emb.repartition(13), threshold=0.4))
+    assert one == many and len(one) > 0
+
+
+def test_higher_band_count_raises_recall(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings").limit(150)
+    exact = _pairs(cosine_near_pairs(emb, threshold=0.4, exact=True))
+    few = _pairs(cosine_near_pairs(emb, threshold=0.4, n_bands=2))
+    many = _pairs(cosine_near_pairs(emb, threshold=0.4, n_bands=12))
+    assert set(few) <= set(exact) and set(many) <= set(exact)
+    assert len(many) >= len(few)

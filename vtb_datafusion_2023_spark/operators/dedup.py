@@ -348,27 +348,70 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 1,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs above ``threshold``,
-    via shingle explode + self-join (the exact/baseline path; MinHash-LSH
-    is the scale path — this one is O(sum of posting-list^2)).
+    """EXACT n-gram Jaccard similarity for all pairs above ``threshold``.
+
+    Default = prefix-filtered AllPairs (Bayardo et al., WWW'07 — public
+    algorithm): shingles get a global rarity order (document frequency
+    asc, shingle asc); a pair with J >= t must share its smallest-ordered
+    common shingle within BOTH docs' prefixes of length
+    ``|d| - ceil(t*|d|) + 1``, so only prefix shingles are indexed and
+    self-joined.  Posting lists shrink from every-token to rare-prefix
+    tokens — the candidate join is bounded by rare-shingle frequencies
+    instead of O(sum posting^2) on stopword-grade shingles, which is what
+    makes exact Jaccard viable at corpus scale.  Candidates then verify
+    with a full set intersection, so the OUTPUT is identical to the
+    brute-force path (same counts, same division — bitwise; certified by
+    the ``dd_ngram_jaccard`` oracle, which stays the naive SQL).
+
+    ``prefix_filter=False`` keeps the naive full posting self-join (the
+    r01 baseline; useful as a differential check).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_s")
+    docs = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    ).withColumn("_sz", F.size("_sh"))
+    sh = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    if not prefix_filter:
+        l, r = sh.alias("l"), sh.alias("r")
+        inter = (
+            l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+            .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_inter"), F.first("l._sz").alias("_sza"), F.first("r._sz").alias("_szb"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
+    prefix = (
+        sh.join(dfreq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select("_id", "_s")
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    l, r = sh.alias("l"), sh.alias("r")
-    inter = (
-        l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
-        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "_s")
+        .join(prefix.select(F.col("_id").alias("id_b"), "_s"), "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_sz").alias("_sza"))
+    b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), F.col("_sz").alias("_szb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -69,16 +69,60 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    exact: bool = False,
+    n_planes: int = 4,
+    n_bands: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a < b) with
-    cos(a, b) >= threshold — the exact/baseline path for embedding dedup.
-    O(n^2/2) pairs: at corpus scale, prefilter with ``lsh_ann_topk``
-    buckets or ``ivf_topk`` cells and verify only candidates."""
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    DEFAULT = banded-LSH candidates + exact verify (the 100 TB shape):
+    each vector gets ``n_bands`` bucket keys (disjoint ``n_planes``-plane
+    sign signatures); candidate pairs share ANY band bucket (equi-join on
+    (band, bucket) — never a nested loop), are deduped once, then exact
+    cosine keeps true pairs.  Per-band collision probability for angle
+    theta is (1 - theta/pi)^r, so recall = 1-(1-p^r)^b — tune r down /
+    b up for higher recall at higher candidate cost.  Everything is the
+    deterministic integer-plane arithmetic of ``lsh_signature``, so the
+    same pipeline is expressible in the DuckDB oracle and certified
+    bitwise (suite ``dd_embedding_cosine``).
+
+    ``exact=True`` is the all-pairs O(n^2/2) verifier — correct at any
+    threshold but a nested-loop join; use only for small n or recall
+    audits.
+    """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if exact:
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+    sigs = F.array(
+        *[
+            lsh_signature(F.col("_v"), n_planes, plane_offset=band * n_planes)
+            for band in range(n_bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).select("_id", "_v", F.posexplode(sigs).alias("_band", "_bkt"))
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_bkt"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_bkt"
+    )
+    cands = (
+        left.join(right, ["_band", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several bands must verify once, not b times
+        .groupBy("id_a", "id_b")
+        .agg(F.first("_va").alias("_va"), F.first("_vb").alias("_vb"))
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        cands.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -185,11 +229,13 @@ def hyperplane_weight(plane: Column | int, dim: Column) -> Column:
     ).cast("double")
 
 
-def lsh_signature(vec: Column, n_planes: int = 16) -> Column:
+def lsh_signature(vec: Column, n_planes: int = 16, plane_offset: int = 0) -> Column:
     """Sign bits of <plane_i, x> packed into a bigint bucket key.
 
     Plane indices are Python ints (shift amounts must be literals), so
-    this generates ``n_planes`` fold expressions — one projection."""
+    this generates ``n_planes`` fold expressions — one projection.
+    ``plane_offset`` selects a disjoint plane family per LSH band (band b
+    uses planes [b*r, b*r + r))."""
     from functools import reduce as _reduce
 
     def plane_dot(p: int) -> Column:
@@ -203,7 +249,7 @@ def lsh_signature(vec: Column, n_planes: int = 16) -> Column:
         )
 
     bits = [
-        F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+        F.when(plane_dot(p + plane_offset) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
             F.lit(0).cast("long")
         )
         for p in range(n_planes)

@@ -303,20 +303,53 @@ def _cosf(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+def _banded_sig_sql(r: int = 4, b: int = 8) -> str:
+    """DuckDB replica of the Spark banded LSH signature: band ``bd`` uses
+    planes [bd*r, bd*r + r) of the same integer-arithmetic family as
+    ``similarity.hyperplane_weight`` — bitwise cross-engine."""
+    return f"""
+  select e.vec_id, e.embedding, bands.bd as band,
+         list_reduce(
+           list_transform(range(0, {r}), p ->
+             case when list_reduce(
+                    list_transform(range(0, len(e.embedding)), d ->
+                      cast(((((bands.bd * {r} + p) * 1009 + d + 1) * 2654435761)
+                            % 2147483648) - 1073741824 as double)
+                      * cast(e.embedding[d + 1] as double)),
+                    (a, b) -> a + b) > 0
+                  then cast(1 as bigint) << p else cast(0 as bigint) end),
+           (a, b) -> a + b) as bucket
+  from embeddings e cross join (select unnest(range(0, {b})) as bd) bands
+"""
+
+
 @register(
     "dd_embedding_cosine",
     oracle=f"""
-select a.vec_id as id_a, b.vec_id as id_b,
-       {_cosf('a.embedding', 'b.embedding')} as cos
-from embeddings a join embeddings b on a.vec_id < b.vec_id
-where {_cosf('a.embedding', 'b.embedding')} >= 0.4
+with sigs as ({_banded_sig_sql()}),
+cands as (
+  select distinct s1.vec_id as id_a, s2.vec_id as id_b
+  from sigs s1
+  join sigs s2 on s1.band = s2.band and s1.bucket = s2.bucket
+              and s1.vec_id < s2.vec_id
+)
+select c.id_a, c.id_b, {_cosf('ea.embedding', 'eb.embedding')} as cos
+from cands c
+join embeddings ea on ea.vec_id = c.id_a
+join embeddings eb on eb.vec_id = c.id_b
+where {_cosf('ea.embedding', 'eb.embedding')} >= 0.4
 """,
     survey_ref="dedup-embedding-cosine",
-    doc="embedding-cosine near-duplicate pairs (exact baseline; LSH/IVF are the scale prefilters).",
+    doc="embedding-cosine near-dup pairs via the SCALE path: banded-LSH "
+    "candidates (equi-join on (band, bucket), never all-pairs) + exact "
+    "cosine verify; the oracle replicates the identical banded pipeline "
+    "(deterministic integer planes), so the match is bitwise.  The "
+    "all-pairs verifier stays available as cosine_near_pairs(exact=True) "
+    "and bounds recall in tests/test_similarity.py.",
 )
 def dd_embedding_cosine(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(emb, threshold=0.4)
+    return cosine_near_pairs(emb, threshold=0.4)  # default = banded-LSH path
 
 
 def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
