@@ -92,6 +92,64 @@ def test_ngram_jaccard_prefix_filter_matches_naive(spark, sf_small):
     assert fast == naive and len(fast) > 0
 
 
+def test_incremental_minhash_equals_full_rerun(spark, sf_small):
+    """Splitting the corpus into history + batch and deduping the batch
+    against the history's band INDEX must produce exactly the full-corpus
+    pairs that touch a batch doc (signatures are deterministic, so the
+    buckets are identical run-to-run)."""
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    d = docs(spark, sf_small)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    kw = dict(num_perm=64, bands=16, shingle_n=3, jaccard_threshold=0.3)
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(d, "doc_id", "text", **kw).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    expected = {
+        p_: j for p_, j in full.items() if p_[0] in new_ids or p_[1] in new_ids
+    }
+    index = minhash_band_table(old, "doc_id", "text", num_perm=64, bands=16, shingle_n=3)
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_minhash_pairs(new, index, old, "doc_id", "text", **kw).collect()
+    }
+    assert inc == expected and len(inc) > 0
+
+
+def test_minhash_index_bucketed_join_no_exchange_on_index_side(spark, sf_small, tmp_path):
+    """The persisted band index joins incremental batches without
+    shuffling the historical side (bucketed by (band, bucket))."""
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        minhash_band_table,
+        write_minhash_index,
+    )
+
+    d = docs(spark, sf_small)
+    banded = minhash_band_table(d, "doc_id", "text", num_perm=16, bands=4)
+    idx = write_minhash_index(
+        banded, table="mh_index_test", path=str(tmp_path / "mh_index")
+    )
+    probe = banded.limit(50)
+    plan = (
+        probe.join(idx, ["band", "bucket"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # count exchanges: only the probe side may shuffle
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 1, plan
+
+
 def test_media_features_plumbing(spark, sf_small):
     d = docs(spark, sf_small).select(
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")

@@ -71,38 +71,23 @@ def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 1) -> Co
     )
 
 
-def minhash_lsh_pairs(
+def minhash_band_table(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
     shingle_strategy: str = "window",
-    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+    """(id, band, bucket) LSH band assignments — the unit of incremental
+    dedup state.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    Only colliding (band, bucket) groups generate candidates — at 100 TB
-    the candidate set is ~linear in true duplicates, not O(n^2).
-
-    ``shingle_strategy`` trades compute shape for shuffle volume:
-    - 'window' (default): posexplode tokens -> lead() n-grams.  Fully
-      whole-stage-codegen'd (4x faster locally: 0.8s vs 3.1s at sf0.1),
-      but the window shuffles the tokenized corpus by doc id.  Right when
-      compute-bound (local, fat executors).
-    - 'array': map-side interpreted array-lambda shingling + exploded
-      hash with map-side partial min-aggregation, so the exchange carries
-      only ~num_perm longs per doc per partition.  Right when the cluster
-      is shuffle-bound (the usual 100 TB regime).
-
-    ``max_bucket_size``: hot buckets (m near-identical docs — exactly
-    where dedup matters) would otherwise expand to O(m^2) pairs inside
-    one row; buckets over the cap fall back to a star pairing against the
-    bucket's minimum id, keeping the duplicate CLUSTER connected with
-    O(m) pairs.  Run exact_dedup first to strip true duplicates.
+    Signatures are fully deterministic (seeded integer permutations over
+    xxhash64 shingles), so band tables computed in different runs, years
+    apart, collide identically — persist this table once per corpus
+    snapshot (``write_minhash_index``) and new batches dedup against it
+    WITHOUT touching historical text (``incremental_minhash_pairs``).
     """
     rows = num_perm // bands
     seed_ = 1  # matches minhash_signature's derivation
@@ -145,13 +130,6 @@ def minhash_lsh_pairs(
             )
         )
     sigs = hashed.groupBy("_id").agg(*perms)
-
-    # Candidate generation by GROUPING buckets, not a self-join: a
-    # self-join would evaluate the whole signature pipeline twice (one
-    # lineage per side), and caching per invocation leaks block-manager
-    # state across calls.  Grouping keeps ONE lineage: band rows carry
-    # only (band, bucket, id) longs; colliding buckets expand to sorted
-    # in-bucket pairs, star-capped by max_bucket_size (see docstring).
     band_structs = F.array(
         *[
             F.struct(
@@ -161,9 +139,96 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("_id", F.explode(band_structs).alias("_b")).select(
+    return sigs.select("_id", F.explode(band_structs).alias("_b")).select(
         "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
+
+
+def _verify_jaccard(
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (id_a, id_b) pairs: shingle
+    arrays are built ONLY for docs appearing in a candidate pair (the
+    join prunes the corpus scan)."""
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .join(cand_ids, "_id")
+        .select("_id", word_shingles("_txt", shingle_n).alias("_sh"))
+    )
+    pairs = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    shingle_strategy: str = "window",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Only colliding (band, bucket) groups generate candidates — at 100 TB
+    the candidate set is ~linear in true duplicates, not O(n^2).
+
+    ``shingle_strategy`` trades compute shape for shuffle volume:
+    - 'window' (default): posexplode tokens -> lead() n-grams.  Fully
+      whole-stage-codegen'd (4x faster locally: 0.8s vs 3.1s at sf0.1),
+      but the window shuffles the tokenized corpus by doc id.  Right when
+      compute-bound (local, fat executors).
+    - 'array': map-side interpreted array-lambda shingling + exploded
+      hash with map-side partial min-aggregation, so the exchange carries
+      only ~num_perm longs per doc per partition.  Right when the cluster
+      is shuffle-bound (the usual 100 TB regime).
+
+    ``max_bucket_size``: hot buckets (m near-identical docs — exactly
+    where dedup matters) would otherwise expand to O(m^2) pairs inside
+    one row; buckets over the cap fall back to a star pairing against the
+    bucket's minimum id, keeping the duplicate CLUSTER connected with
+    O(m) pairs.  Run exact_dedup first to strip true duplicates.
+    """
+    banded = minhash_band_table(
+        df, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy
+    )
+    cand = _bucket_candidate_pairs(banded, max_bucket_size)
+    return _verify_jaccard(cand, df, id_col, text_col, shingle_n, jaccard_threshold)
+
+
+def _bucket_candidate_pairs(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from colliding (band,
+    bucket) groups.
+
+    GROUPING buckets, not a self-join: a self-join would evaluate the
+    signature pipeline twice (one lineage per side), and caching per
+    invocation leaks block-manager state across calls.  Grouping keeps
+    ONE lineage: band rows carry only (band, bucket, id) longs; colliding
+    buckets expand to sorted in-bucket pairs, star-capped by
+    ``max_bucket_size`` (hot buckets pair every member against the
+    bucket minimum — O(m) pairs, cluster stays connected)."""
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
@@ -183,37 +248,88 @@ def minhash_lsh_pairs(
         lambda y: F.struct(F.element_at(F.col("_ids"), 1).alias("id_a"), y.alias("id_b")),
     )
     pair_structs = F.when(F.size("_ids") > max_bucket_size, star_pairs).otherwise(all_pairs)
-    cand = (
+    return (
         buckets.select(F.explode(pair_structs).alias("_p"))
         .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verification: shingle ARRAYS are built only for docs
-    # that appear in a candidate pair.  Plain join (no broadcast hint):
-    # the candidate-id set is usually small enough that AQE broadcasts it
-    # on its own, but on duplicate-heavy corpora it is unbounded and a
-    # forced broadcast would hit the 8 GB limit / driver OOM.
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .unionByName(cand.select(F.col("id_b").alias("_id")))
+
+
+def write_minhash_index(
+    banded: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Persist a ``minhash_band_table`` as the corpus's dedup index:
+    parquet bucketed+sorted by (band, bucket), so incremental batches
+    join it WITHOUT shuffling the historical side (the 100 TB payoff —
+    history is banded once, then only ever probed).  Returns the
+    re-read bucketed table."""
+    from ..sources.bucketed import bucketed_checkpoint
+
+    return bucketed_checkpoint(
+        banded,
+        table=table,
+        path=path,
+        bucket_cols=["band", "bucket"],
+        n_buckets=n_buckets,
+        sort_cols=["band", "bucket"],
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    old_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    shingle_strategy: str = "window",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-banded corpus WITHOUT
+    recomputing (or rescanning) history.
+
+    ``index`` is the historical ``minhash_band_table`` (live frame or the
+    ``write_minhash_index`` bucketed table).  Candidates are
+    (new x new) via in-batch bucket grouping plus (new x old) via an
+    equi-join of the batch's bands against the index; verification builds
+    shingles for the batch and ONLY the historical docs named in a
+    candidate pair (a join-pruned point lookup into ``old_docs``).
+
+    Determinism of the signatures makes this EXACTLY equivalent to
+    re-running ``minhash_lsh_pairs`` over old+new and keeping the pairs
+    that touch a new doc (property-tested in tests/test_datapipe.py),
+    at the cost of the batch, not the corpus.  Old-old pairs are the
+    previous run's output and are not re-emitted.
+    """
+    new_banded = minhash_band_table(
+        new_docs, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy
+    )
+    new_new = _bucket_candidate_pairs(new_banded, max_bucket_size)
+    old_side = index.select(
+        F.col(index.columns[0]).alias("_old_id"), "band", "bucket"
+    )
+    new_old = (
+        new_banded.join(old_side, ["band", "bucket"])
+        # an id may sit in the index AND the batch (re-ingest): keep the
+        # pair once with the canonical id_a < id_b orientation
+        .filter(F.col("_id") != F.col("_old_id"))
+        .select(
+            F.least("_id", "_old_id").alias("id_a"),
+            F.greatest("_id", "_old_id").alias("id_b"),
+        )
         .distinct()
     )
-    sh = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-        .join(cand_ids, "_id")
-        .select("_id", word_shingles("_txt", shingle_n).alias("_sh"))
-    )
-    pairs = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
-        pairs.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    cand = new_new.unionByName(new_old).distinct()
+    docs_all = old_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col))
+    ).distinct()
+    return _verify_jaccard(cand, docs_all, id_col, text_col, shingle_n, jaccard_threshold)
 
 
 def simhash64(text: Column | str, bits: int = 64) -> Column:

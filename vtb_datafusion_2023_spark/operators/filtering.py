@@ -251,3 +251,38 @@ def percentile_filter(
         .filter(F.col("_cd") >= F.lit(drop_below))
         .drop("_cd")
     )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: list,
+    partition_cols: list | None = None,
+) -> DataFrame:
+    """Greedy token-budget corpus selection: walk rows in ``order_cols``
+    order (best-first — quality desc plus a unique tie-break) and keep
+    rows while the running token total stays within ``budget`` — "fill a
+    50B-token training mix with the best documents".
+
+    The running total is a window cumsum, so selection is exact and
+    deterministic (the boundary document that would overflow the budget
+    is excluded).  With ``partition_cols`` the budget applies per group
+    (per source/language — the scale-safe shape: each group sorts
+    independently).  Without them the window is global: exact global
+    selection inherently serializes one sort — fine up to ~10^8 rows of
+    (score, count) pairs; beyond that, budget per shard and reconcile.
+    """
+    from pyspark.sql import Window
+
+    parts = partition_cols or []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_running", F.sum(F.col(token_col).cast("long")).over(w))
+        .filter(F.col("_running") <= F.lit(int(budget)))
+        .drop("_running")
+    )

@@ -990,3 +990,63 @@ def text_bm25(spark, sf_dir):
     return bm25_search(
         T(spark, sf_dir, "documents"), ["customer", "stream", "vector"], k=10
     )
+
+
+@register(
+    "dp_token_budget",
+    oracle="""
+with t as (
+  select doc_id, source, cast(len(string_split(text, ' ')) as bigint) as n_tok, n_chars
+  from documents
+)
+select doc_id, source, n_tok from (
+  select doc_id, source, n_tok,
+         sum(n_tok) over (partition by source order by n_chars desc, doc_id asc
+                          rows between unbounded preceding and current row) as running
+  from t
+) where running <= 2000
+""",
+    survey_ref="dp-token-budget",
+    doc="greedy token-budget corpus selection: per-source, best-first "
+    "(n_chars desc) cumulative token fill to a 2000-token budget — the "
+    "'build an N-billion-token mix from the best documents' primitive; "
+    "exact window cumsum, tie-broken on doc_id, engine-identical.",
+)
+def dp_token_budget(spark, sf_dir):
+    from ..operators.filtering import select_to_token_budget
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    picked = select_to_token_budget(
+        d,
+        token_col="n_tok",
+        budget=2000,
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        partition_cols=["source"],
+    )
+    return picked.select("doc_id", "source", "n_tok")
+
+
+@register(
+    "dd_incremental_minhash",
+    oracle=None,  # LSH banding (rows-only, like dd_minhash_lsh); the
+    # full-rerun equivalence is property-tested in tests/test_datapipe.py
+    survey_ref="dedup-incremental",
+    doc="incremental near-dup: the batch (doc_id%5==0) dedups against "
+    "the history's persisted band INDEX — (new x new) in-batch grouping "
+    "+ (new x old) index equi-join + exact verify with join-pruned "
+    "lookups into the historical text.  History is never re-banded or "
+    "re-scanned: the 100 TB daily-ingest shape.",
+)
+def dd_incremental_minhash(spark, sf_dir):
+    from ..operators.dedup import incremental_minhash_pairs, minhash_band_table
+
+    d = T(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    index = minhash_band_table(old, "doc_id", "text", num_perm=64, bands=16, shingle_n=3)
+    return incremental_minhash_pairs(
+        new, index, old, "doc_id", "text",
+        num_perm=64, bands=16, shingle_n=3, jaccard_threshold=0.3,
+    )
