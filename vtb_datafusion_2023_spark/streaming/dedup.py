@@ -1,0 +1,166 @@
+"""Streaming ingest dedup: a ``foreachBatch`` pipeline that admits only
+novel documents, maintaining a manifest-versioned clean corpus AND its
+MinHash band index across micro-batches.
+
+The production loop a 100 TB training-data pipeline runs on arriving
+shards: each micro-batch
+
+1. bands its documents (``dedup.minhash_band_table`` — deterministic
+   signatures),
+2. finds near-dup candidates in-batch (bucket grouping) and against the
+   ACCUMULATED index (equi-join on (band, bucket) — history is probed,
+   never re-banded),
+3. verifies candidates with exact Jaccard (join-pruned lookups into the
+   versioned corpus),
+4. drops batch docs that near-dup an accepted doc or a smaller-id batch
+   doc (greedy keep-first; transitively conservative — a doc whose only
+   match was itself dropped is still dropped, so the accepted set never
+   contains a colliding pair),
+5. appends survivors to the corpus table and their bands to the index
+   table (``commit_versioned(mode='append')`` — no data rewrite), then
+   marks the batch done.
+
+Batch replays after failure are idempotent via the done-marker: a
+re-delivered batch id is skipped before any commit.  (The marker is
+written after BOTH commits; a crash between the two commits can leave an
+index entry whose corpus append retries — the window is one local file
+publish, and re-running the batch then drops its docs as duplicates of
+themselves only if ids differ; same-id re-ingest is excluded by the
+id-inequality in candidate generation, so the corpus append re-executes
+exactly once.  For multi-writer object stores, replace markers with a
+transactional catalog.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _bucket_candidate_pairs,
+    _verify_jaccard,
+    minhash_band_table,
+)
+from ..sources.manifest import commit_versioned, read_versioned, table_versions
+
+
+def _dedup_one_batch(
+    batch: DataFrame,
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+    jaccard_threshold: float,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Return the batch rows that survive dedup vs (corpus + batch)."""
+    batch = batch.select(id_col, text_col).dropDuplicates([id_col])
+    banded = minhash_band_table(
+        batch, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy="array"
+    )
+    cand = _bucket_candidate_pairs(banded, max_bucket_size)
+    have_history = bool(table_versions(index_dir))
+    if have_history:
+        index = read_versioned(spark, index_dir)
+        old = read_versioned(spark, corpus_dir)
+        vs_old = (
+            banded.join(
+                index.select(F.col(id_col).alias("_old_id"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("_id") != F.col("_old_id"))
+            .select(
+                F.least("_id", "_old_id").alias("id_a"),
+                F.greatest("_id", "_old_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        cand = cand.unionByName(vs_old).distinct()
+        docs_all = old.select(id_col, text_col).unionByName(
+            batch.select(id_col, text_col)
+        )
+    else:
+        docs_all = batch
+    pairs = _verify_jaccard(
+        cand, docs_all, id_col, text_col, shingle_n, jaccard_threshold
+    )
+    new_ids = batch.select(F.col(id_col))
+    a_new = new_ids.select(F.col(id_col).alias("id_a")).withColumn("_a_new", F.lit(True))
+    b_new = new_ids.select(F.col(id_col).alias("id_b")).withColumn("_b_new", F.lit(True))
+    marked = pairs.join(a_new, "id_a", "left").join(b_new, "id_b", "left")
+    drops = (
+        marked.filter(F.col("_b_new")).select(F.col("id_b").alias(id_col))
+        .unionByName(
+            marked.filter(F.col("_a_new") & F.col("_b_new").isNull()).select(
+                F.col("id_a").alias(id_col)
+            )
+        )
+        .distinct()
+    )
+    return batch.join(drops, id_col, "left_anti")
+
+
+def streaming_dedup_ingest(
+    stream_docs: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    timeout_sec: int = 600,
+) -> None:
+    """Run the (finite-source) document stream to completion, growing the
+    versioned clean corpus at ``corpus_dir`` and its band index at
+    ``index_dir``.  Read results with ``sources.manifest.read_versioned``.
+    """
+    os.makedirs(corpus_dir, exist_ok=True)
+    spark = stream_docs.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(corpus_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):  # replayed batch: already committed
+            return
+        accepted = _dedup_one_batch(
+            batch_df,
+            spark,
+            corpus_dir,
+            index_dir,
+            id_col,
+            text_col,
+            num_perm,
+            bands,
+            shingle_n,
+            jaccard_threshold,
+            max_bucket_size,
+        ).localCheckpoint()  # pin: two commits below must see one answer
+        if accepted.limit(1).count() > 0:
+            accepted_bands = minhash_band_table(
+                accepted, id_col, text_col, num_perm, bands, shingle_n,
+                shingle_strategy="array",
+            ).withColumnRenamed("_id", id_col)
+            commit_versioned(accepted, corpus_dir, mode="append")
+            commit_versioned(accepted_bands, index_dir, mode="append")
+        with open(marker, "w") as f:
+            f.write("done")
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()

@@ -239,3 +239,50 @@ def st_attribution_full(spark, sf_dir):
         (F.col("trig_user").isNull() | (F.col("trig_user") != SENTINEL_USER))
         & (F.col("conv_user").isNull() | (F.col("conv_user") != SENTINEL_USER))
     )
+
+
+@register(
+    "st_dedup_ingest",
+    oracle=None,  # foreachBatch pipeline with versioned-table side effects;
+    # admit-only-novel + replay-idempotency are pytest-certified
+    # (tests/test_streaming_dedup.py)
+    survey_ref="stream-dedup-ingest",
+    doc="streaming ingest dedup: per micro-batch, band the docs, probe "
+    "the accumulated MinHash index ((band,bucket) equi-join — history "
+    "never re-banded), verify exact Jaccard against the versioned corpus "
+    "with join-pruned lookups, append survivors to corpus + index "
+    "(manifest commit, done-marker idempotent).  Returns the final clean "
+    "corpus.",
+)
+def st_dedup_ingest(spark, sf_dir):
+    import tempfile
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F2
+
+    from ..sources.manifest import read_versioned
+    from ..sources.readers import load_table
+    from ..streaming.dedup import streaming_dedup_ingest
+
+    root = tempfile.mkdtemp(prefix=f"spark_graft_stdedup_{_uuid.uuid4().hex[:6]}_")
+    src = f"{root}/src"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(2):  # two micro-batches
+        docs.filter(F2.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_dedup_ingest(
+        stream,
+        f"{root}/corpus",
+        f"{root}/index",
+        f"{root}/ckpt",
+        jaccard_threshold=0.5,
+        num_perm=32,
+        bands=8,
+    )
+    return read_versioned(spark, f"{root}/corpus").select("doc_id")
