@@ -307,9 +307,15 @@ def incremental_minhash_pairs(
     at the cost of the batch, not the corpus.  Old-old pairs are the
     previous run's output and are not re-emitted.
     """
+    # The batch band table feeds BOTH candidate branches (and indirectly
+    # the verify); without pinning, each consumer replays the full
+    # shingle->hash->min-agg lineage (plan audit showed 19 scans of the
+    # batch).  localCheckpoint materializes it once — it is small
+    # (bands x ids longs), and the batch (not the corpus) is the unit of
+    # incremental work.
     new_banded = minhash_band_table(
         new_docs, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy
-    )
+    ).localCheckpoint(eager=False)
     new_new = _bucket_candidate_pairs(new_banded, max_bucket_size)
     old_side = index.select(
         F.col(index.columns[0]).alias("_old_id"), "band", "bucket"

@@ -63,7 +63,7 @@ def _dedup_one_batch(
     batch = batch.select(id_col, text_col).dropDuplicates([id_col])
     banded = minhash_band_table(
         batch, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy="array"
-    )
+    ).localCheckpoint(eager=False)  # feeds both candidate branches once
     cand = _bucket_candidate_pairs(banded, max_bucket_size)
     have_history = bool(table_versions(index_dir))
     if have_history:

@@ -282,7 +282,9 @@ def st_dedup_ingest(spark, sf_dir):
         f"{root}/index",
         f"{root}/ckpt",
         jaccard_threshold=0.5,
-        num_perm=32,
-        bands=8,
+        # narrow signature (16 perms / 4 bands): the gate certifies the
+        # pipeline shape, not recall — pytest covers the wide settings
+        num_perm=16,
+        bands=4,
     )
     return read_versioned(spark, f"{root}/corpus").select("doc_id")
