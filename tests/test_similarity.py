@@ -17,13 +17,15 @@ def _pairs(df):
 def test_banded_pairs_sound_and_recall_bounded(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     exact = _pairs(cosine_near_pairs(emb, threshold=0.4, exact=True))
-    banded = _pairs(cosine_near_pairs(emb, threshold=0.4))
+    # fixture geometry (see operator docstring): loose threshold + 500
+    # vectors -> r=4, b=8
+    banded = _pairs(cosine_near_pairs(emb, threshold=0.4, n_planes=4, n_bands=8))
     # soundness: every banded pair is a true pair with the identical
     # exact cosine (verify step is exact; LSH only prunes candidates)
     for pair, cos in banded.items():
         assert pair in exact
         assert cos == exact[pair]
-    # recall: the r=4, b=8 default must keep a useful fraction of true
+    # recall: the fixture geometry must keep a useful fraction of true
     # pairs on the driver's embedding fixture
     assert len(exact) > 0
     assert len(banded) >= 0.5 * len(exact), (len(banded), len(exact))
@@ -32,7 +34,7 @@ def test_banded_pairs_sound_and_recall_bounded(spark, sf_small):
 def test_banded_path_plans_no_nested_loop_join(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     plan = (
-        cosine_near_pairs(emb, threshold=0.4)
+        cosine_near_pairs(emb, threshold=0.4, n_planes=4, n_bands=8)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -51,15 +53,15 @@ def test_banded_path_plans_no_nested_loop_join(spark, sf_small):
 
 def test_banded_pairs_deterministic_across_partitionings(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
-    one = _pairs(cosine_near_pairs(emb.repartition(1), threshold=0.4))
-    many = _pairs(cosine_near_pairs(emb.repartition(13), threshold=0.4))
+    one = _pairs(cosine_near_pairs(emb.repartition(1), threshold=0.4, n_planes=4, n_bands=8))
+    many = _pairs(cosine_near_pairs(emb.repartition(13), threshold=0.4, n_planes=4, n_bands=8))
     assert one == many and len(one) > 0
 
 
 def test_higher_band_count_raises_recall(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings").limit(150)
     exact = _pairs(cosine_near_pairs(emb, threshold=0.4, exact=True))
-    few = _pairs(cosine_near_pairs(emb, threshold=0.4, n_bands=2))
-    many = _pairs(cosine_near_pairs(emb, threshold=0.4, n_bands=12))
+    few = _pairs(cosine_near_pairs(emb, threshold=0.4, n_planes=4, n_bands=2))
+    many = _pairs(cosine_near_pairs(emb, threshold=0.4, n_planes=4, n_bands=12))
     assert set(few) <= set(exact) and set(many) <= set(exact)
     assert len(many) >= len(few)

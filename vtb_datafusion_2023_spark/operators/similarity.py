@@ -70,8 +70,8 @@ def cosine_near_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     exact: bool = False,
-    n_planes: int = 4,
-    n_bands: int = 8,
+    n_planes: int = 12,
+    n_bands: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
@@ -79,12 +79,22 @@ def cosine_near_pairs(
     each vector gets ``n_bands`` bucket keys (disjoint ``n_planes``-plane
     sign signatures); candidate pairs share ANY band bucket (equi-join on
     (band, bucket) — never a nested loop), are deduped once, then exact
-    cosine keeps true pairs.  Per-band collision probability for angle
-    theta is (1 - theta/pi)^r, so recall = 1-(1-p^r)^b — tune r down /
-    b up for higher recall at higher candidate cost.  Everything is the
-    deterministic integer-plane arithmetic of ``lsh_signature``, so the
-    same pipeline is expressible in the DuckDB oracle and certified
-    bitwise (suite ``dd_embedding_cosine``).
+    cosine keeps true pairs.  Everything is the deterministic
+    integer-plane arithmetic of ``lsh_signature``, so the same pipeline
+    is expressible in the DuckDB oracle and certified bitwise (suite
+    ``dd_embedding_cosine``).
+
+    GEOMETRY — pick ``n_planes`` (r) for BUCKET DENSITY first: each band
+    has 2^r possible buckets, so expected bucket occupancy is n/2^r and
+    the per-band join does ~n^2/2^r comparisons — r must grow with the
+    corpus (r >= log2(n / wanted_bucket_size); the r=12, b=16 default
+    suits ~10^5-10^7 vectors at dedup thresholds ~0.9, where per-plane
+    agreement p = 1 - theta/pi ~ 0.86 gives recall 1-(1-p^r)^b ~ 0.93).
+    Then buy recall with bands (b): each adds a full corpus pass.  Small
+    fixtures / loose thresholds need the opposite corner (the suite uses
+    r=4, b=8 for its 500-vector, t=0.4 oracle).  Identical vectors all
+    share all buckets — run ``exact_dedup`` first so hot buckets hold
+    near-dups, not exact copies.
 
     ``exact=True`` is the all-pairs O(n^2/2) verifier — correct at any
     threshold but a nested-loop join; use only for small n or recall

@@ -349,7 +349,10 @@ where {_cosf('ea.embedding', 'eb.embedding')} >= 0.4
 )
 def dd_embedding_cosine(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(emb, threshold=0.4)  # default = banded-LSH path
+    # banded-LSH path; fixture geometry (r=4, b=8) matches the oracle SQL
+    # and the loose t=0.4 threshold of the synthetic embeddings — see the
+    # operator docstring for production geometry (r grows with corpus)
+    return cosine_near_pairs(emb, threshold=0.4, n_planes=4, n_bands=8)
 
 
 def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
