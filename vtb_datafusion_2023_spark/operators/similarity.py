@@ -273,13 +273,18 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 16,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine ranking restricted to the query's LSH
     bucket.  Recall < 1 by construction (candidates sharing all sign
     bits); multiply probe-buckets or lower n_planes to trade recall for
     cost.  Bucketing the corpus is one projection; the join hits only
-    matching buckets."""
+    matching buckets.
+
+    Bucket-density rule (same as ``cosine_near_pairs``): 2^n_planes
+    buckets total, so each query scans ~n/2^r corpus vectors — grow r
+    with the corpus (the r=16 default ~ 65k buckets suits 10^6-10^8
+    vectors; the 500-vector suite fixture passes r=8 explicitly)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
