@@ -63,3 +63,41 @@ def test_vacuum_removes_old_versions_and_orphans(spark, tmp_path):
     assert _rows(read_versioned(spark, t)) == [(2, "x")]
     live = set(os.listdir(data))
     assert all(f.startswith("v3-") for f in live)
+
+
+def test_compact_rewrites_latest_into_fewer_files(spark, tmp_path):
+    import glob
+    import os
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        compact_versioned,
+        read_versioned,
+        table_versions,
+        vacuum_versioned,
+    )
+
+    d = str(tmp_path / "t")
+    # simulate per-batch appends: 6 commits x several files each
+    for i in range(6):
+        commit_versioned(
+            spark.range(i * 10, (i + 1) * 10).repartition(4), d, mode="append"
+        )
+    before = read_versioned(spark, d)
+    rows = {r.id for r in before.collect()}
+    n_files_before = len(
+        read_versioned.__globals__["_read_manifest"](d, table_versions(d)[-1])["files"]
+    )
+    assert n_files_before >= 6
+    v = compact_versioned(spark, d, target_files=2)
+    after = read_versioned(spark, d)
+    assert {r.id for r in after.collect()} == rows
+    n_files_after = len(
+        read_versioned.__globals__["_read_manifest"](d, v)["files"]
+    )
+    assert n_files_after <= 2
+    # older versions still readable until vacuumed; vacuum then reclaims
+    assert read_versioned(spark, d, version=v - 1).count() == len(rows)
+    deleted = vacuum_versioned(d, keep=1)
+    assert deleted  # the pre-compaction small files are gone
+    assert {r.id for r in read_versioned(spark, d).collect()} == rows

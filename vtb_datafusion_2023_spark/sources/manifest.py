@@ -130,3 +130,22 @@ def vacuum_versioned(table_dir: str, keep: int = 2) -> list[str]:
     for stray in glob.glob(os.path.join(table_dir, ".stage-*")):
         shutil.rmtree(stray, ignore_errors=True)
     return deleted
+
+
+def compact_versioned(
+    spark: SparkSession, table_dir: str, target_files: int = 8
+) -> int:
+    """Rewrite the LATEST version's data into ``target_files`` files and
+    commit the result as a new version (same rows, fewer files).
+
+    Append-mode ingestion (e.g. the streaming dedup corpus/index, one
+    commit per micro-batch) accumulates a file per batch; readers then
+    pay per-file open cost and tiny scan tasks.  Compaction is an
+    ordinary overwrite commit, so it is atomic, readers on older versions
+    are untouched, and ``vacuum_versioned`` reclaims the small files once
+    the retention window passes.  Returns the new version number.
+    """
+    latest = read_versioned(spark, table_dir)
+    return commit_versioned(
+        latest.repartition(target_files), table_dir, mode="overwrite"
+    )
