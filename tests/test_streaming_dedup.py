@@ -38,6 +38,7 @@ def _run(spark, sf_small, tmp_path, tag):
         jaccard_threshold=THRESH,
         num_perm=32,
         bands=8,
+        compact_every=2,  # exercise mid-stream compaction
     )
     return corpus_dir, index_dir, ckpt, src
 

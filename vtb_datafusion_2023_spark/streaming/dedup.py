@@ -119,10 +119,17 @@ def streaming_dedup_ingest(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 1000,
     timeout_sec: int = 600,
+    compact_every: int | None = None,
 ) -> None:
     """Run the (finite-source) document stream to completion, growing the
     versioned clean corpus at ``corpus_dir`` and its band index at
     ``index_dir``.  Read results with ``sources.manifest.read_versioned``.
+
+    ``compact_every=N`` rewrites both tables into few files after every
+    N-th committed batch (append mode adds a file set per batch;
+    compaction keeps reader open-cost flat on long streams — see
+    ``sources.manifest.compact_versioned``; vacuum separately, respecting
+    reader retention).
     """
     os.makedirs(corpus_dir, exist_ok=True)
     spark = stream_docs.sparkSession
@@ -151,6 +158,11 @@ def streaming_dedup_ingest(
             ).withColumnRenamed("_id", id_col)
             commit_versioned(accepted, corpus_dir, mode="append")
             commit_versioned(accepted_bands, index_dir, mode="append")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                from ..sources.manifest import compact_versioned
+
+                compact_versioned(spark, corpus_dir)
+                compact_versioned(spark, index_dir)
         with open(marker, "w") as f:
             f.write("done")
 
