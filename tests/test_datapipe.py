@@ -150,6 +150,28 @@ def test_minhash_index_bucketed_join_no_exchange_on_index_side(spark, sf_small, 
     assert n_exchanges <= 1, plan
 
 
+def test_cluster_safe_split_never_leaks_near_dups(spark, sf_small):
+    """No near-dup pair may span two splits, and the split column covers
+    every doc with the declared labels."""
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        cluster_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    d = docs(spark, sf_small)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
+    out = cluster_safe_split(d, pairs)
+    split_of = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    assert set(split_of) == {r.doc_id for r in d.select("doc_id").collect()}
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    leaked = [
+        (r.id_a, r.id_b)
+        for r in pairs.collect()
+        if split_of[r.id_a] != split_of[r.id_b]
+    ]
+    assert leaked == []
+
+
 def test_media_features_plumbing(spark, sf_small):
     d = docs(spark, sf_small).select(
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")

@@ -630,3 +630,32 @@ def fuzzy_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select(*bucket_cols, "id_a", "id_b", "edit_dist")
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict | None = None,
+    denom: int = 100,
+) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test assignment: every document in
+    a near-dup cluster lands in the SAME split.
+
+    Splitting documents independently puts near-duplicates of training
+    docs into the eval split — the classic train/test contamination bug
+    benchmark dedup papers warn about.  Here the split is a deterministic
+    function of ``cluster_id`` (= min reachable id through the near-dup
+    pair graph, ``dedup_clusters``), so a cluster moves atomically;
+    singletons split by their own id as before.
+
+    Returns docs + (cluster_id, split).  One label-propagation pass plus
+    one modulo projection — the same id-predicate portability/pushdown
+    properties as ``filtering.modulo_split``.
+    """
+    from .filtering import modulo_split
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    clusters = dedup_clusters(docs.select(id_col), pairs, id_col=id_col)
+    assigned = modulo_split(clusters, weights, id_col="cluster_id", denom=denom)
+    return docs.join(assigned, id_col)

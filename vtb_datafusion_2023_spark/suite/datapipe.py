@@ -1053,3 +1053,39 @@ def dd_incremental_minhash(spark, sf_dir):
         new, index, old, "doc_id", "text",
         num_perm=64, bands=16, shingle_n=3, jaccard_threshold=0.3,
     )
+
+
+@register(
+    "dp_cluster_safe_split",
+    oracle=f"""
+with recursive jp as ({_JACCARD_PAIRS_SQL}),
+edges as (select id_a as src, id_b as dst from jp
+          union all
+          select id_b, id_a from jp),
+reach(id, label) as (
+  select doc_id, doc_id from documents
+  union
+  select e.src, r.label from edges e join reach r on e.dst = r.id
+),
+cl as (select id as doc_id, min(label) as cluster_id from reach group by id)
+select doc_id, cluster_id,
+       case when cluster_id % 100 < 80 then 'train'
+            when cluster_id % 100 < 90 then 'val'
+            else 'test' end as split
+from cl
+""",
+    survey_ref="dp-cluster-split",
+    doc="near-dup-leakage-safe train/val/test split: every doc in a "
+    "near-dup cluster gets the SAME split (assignment is a modulo "
+    "predicate of cluster_id = min reachable id), so eval never contains "
+    "a near-duplicate of a training doc — the contamination bug "
+    "benchmark-dedup papers warn about.",
+)
+def dp_cluster_safe_split(spark, sf_dir):
+    from ..operators.dedup import cluster_safe_split
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    return cluster_safe_split(
+        docs, pairs, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "cluster_id", "split")
