@@ -214,7 +214,12 @@ def minhash_lsh_pairs(
     banded = minhash_band_table(
         df, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy
     )
-    cand = _bucket_candidate_pairs(banded, max_bucket_size)
+    # the candidate pairs feed three consumers inside the verify (the two
+    # cand_ids branches + the pair join); pinning them stops each from
+    # replaying the whole shingle->signature->bucket lineage.  Candidates
+    # are (long, long) rows ~linear in true duplicates — tiny relative to
+    # the corpus.
+    cand = _bucket_candidate_pairs(banded, max_bucket_size).localCheckpoint(eager=False)
     return _verify_jaccard(cand, df, id_col, text_col, shingle_n, jaccard_threshold)
 
 
