@@ -54,3 +54,28 @@ def test_sql_udfs_inline_no_python_boundary(spark, sf_small):
     f = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
     # the raw-column predicate still pushes into the scan through the UDF projection
     assert "LessThan(doc_id,10)" in f, f
+
+
+def test_udtf_chunking_matches_builtin_operator(spark, sf_small):
+    """The chunk_text UDTF must be row-identical to the codegen
+    chunk_documents path (two implementations, one contract)."""
+    from vtb_datafusion_2023_spark.operators.text import chunk_documents
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+    from vtb_datafusion_2023_spark.sqlapi import register_tables, register_udtfs
+
+    register_tables(spark, sf_small)
+    register_udtfs(spark)
+    via_udtf = {
+        (r.doc_id, r.chunk_id): (r.chunk, r.n_chunk_tokens)
+        for r in spark.sql(
+            "select d.doc_id, c.chunk_id, c.chunk, c.n_chunk_tokens "
+            "from documents d, lateral chunk_text(d.text, 16) c"
+        ).collect()
+    }
+    via_op = {
+        (r.doc_id, r.chunk_id): (r.chunk, r.n_chunk_tokens)
+        for r in chunk_documents(
+            load_table(spark, sf_small, "documents"), chunk_tokens=16
+        ).collect()
+    }
+    assert via_udtf == via_op and len(via_udtf) > 0

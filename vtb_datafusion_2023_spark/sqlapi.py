@@ -65,3 +65,33 @@ def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
     """Expose every driver table as a temp view named after the table."""
     register_views(spark, sf_dir)
     return list(TESTDATA_TABLES)
+
+
+def register_udtfs(spark: SparkSession) -> list[str]:
+    """Install the engine's Python table functions (Spark UDTF surface).
+
+    ``chunk_text(text, size)`` emits one row per ``size``-token window of
+    the input (chunk_id, chunk, n_chunk_tokens) — callable from SQL as a
+    LATERAL table function.  Its output is defined to match
+    ``operators.text.chunk_documents`` bitwise (locked by the
+    ``sql_udtf_chunking`` oracle, which reuses the chunking SQL oracle).
+
+    Perf note: a UDTF is a Python-worker boundary evaluated per row —
+    it is the EXTENSIBILITY surface, not the hot path; pipelines should
+    prefer the codegen ``chunk_documents`` and reach for a UDTF only for
+    logic Spark expressions cannot state.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id bigint, chunk string, n_chunk_tokens bigint")
+    class ChunkText:
+        def eval(self, text: str, size: int):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(0, max(len(toks), 1), size):
+                window = toks[i : i + size]
+                yield (i // size, " ".join(window), len(window))
+
+    spark.udtf.register("chunk_text", ChunkText)
+    return ["chunk_text"]

@@ -1089,3 +1089,34 @@ def dp_cluster_safe_split(spark, sf_dir):
     return cluster_safe_split(
         docs, pairs, weights={"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "cluster_id", "split")
+
+
+@register(
+    "sql_udtf_chunking",
+    oracle="""
+with t as (select doc_id, string_split(text, ' ') as toks from documents),
+c as (select doc_id, toks,
+             unnest(range(cast(ceil(len(toks)/16.0) as bigint))) as chunk_id
+      from t)
+select doc_id, chunk_id,
+       array_to_string(toks[chunk_id*16+1 : (chunk_id+1)*16], ' ') as chunk,
+       len(toks[chunk_id*16+1 : (chunk_id+1)*16]) as n_chunk_tokens
+from c
+""",
+    survey_ref="sql-udtf",
+    doc="Python UDTF surface: chunk_text(text, 16) as a SQL LATERAL "
+    "table function — bitwise-identical to the codegen chunk_documents "
+    "(same oracle as text_chunking).  The extensibility path for row "
+    "logic Spark expressions cannot state; hot paths use the builtin op.",
+)
+def sql_udtf_chunking(spark, sf_dir):
+    from ..sqlapi import register_tables, register_udtfs
+
+    register_tables(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        select d.doc_id, c.chunk_id, c.chunk, c.n_chunk_tokens
+        from documents d, lateral chunk_text(d.text, 16) c
+        """
+    )
