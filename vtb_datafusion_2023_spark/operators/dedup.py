@@ -283,6 +283,18 @@ def write_minhash_index(
     )
 
 
+def _index_id_column(index: DataFrame) -> str:
+    """The id column of a band index = whatever is not band/bucket
+    (``minhash_band_table`` emits ``_id``; ``write_minhash_index`` tables
+    carry the caller's id name) — resolved by NAME, never by position."""
+    others = [c for c in index.columns if c not in ("band", "bucket")]
+    if len(others) != 1:
+        raise ValueError(
+            f"band index must have exactly one id column besides band/bucket, got {index.columns}"
+        )
+    return others[0]
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     index: DataFrame,
@@ -323,7 +335,7 @@ def incremental_minhash_pairs(
     ).localCheckpoint(eager=False)
     new_new = _bucket_candidate_pairs(new_banded, max_bucket_size)
     old_side = index.select(
-        F.col(index.columns[0]).alias("_old_id"), "band", "bucket"
+        F.col(_index_id_column(index)).alias("_old_id"), "band", "bucket"
     )
     new_old = (
         new_banded.join(old_side, ["band", "bucket"])

@@ -20,15 +20,16 @@ shards: each micro-batch
    table (``commit_versioned(mode='append')`` — no data rewrite), then
    marks the batch done.
 
-Batch replays after failure are idempotent via the done-marker: a
-re-delivered batch id is skipped before any commit.  (The marker is
-written after BOTH commits; a crash between the two commits can leave an
-index entry whose corpus append retries — the window is one local file
-publish, and re-running the batch then drops its docs as duplicates of
-themselves only if ids differ; same-id re-ingest is excluded by the
-id-inequality in candidate generation, so the corpus append re-executes
-exactly once.  For multi-writer object stores, replace markers with a
-transactional catalog.)
+Batch replays after failure are idempotent at three levels: the
+done-marker skips fully-committed batches before any work; accepted docs
+anti-join the existing corpus ids so a replay whose marker write crashed
+never appends a row twice; and the index commits BEFORE the corpus, so
+the only crash-window artifact is an index entry whose corpus row
+arrives on the replay — harmless, since verification drops candidates
+with no corpus text.  A fully missing index (manual deletion) self-heals
+by re-banding the corpus once — deterministic signatures rebuild it
+identically.  For multi-writer object stores, replace markers with a
+transactional catalog.
 """
 
 from __future__ import annotations
@@ -65,10 +66,20 @@ def _dedup_one_batch(
         batch, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy="array"
     ).localCheckpoint(eager=False)  # feeds both candidate branches once
     cand = _bucket_candidate_pairs(banded, max_bucket_size)
-    have_history = bool(table_versions(index_dir))
+    # history presence is decided by the CORPUS (the verify text source);
+    # the index normally leads it by commit order, but if it is missing
+    # entirely (manual deletion), re-band the corpus once to repair —
+    # deterministic signatures rebuild it identically
+    have_history = bool(table_versions(corpus_dir))
     if have_history:
-        index = read_versioned(spark, index_dir)
         old = read_versioned(spark, corpus_dir)
+        if table_versions(index_dir):
+            index = read_versioned(spark, index_dir)
+        else:
+            index = minhash_band_table(
+                old, id_col, text_col, num_perm, bands, shingle_n,
+                shingle_strategy="array",
+            ).withColumnRenamed("_id", id_col)
         vs_old = (
             banded.join(
                 index.select(F.col(id_col).alias("_old_id"), "band", "bucket"),
@@ -151,13 +162,24 @@ def streaming_dedup_ingest(
             jaccard_threshold,
             max_bucket_size,
         ).localCheckpoint()  # pin: two commits below must see one answer
+        if table_versions(corpus_dir):
+            # row-level idempotency across the crash window: docs already
+            # in the corpus (a replay whose marker write crashed) are
+            # never appended twice
+            accepted = accepted.join(
+                read_versioned(spark, corpus_dir).select(id_col), id_col, "left_anti"
+            )
         if accepted.limit(1).count() > 0:
             accepted_bands = minhash_band_table(
                 accepted, id_col, text_col, num_perm, bands, shingle_n,
                 shingle_strategy="array",
             ).withColumnRenamed("_id", id_col)
-            commit_versioned(accepted, corpus_dir, mode="append")
+            # index FIRST: a crash between the commits then leaves an
+            # index entry whose corpus row arrives on replay — harmless
+            # (verify drops candidates with no corpus text).  The reverse
+            # order would lose dedup coverage for committed corpus docs.
             commit_versioned(accepted_bands, index_dir, mode="append")
+            commit_versioned(accepted, corpus_dir, mode="append")
             if compact_every and (batch_id + 1) % compact_every == 0:
                 from ..sources.manifest import compact_versioned
 
