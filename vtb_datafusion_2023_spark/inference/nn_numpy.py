@@ -25,11 +25,15 @@ default even at inference and averages over repeated stochastic passes —
 that averaging, while each single pass here is the deterministic
 expectation.)
 
-All math is float32 like torch; rows are independent (no cross-row
-reduction), so scores are invariant to Spark partitioning up to
-float32 ulp — BLAS may reassociate sums for different batch shapes, so
-the mapInPandas surfaces round outputs (6/5 digits) to pin the values
-across partitionings.  Asserted in tests/test_nn_numpy.py.
+Math runs in float64 (weights are the checkpoint's float32 values cast
+exactly): rows are independent (no cross-row reduction), and BLAS
+batch-shape reassociation perturbs float64 dots only at ~1e-15 relative,
+so the mapInPandas surfaces' 5/6-digit output rounding pins values
+across any Spark partitioning (a float32 forward left ulp-level
+batch-composition noise that could flip the rounding — seen flaky in
+tests/test_inference_real.py).  The float64 forward agrees with torch's
+float32 eval pass to float32-ulp, well inside the rounding grain.
+Asserted in tests/test_nn_numpy.py.
 """
 
 from __future__ import annotations
@@ -119,22 +123,22 @@ class VraeEncoder:
         while f"encoder.model.weight_ih_l{k}" in sd:
             self.layers.append(
                 tuple(
-                    sd[f"encoder.model.{p}_l{k}"]
+                    np.asarray(sd[f"encoder.model.{p}_l{k}"], dtype=np.float64)
                     for p in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
                 )
             )
             k += 1
         if not self.layers:
             raise ValueError("state dict has no encoder.model.weight_ih_l0")
-        self.w_mean = sd["lmbd.hidden_to_mean.weight"]
-        self.b_mean = sd["lmbd.hidden_to_mean.bias"]
+        self.w_mean = np.asarray(sd["lmbd.hidden_to_mean.weight"], dtype=np.float64)
+        self.b_mean = np.asarray(sd["lmbd.hidden_to_mean.bias"], dtype=np.float64)
         self.n_features = self.layers[0][0].shape[1]
         self.hidden_size = self.layers[0][1].shape[1]
         self.latent_length = self.w_mean.shape[0]
 
     def encode(self, x: np.ndarray) -> np.ndarray:
-        """(B, T, n_features) float32 -> latent means (B, latent_length)."""
-        seq = np.ascontiguousarray(np.transpose(x, (1, 0, 2)), dtype=np.float32)
+        """(B, T, n_features) -> latent means (B, latent_length), float64."""
+        seq = np.ascontiguousarray(np.transpose(x, (1, 0, 2)), dtype=np.float64)
         h_end = None
         for w_ih, w_hh, b_ih, b_hh in self.layers:
             seq, h_end, _ = lstm_layer(seq, w_ih, w_hh, b_ih, b_hh)
@@ -154,21 +158,24 @@ class TransactionsRnnScorer:
         self.embeddings = []
         i = 0
         while f"_transaction_cat_embeddings.{i}.weight" in sd:
-            self.embeddings.append(sd[f"_transaction_cat_embeddings.{i}.weight"])
+            self.embeddings.append(
+                np.asarray(sd[f"_transaction_cat_embeddings.{i}.weight"], dtype=np.float64)
+            )
             i += 1
         if not self.embeddings:
             raise ValueError("state dict has no _transaction_cat_embeddings")
         self.gru_fwd = tuple(
-            sd[f"_gru.{p}_l0"] for p in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
-        )
-        self.gru_rev = tuple(
-            sd[f"_gru.{p}_l0_reverse"]
+            np.asarray(sd[f"_gru.{p}_l0"], dtype=np.float64)
             for p in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
         )
-        self.w0 = sd["_top_classifier.0.weight"]
-        self.b0 = sd["_top_classifier.0.bias"]
-        self.w2 = sd["_top_classifier.2.weight"]
-        self.b2 = sd["_top_classifier.2.bias"]
+        self.gru_rev = tuple(
+            np.asarray(sd[f"_gru.{p}_l0_reverse"], dtype=np.float64)
+            for p in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
+        )
+        self.w0 = np.asarray(sd["_top_classifier.0.weight"], dtype=np.float64)
+        self.b0 = np.asarray(sd["_top_classifier.0.bias"], dtype=np.float64)
+        self.w2 = np.asarray(sd["_top_classifier.2.weight"], dtype=np.float64)
+        self.b2 = np.asarray(sd["_top_classifier.2.bias"], dtype=np.float64)
         self.hidden_size = self.gru_fwd[1].shape[1]
 
     def score(self, codes: np.ndarray) -> np.ndarray:
@@ -186,7 +193,7 @@ class TransactionsRnnScorer:
         out_r, h_r = gru_layer(x, *self.gru_rev, reverse=True)
         states = np.concatenate([out_f, out_r], axis=-1)  # (B, T, 2H)
         rnn_max = states.max(axis=1)
-        rnn_avg = states.sum(axis=1) / np.float32(t_len)
+        rnn_avg = states.sum(axis=1) / float(t_len)
         # torch: h_n (2, B, H) .permute(1,2,0).reshape(B, 2H) interleaves
         # directions per hidden unit (model.py:72)
         last_hidden = np.stack([h_f, h_r], axis=-1).reshape(batch, 2 * self.hidden_size)
