@@ -32,6 +32,7 @@ HEADLINE = [
     "dd_simhash",
     "dd_exact_dedup",
     "sim_topk_bruteforce",
+    "ann_gemm_topk",
     "u6_mapinpandas_inference",
     "agg_time_rollup",
     "sw_session_window",

@@ -65,3 +65,48 @@ def test_higher_band_count_raises_recall(spark, sf_small):
     many = _pairs(cosine_near_pairs(emb, threshold=0.4, n_planes=4, n_bands=12))
     assert set(few) <= set(exact) and set(many) <= set(exact)
     assert len(many) >= len(few)
+
+
+def _topk(df):
+    return {(r.query_id, r.rank): (r.neighbor_id, r.cos) for r in df.collect()}
+
+
+def test_knn_join_blocked_matches_bruteforce_bitwise(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        cosine_topk,
+        knn_join_blocked,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = _topk(cosine_topk(emb, q, k=5))
+    gemm = _topk(knn_join_blocked(emb, q, k=5))
+    assert gemm == brute and len(gemm) > 0  # bitwise: cos included
+
+
+def test_knn_join_blocked_partitioning_invariant(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    one = _topk(knn_join_blocked(emb.repartition(1), q, k=5))
+    many = _topk(knn_join_blocked(emb.repartition(11), q, k=5))
+    assert one == many and len(one) > 0
+
+
+def test_knn_join_blocked_plans_no_nested_loop(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = (
+        knn_join_blocked(emb, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the candidate set joins back as the BROADCAST side; the corpus scan
+    # must not shuffle
+    assert "BroadcastHashJoin" in plan, plan

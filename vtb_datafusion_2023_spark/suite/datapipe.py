@@ -18,6 +18,7 @@ from ..operators.similarity import (
     cosine_near_pairs,
     cosine_topk,
     ivf_topk,
+    knn_join_blocked,
     lsh_ann_topk,
     lsh_signature,
 )
@@ -254,6 +255,36 @@ from ranked where rank <= 5
 def sim_topk_bruteforce(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "ann_gemm_topk",
+    oracle=f"""
+with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 10),
+c as (select vec_id as neighbor_id, embedding as cv from embeddings),
+scored as (
+  select query_id, neighbor_id, ({_DOT} / ({_NQ} * {_NC})) as cos
+  from c cross join q
+  where query_id <> neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, cast(rank as int) as rank, cos
+from ranked where rank <= 5
+""",
+    survey_ref="sim-topk",
+    doc=(
+        "exact top-5 via blocked-GEMM candidate pruning + left-fold re-score "
+        "(bitwise-identical to brute force; the 100 TB scan shape)."
+    ),
+)
+def ann_gemm_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    out = knn_join_blocked(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
