@@ -520,3 +520,101 @@ def test_histogram_accounts_for_every_row_and_clamps(spark):
     assert bins[0].n == 3 and bins[0].min_val == -5.0  # clamped below
     assert bins[3].n == 3 and bins[3].max_val == 1e9  # clamped above
     assert bins[0].bin_lo == 0.0 and bins[0].bin_hi == 25.0
+
+
+def _cc_reference(n_nodes, edges):
+    """Pure-python union-find ground truth: node -> min id in component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_star_contraction_matches_union_find_on_graph_families(spark):
+    import random
+
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        connected_components_star,
+        dedup_clusters,
+    )
+
+    rng = random.Random(7)
+    graphs = {
+        "long_chain": (40, [(i, i + 1) for i in range(39)]),
+        "two_cliques": (
+            12,
+            [(a, b) for a in range(6) for b in range(a + 1, 6)]
+            + [(a, b) for a in range(6, 12) for b in range(a + 1, 12)],
+        ),
+        "star": (15, [(0, i) for i in range(1, 15)]),
+        "random": (60, [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]),
+        "empty": (10, []),
+    }
+    for name, (n, edge_list) in graphs.items():
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edge_list if a != b] or [(0, 0)],
+            "id_a long, id_b long",
+        )
+        want = _cc_reference(n, edge_list)
+        star = {
+            r.doc_id: r.cluster_id
+            for r in connected_components_star(docs, pairs).collect()
+        }
+        assert star == want, (name, star, want)
+        # propagate path agrees (identical-contract check); the 40-node
+        # chain needs diameter rounds, hence the raised max_iter
+        prop = {
+            r.doc_id: r.cluster_id
+            for r in dedup_clusters(
+                docs, pairs, method="propagate", max_iter=80
+            ).collect()
+        }
+        assert prop == want, (name, prop, want)
+
+
+def test_propagate_raises_instead_of_partial_labels_on_deep_chain(spark):
+    """Min-label propagation must FAIL LOUDLY when max_iter < component
+    diameter — a node labeled with the min id within max_iter hops (not
+    its component's) would silently corrupt downstream dedup."""
+    import pytest as _pytest
+
+    from vtb_datafusion_2023_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, method="propagate", max_iter=25).collect()
+    # the star default handles the same graph inside the same budget
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, pairs, max_iter=25).collect()
+    }
+    assert star == {i: 0 for i in range(40)}
+
+
+def test_star_contraction_round_count_logarithmic_on_chain(spark):
+    """A 64-node chain (diameter 63) must converge in O(log n) star
+    rounds — the reason star contraction is the scale default."""
+    from vtb_datafusion_2023_spark.operators.dedup import connected_components_star
+
+    docs = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(docs, pairs, max_iter=10).collect()
+    }
+    assert out == {i: 0 for i in range(64)}
