@@ -101,3 +101,89 @@ def test_compact_rewrites_latest_into_fewer_files(spark, tmp_path):
     deleted = vacuum_versioned(d, keep=1)
     assert deleted  # the pre-compaction small files are gone
     assert {r.id for r in read_versioned(spark, d).collect()} == rows
+
+
+def test_merge_into_rewrites_only_touched_buckets(spark, tmp_path):
+    import json
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned_bucketed,
+        merge_into,
+    )
+
+    t = str(tmp_path / "btbl")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(200)], "k long, v string")
+    v1 = commit_versioned_bucketed(base, t, key_col="k", n_buckets=8)
+    assert v1 == 1
+
+    updates = spark.createDataFrame(
+        [(5, "NEW5"), (5 + 64, "NEW69"), (1000, "INSERTED")], "k long, v string"
+    )
+    v2 = merge_into(spark, t, updates)
+    assert v2 == 2
+
+    got = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    want = {i: f"v{i}" for i in range(200)}
+    want.update({5: "NEW5", 69: "NEW69", 1000: "INSERTED"})
+    assert got == want
+    # time travel: v1 unchanged
+    v1_rows = {r.k: r.v for r in read_versioned(spark, t, version=1).collect()}
+    assert v1_rows == {i: f"v{i}" for i in range(200)}
+
+    with open(os.path.join(t, "manifest-v1.json")) as f:
+        m1 = json.load(f)
+    with open(os.path.join(t, "manifest-v2.json")) as f:
+        m2 = json.load(f)
+    names1 = {e["name"] for e in m1["files"]}
+    names2 = {e["name"] for e in m2["files"]}
+    carried = names1 & names2
+    touched_buckets = {e["bucket"] for e in m2["files"] if e["name"] not in names1}
+    # the delta touched a strict minority of buckets; everything else
+    # carried forward BY NAME (zero bytes rewritten)
+    assert len(touched_buckets) <= 3
+    assert len(carried) >= len(names1) - len(touched_buckets)
+    untouched_v1 = {e["name"] for e in m1["files"] if e["bucket"] not in touched_buckets}
+    assert untouched_v1 <= names2
+
+
+def test_merge_into_deletes_and_rejects_dup_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned_bucketed,
+        merge_into,
+    )
+
+    t = str(tmp_path / "btbl2")
+    base = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, v long")
+    commit_versioned_bucketed(base, t, key_col="k", n_buckets=4)
+
+    dels = spark.createDataFrame([(7,), (8,)], "k long")
+    merge_into(spark, t, spark.createDataFrame([(7, 700)], "k long, v long").limit(0), delete_keys=dels)
+    got = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    assert 7 not in got and 8 not in got and len(got) == 48
+
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+    with _pytest.raises(ValueError, match="key-unique"):
+        merge_into(spark, t, dup)
+
+
+def test_read_versioned_pruned_opens_fewer_files(spark, tmp_path):
+    import json
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned_bucketed,
+        read_versioned_pruned,
+    )
+
+    t = str(tmp_path / "btbl3")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(300)], "k long, v string")
+    commit_versioned_bucketed(base, t, key_col="k", n_buckets=8)
+    out = read_versioned_pruned(spark, t, keys=[3, 250])
+    assert {(r.k, r.v) for r in out.collect()} == {(3, "v3"), (250, "v250")}
+    with open(os.path.join(t, "manifest-v1.json")) as f:
+        m = json.load(f)
+    n_files = len(m["files"])
+    # the plan reads only the probed buckets' files
+    scanned = out.inputFiles()
+    assert 0 < len(scanned) < n_files

@@ -53,6 +53,12 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _file_names(manifest: dict) -> list[str]:
+    """Data-file names of a manifest — entries are plain strings
+    (unbucketed tables) or {"name", "bucket"} dicts (bucketed)."""
+    return [e["name"] if isinstance(e, dict) else e for e in manifest["files"]]
+
+
 def commit_versioned(df: DataFrame, table_dir: str, mode: str = "overwrite") -> int:
     """Write ``df`` as a new committed version of ``table_dir``; returns
     the new version number.  ``mode='overwrite'`` snapshots just this
@@ -104,7 +110,7 @@ def read_versioned(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
-    files = _read_manifest(table_dir, v)["files"]
+    files = _file_names(_read_manifest(table_dir, v))
     data_dir = os.path.join(table_dir, "data")
     return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
 
@@ -118,7 +124,7 @@ def vacuum_versioned(table_dir: str, keep: int = 2) -> list[str]:
     kept, dropped = versions[-keep:], versions[:-keep]
     live: set[str] = set()
     for v in kept:
-        live.update(_read_manifest(table_dir, v)["files"])
+        live.update(_file_names(_read_manifest(table_dir, v)))
     deleted = []
     data_dir = os.path.join(table_dir, "data")
     for p in glob.glob(os.path.join(data_dir, "*.parquet")):
@@ -130,6 +136,194 @@ def vacuum_versioned(table_dir: str, keep: int = 2) -> list[str]:
     for stray in glob.glob(os.path.join(table_dir, ".stage-*")):
         shutil.rmtree(stray, ignore_errors=True)
     return deleted
+
+
+def _bucket_expr(key_col: str, n_buckets: int):
+    from pyspark.sql import functions as F
+
+    # hash the canonical string form: xxhash64 is physical-type-sensitive
+    # (int vs bigint hash differently), and lookup keys arrive with
+    # whatever width createDataFrame infers
+    return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def _stage_bucketed(
+    df: DataFrame, table_dir: str, key_col: str, n_buckets: int, version: int
+) -> list[dict]:
+    """Write ``df`` hash-bucketed by ``key_col`` into ``data/`` under
+    version-unique names; returns the manifest file entries (not yet
+    committed — invisible until a manifest lists them)."""
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
+    (
+        df.withColumn("_bucket", _bucket_expr(key_col, n_buckets))
+        .repartition("_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(stage)
+    )
+    tag = uuid.uuid4().hex[:8]
+    entries: list[dict] = []
+    i = 0
+    for bdir in sorted(glob.glob(os.path.join(stage, "_bucket=*"))):
+        bucket = int(os.path.basename(bdir).split("=", 1)[1])
+        for part in sorted(glob.glob(os.path.join(bdir, "part-*.parquet"))):
+            name = f"v{version}-{tag}-b{bucket:04d}-{i:05d}.parquet"
+            os.replace(part, os.path.join(data_dir, name))
+            entries.append({"name": name, "bucket": bucket})
+            i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+    return entries
+
+
+def _publish(table_dir: str, manifest: dict) -> int:
+    tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_dir, manifest["version"]))  # THE commit
+    return manifest["version"]
+
+
+def commit_versioned_bucketed(
+    df: DataFrame, table_dir: str, key_col: str, n_buckets: int = 16
+) -> int:
+    """Commit ``df`` as a new version hash-bucketed by ``key_col``:
+    every data file belongs to one of ``n_buckets`` key buckets
+    (``pmod(xxhash64(key), n)``), recorded per-file in the manifest.
+
+    Bucketing is what makes maintenance INCREMENTAL at 100 TB:
+    ``merge_into`` rewrites only the buckets its update keys hash into
+    (the other n-1 buckets' files carry forward by name, zero bytes
+    moved), and ``read_versioned_pruned`` opens only the files that can
+    contain the probed keys.  Same atomic manifest-publish commit as
+    ``commit_versioned``.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    versions = table_versions(table_dir)
+    version = (versions[-1] + 1) if versions else 1
+    entries = _stage_bucketed(df, table_dir, key_col, n_buckets, version)
+    manifest = {
+        "version": version,
+        "mode": "overwrite",
+        "files": entries,
+        "bucketing": {"key_col": key_col, "n_buckets": n_buckets},
+    }
+    return _publish(table_dir, manifest)
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    delete_keys: DataFrame | None = None,
+) -> int:
+    """MERGE INTO a bucketed versioned table: upsert ``updates``
+    (replace rows whose key matches, insert the rest) and optionally
+    delete ``delete_keys`` rows, committing one new version.
+
+    Only buckets containing an update/delete key are rewritten; every
+    other data file is carried into the new manifest BY NAME — the
+    incremental-maintenance shape (cost scales with the delta, not the
+    table).  Readers of older versions are untouched (time travel), and
+    a crash anywhere before the manifest publish leaves the table at the
+    prior version with only invisible orphans.
+
+    ``updates`` must be key-unique (latest-wins needs an order the
+    caller owns — pre-compact with ``cleaning.latest_by_key``); raises
+    otherwise.
+    """
+    from pyspark.sql import functions as F
+
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    m = _read_manifest(table_dir, versions[-1])
+    if "bucketing" not in m:
+        raise ValueError("merge_into requires a table committed by commit_versioned_bucketed")
+    key_col = m["bucketing"]["key_col"]
+    n_buckets = m["bucketing"]["n_buckets"]
+
+    dup = (
+        updates.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates are not key-unique on {key_col!r} (e.g. {dup[0][key_col]}); "
+            "pre-compact with latest_by_key"
+        )
+
+    keys = updates.select(key_col)
+    if delete_keys is not None:
+        keys = keys.unionByName(delete_keys.select(key_col))
+    touched = {
+        r["_b"]
+        for r in keys.select(_bucket_expr(key_col, n_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    }
+
+    data_dir = os.path.join(table_dir, "data")
+    carried = [e for e in m["files"] if e["bucket"] not in touched]
+    old_paths = [
+        os.path.join(data_dir, e["name"]) for e in m["files"] if e["bucket"] in touched
+    ]
+    if old_paths:
+        old = spark.read.parquet(*old_paths)
+        merged = old.join(updates.select(key_col), key_col, "left_anti")
+        if delete_keys is not None:
+            merged = merged.join(delete_keys.select(key_col), key_col, "left_anti")
+        merged = merged.unionByName(updates)
+    else:
+        merged = updates
+    if delete_keys is not None:
+        merged = merged.join(delete_keys.select(key_col), key_col, "left_anti")
+
+    version = versions[-1] + 1
+    entries = _stage_bucketed(merged, table_dir, key_col, n_buckets, version)
+    manifest = {
+        "version": version,
+        "mode": "merge",
+        "files": carried + entries,
+        "bucketing": m["bucketing"],
+    }
+    return _publish(table_dir, manifest)
+
+
+def read_versioned_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point/batch lookup with file-level pruning: read only the data
+    files whose bucket can contain one of ``keys`` (then filter exactly).
+    At 100 TB this is the difference between opening n_buckets' worth of
+    files and opening len(set(bucket(k)))'s worth."""
+    from pyspark.sql import functions as F
+
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(table_dir, v)
+    if "bucketing" not in m:
+        raise ValueError("read_versioned_pruned requires a bucketed table")
+    key_col = m["bucketing"]["key_col"]
+    n_buckets = m["bucketing"]["n_buckets"]
+    lookup = spark.createDataFrame([(k,) for k in keys], [key_col])
+    touched = {
+        r["_b"]
+        for r in lookup.select(_bucket_expr(key_col, n_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    }
+    data_dir = os.path.join(table_dir, "data")
+    paths = [os.path.join(data_dir, e["name"]) for e in m["files"] if e["bucket"] in touched]
+    if not paths:
+        return read_versioned(spark, table_dir, version=v).limit(0)
+    return spark.read.parquet(*paths).filter(F.col(key_col).isin(keys))
 
 
 def compact_versioned(
