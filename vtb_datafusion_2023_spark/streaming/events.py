@@ -186,6 +186,28 @@ def replay_to_table(
     return spark.table(name)
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    delay: str = "30 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermark-bounded streaming dedup: each ``keys`` tuple is emitted
+    once (its first arrival), and the dedup state for a key is DROPPED
+    once the watermark passes ``delay`` beyond its event time — the
+    production form of streaming dedup, because plain ``dropDuplicates``
+    on an unbounded stream grows state forever.
+
+    Semantics contract: duplicates arriving within ``delay`` of the
+    first occurrence are suppressed; a duplicate arriving later than the
+    watermark may re-emit (by then its state is gone).  Size ``delay``
+    to the source's real duplicate window (e.g. an at-least-once bus
+    redelivers within minutes, not days) — that bound is exactly what
+    caps state at 100 TB/day ingest.
+    """
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def sessionize(events: DataFrame, gap_minutes: float = 30):
     """Custom stateful operator: per-user session assembly with an
     inactivity gap, via ``applyInPandasWithState`` (the Structured

@@ -22,6 +22,7 @@ from ..streaming.events import (
     read_events_stream,
     replay_to_table,
     session_window_agg,
+    stream_dedup_within_watermark,
     windowed_event_counts,
     windowed_user_spend,
 )
@@ -104,6 +105,24 @@ def st_stream_dedup(spark, sf_dir):
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
+    return replay_to_table(spark, stream, mode="append")
+
+
+@register(
+    "st_stream_dedup_wm",
+    oracle="select distinct user_id, event_type from events",
+    survey_ref="streaming-dedup",
+    doc="watermark-bounded streaming dedup (dropDuplicatesWithinWatermark): "
+    "state per key is dropped once the watermark passes the delay — the "
+    "unbounded-ingest production form.  Replayed with a delay covering "
+    "the fixture's full time span, so the result equals global distinct.",
+)
+def st_stream_dedup_wm(spark, sf_dir):
+    stream = stream_dedup_within_watermark(
+        read_events_stream(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        delay="3650 days",
+    ).select("user_id", "event_type")
     return replay_to_table(spark, stream, mode="append")
 
 
