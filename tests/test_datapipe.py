@@ -618,3 +618,36 @@ def test_star_contraction_round_count_logarithmic_on_chain(spark):
         for r in connected_components_star(docs, pairs, max_iter=10).collect()
     }
     assert out == {i: 0 for i in range(64)}
+
+
+def test_mask_positive_nulls_nonpositive(spark):
+    """F5: m[m > 0] — non-positive cells become NULL so aggregates skip
+    them (reference run.py:209-218)."""
+    from vtb_datafusion_2023_spark.operators.filtering import mask_positive
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 0.0), (3, 2.5), (4, None)], "id long, amt double"
+    )
+    out = df.select("id", mask_positive("amt").alias("m"))
+    got = {r.id: r.m for r in out.collect()}
+    assert got == {1: None, 2: None, 3: 2.5, 4: None}
+    # aggregate skips masked cells exactly like pandas m[m > 0].mean()
+    avg = out.agg(F.avg("m").alias("a")).collect()[0].a
+    assert avg == 2.5
+
+
+def test_frame_sample_plan_explodes_per_payload(spark):
+    from vtb_datafusion_2023_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"xy"))],
+        "media_id long, payload binary",
+    )
+    out = frame_sample_plan(df, every_n=30)
+    rows = [(r.media_id, r.frame_idx, r.sample_every) for r in out.collect()]
+    # one row per stub frame index 0..(len % 5), every_n carried through
+    assert all(se == 30 for _, _, se in rows)
+    per_media = {}
+    for m, idx, _ in rows:
+        per_media.setdefault(m, []).append(idx)
+    assert per_media == {1: [0, 1], 2: [0, 1, 2]}

@@ -521,13 +521,21 @@ def top_ngrams(
     """
     from pyspark.sql.window import Window
 
+    def _gram_fn(width: int):
+        # single-arg lambda on purpose: F.transform dispatches on lambda
+        # arity, and a two-arg lambda (even with a default) is called as
+        # (element, array_index) — a default-arg capture of ``n`` would
+        # silently receive the index instead
+        toks = F.split(F.col(text_col), " ")
+        return lambda i: F.array_join(F.slice(toks, i, width), " ")
+
     parts = []
     for n in n_values:
         toks = F.split(F.col(text_col), " ")
         cnt_grams = F.size(toks) - (n - 1)
         grams = F.transform(
             F.sequence(F.lit(1), F.greatest(cnt_grams, F.lit(1))),
-            lambda i, _n=n: F.array_join(F.slice(toks, i, _n), " "),
+            _gram_fn(n),
         )
         parts.append(
             df.filter(F.size(toks) >= n).select(

@@ -386,6 +386,54 @@ def dd_embedding_cosine(spark, sf_dir):
     return cosine_near_pairs(emb, threshold=0.4, n_planes=4, n_bands=8)
 
 
+@register(
+    "dd_semantic_dedup",
+    oracle=f"""
+with recursive sigs as ({_banded_sig_sql()}),
+pairs as (
+  select c.id_a, c.id_b
+  from (
+    select distinct s1.vec_id as id_a, s2.vec_id as id_b
+    from sigs s1
+    join sigs s2 on s1.band = s2.band and s1.bucket = s2.bucket
+                and s1.vec_id < s2.vec_id
+  ) c
+  join embeddings ea on ea.vec_id = c.id_a
+  join embeddings eb on eb.vec_id = c.id_b
+  where {_cosf('ea.embedding', 'eb.embedding')} >= 0.4
+),
+edges as (select id_a as src, id_b as dst from pairs
+          union all
+          select id_b, id_a from pairs),
+reach(id, label) as (
+  select vec_id, vec_id from embeddings
+  union
+  select e.src, r.label from edges e join reach r on e.dst = r.id
+),
+labels as (select id, min(label) as cluster_id from reach group by id)
+select cluster_id, cast(count(*) as bigint) as n_members
+from labels group by cluster_id
+""",
+    survey_ref="dedup-semantic",
+    doc="end-to-end semantic dedup: banded-LSH cosine pairs -> star-"
+    "contraction connected components -> one canonical id (cluster "
+    "minimum) per near-dup group with its member count.  Every stage is "
+    "the scale path; the oracle replays the identical pipeline "
+    "(recursive-CTE components).",
+)
+def dd_semantic_dedup(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters
+
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(emb, threshold=0.4, n_planes=4, n_bands=8)
+    clusters = dedup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id", id_a="id_a", id_b="id_b"
+    )
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
 def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
     return f"""
 with cents as (select vec_id as _cid, embedding as _cv from embeddings where vec_id < {n_cells}),
@@ -660,6 +708,122 @@ def text_scrub_pii(spark, sf_dir):
         ),
     )
     return scrub_pii(docs).select("doc_id", "text_scrubbed")
+
+
+@register(
+    "text_strip_html",
+    oracle=r"""
+select doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        '<html><script>var x=1;</script><style>.a{}</style><!-- c --><p>'
+          || text || '</p> &amp; &lt;tail' || cast(doc_id as varchar) || '&gt;</html>',
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+    '\s+', ' ', 'g')) as text_clean
+from documents
+""",
+    survey_ref="text-strip-html",
+    doc="C4-style HTML stripping (script/style/comment/tag removal, entity "
+    "decode, whitespace collapse) over docs wrapped in injected markup; "
+    "RE2-safe codegen chain, shuffle-free.",
+)
+def text_strip_html(spark, sf_dir):
+    from ..operators.text import strip_html
+
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><script>var x=1;</script><style>.a{}</style><!-- c --><p>"),
+            F.col("text"),
+            F.lit("</p> &amp; &lt;tail"),
+            F.col("doc_id").cast("string"),
+            F.lit("&gt;</html>"),
+        ),
+    )
+    return strip_html(docs).select("doc_id", "text_clean")
+
+
+@register(
+    "text_surprisal",
+    oracle="""
+with tok as (
+  select doc_id,
+         unnest(string_split(text, ' ')) as term,
+         generate_subscripts(string_split(text, ' '), 1) as pos
+  from documents
+),
+counts as (select term, count(*) as cnt from tok group by term),
+total as (select sum(cnt) as t from counts),
+vocab as (select term, cnt from counts where cnt >= 2),
+scored as (
+  select tok.doc_id, tok.pos,
+         coalesce(ln(vocab.cnt / (select t from total)),
+                  ln(0.5 / (select t from total))) as lnp
+  from tok left join vocab using (term)
+),
+perdoc as (
+  select doc_id,
+         cast(count(*) as bigint) as n_tokens,
+         list(-lnp order by pos) as nl
+  from scored group by doc_id
+)
+select doc_id, n_tokens,
+       (list_reduce(nl, (a, b) -> a + b) / n_tokens) as surprisal
+from perdoc
+""",
+    survey_ref="text-surprisal",
+    doc="unigram LM surprisal per doc (mean -ln p(token) under the corpus "
+    "unigram distribution, OOV-smoothed): the cheap LM quality filter.  "
+    "libm-exact ln via broadcast count lookup + position-ordered fold "
+    "=> bitwise cross-engine.",
+)
+def text_surprisal(spark, sf_dir):
+    from ..operators.text import unigram_logprob
+
+    docs = T(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return out.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "surprisal")
+
+
+@register(
+    "text_top_ngrams",
+    oracle="""
+with toks as (select doc_id, string_split(text, ' ') as tk from documents),
+g as (
+  select 1 as n, unnest(tk) as ngram from toks
+  union all
+  select 2 as n, unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                       i -> array_to_string(tk[i:i+1], ' '))) as ngram
+  from toks where len(tk) >= 2
+  union all
+  select 3 as n, unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                                       i -> array_to_string(tk[i:i+2], ' '))) as ngram
+  from toks where len(tk) >= 3
+),
+counted as (select n, ngram, count(*) as cnt from g group by n, ngram),
+ranked as (
+  select n, ngram, cnt,
+         cast(row_number() over (partition by n order by cnt desc, ngram asc) as bigint) as rank
+  from counted
+)
+select cast(n as int) as n, ngram, cnt, rank from ranked where rank <= 20
+""",
+    survey_ref="text-top-ngrams",
+    doc="corpus top-20 n-grams for n=1..3 (vocabulary/collocation "
+    "profile): per-n explode + hash count + top-k window; ties break on "
+    "gram text.",
+)
+def text_top_ngrams(spark, sf_dir):
+    from ..operators.text import top_ngrams
+
+    docs = T(spark, sf_dir, "documents")
+    return top_ngrams(docs).select(F.col("n").cast("int").alias("n"), "ngram", "cnt", "rank")
 
 
 _NRM = (
@@ -1151,3 +1315,48 @@ def sql_udtf_chunking(spark, sf_dir):
         from documents d, lateral chunk_text(d.text, 16) c
         """
     )
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank recursion with the operator's exact float
+    grammar: same damping literals (repr-round-tripped), same fsum
+    contribution aggregation — bitwise cross-engine."""
+    from .. import sqlgen
+
+    d = f"cast('{damping!r}' as double)"
+    omd = f"cast('{1.0 - damping!r}' as double)"
+    sql = """
+with edges as (
+  select l_orderkey as src, l_partkey as dst from lineitem where l_orderkey <= 600
+),
+nodes as (select src as node from edges union select dst from edges),
+deg as (select src, count(*) as od from edges group by src),
+r0 as (select node, cast(1 as double) as r from nodes)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+c{i} as (select dst as node, r / od as c
+         from edges join {prev} on edges.src = {prev}.node join deg using (src)),
+s{i} as (select node, {sqlgen.fsum('c')} as s from c{i} group by node),
+r{i} as (select nodes.node, {omd} + {d} * coalesce(s, cast(0 as double)) as r
+         from nodes left join s{i} using (node))"""
+        prev = f"r{i}"
+    return sql + f"\nselect node, r from {prev}"
+
+
+@register(
+    "gr_pagerank",
+    oracle=_pagerank_oracle(),
+    survey_ref="graph-pagerank",
+    doc="fixed-iteration PageRank over the order->part bipartite edge "
+    "list (driver loop of joins/aggs, fsum-deterministic ranks); oracle "
+    "= the unrolled 3-step recursion, bitwise.",
+)
+def gr_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") <= 600).select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return pagerank(edges).withColumnRenamed("r", "r")
