@@ -288,9 +288,7 @@ def ann_gemm_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register(
-    "ann_lsh_buckets",
-    oracle="""
+_BUCKET8 = """
 select vec_id,
        list_reduce(
          list_transform(range(0, 8), p ->
@@ -302,7 +300,12 @@ select vec_id,
                 then cast(1 as bigint) << p else cast(0 as bigint) end),
          (a, b) -> a + b) as bucket
 from embeddings
-""",
+"""
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=_BUCKET8,
     survey_ref="sim-ann-lsh",
     doc="hyperplane-LSH bucket assignment (deterministic integer-arithmetic planes).",
 )
@@ -311,15 +314,38 @@ def ann_lsh_buckets(spark, sf_dir):
     return emb.select("vec_id", lsh_signature(F.col("embedding"), 8).alias("bucket"))
 
 
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # intra-bucket exact rerank; bucket parity certified by ann_lsh_buckets
+    oracle=f"""
+with sigs as ({_BUCKET8}),
+q as (select s.vec_id as query_id, e.embedding as qv, s.bucket
+      from sigs s join embeddings e using (vec_id) where s.vec_id < 10),
+c as (select s.vec_id as neighbor_id, e.embedding as cv, s.bucket
+      from sigs s join embeddings e using (vec_id)),
+scored as (
+  select query_id, neighbor_id, ({_DOT} / ({_NQ} * {_NC})) as cos
+  from c join q using (bucket)
+  where query_id <> neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, cast(rank as int) as rank, cos
+from ranked where rank <= 5
+""",
     survey_ref="sim-ann-lsh",
-    doc="ANN top-k restricted to the query's LSH bucket (scale path).",
+    doc="ANN top-k restricted to the query's LSH bucket (scale path); "
+    "oracle replays the identical integer-plane bucketing + in-bucket "
+    "exact rerank, bitwise.",
 )
 def ann_lsh_topk(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8)
+    out = lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8)
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 def _cosf(a: str, b: str) -> str:
