@@ -651,3 +651,35 @@ def test_frame_sample_plan_explodes_per_payload(spark):
     for m, idx, _ in rows:
         per_media.setdefault(m, []).append(idx)
     assert per_media == {1: [0, 1], 2: [0, 1, 2]}
+
+
+def test_minhash_md5_pairs_sound_and_match_xxhash_on_duplicates(spark, sf_small):
+    """md5-family LSH pairs are a subset of exact 3-shingle Jaccard pairs
+    (verify guarantees precision), and exact duplicates — which collide
+    in EVERY band under any hash family — are found by both families."""
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_md5_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = docs(spark, sf_small)
+    md5p = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_md5_pairs(d, "doc_id", "text", jaccard_threshold=0.2).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2).collect()
+    }
+    assert set(md5p) <= set(exact) and len(md5p) > 0
+    for p, j in md5p.items():
+        assert j == exact[p]
+    xx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", jaccard_threshold=0.2, shingle_n=3
+        ).collect()
+    }
+    dup_pairs = {p for p, j in exact.items() if j == 1.0}
+    assert dup_pairs <= set(md5p) and dup_pairs <= xx

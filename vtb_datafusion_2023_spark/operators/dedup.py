@@ -223,6 +223,76 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, df, id_col, text_col, shingle_n, jaccard_threshold)
 
 
+def minhash_md5_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-engine-certifiable MinHash banding: permutation ``p`` of a
+    shingle is ``md5(f"{p}:" + shingle)`` (lowercase hex; lexicographic
+    min over fixed-width hex strings IS the numeric min), and a band's
+    bucket key is the md5 of its '|'-joined signature slice.
+
+    This hash family costs ``num_perm`` md5 evaluations per shingle —
+    use the xxhash64+affine default (`minhash_band_table`) at scale; the
+    md5 family exists because BOTH engines implement md5 with identical
+    hex output, so the ENTIRE banding pipeline (shingle -> permuted min
+    -> band bucket) can be replayed by the DuckDB oracle and certified
+    bitwise (`dd_minhash_md5`) — the hard correctness signal the
+    engine-specific xxhash64 path can only get from property tests.
+
+    One shuffle: the per-doc groupBy computes all ``num_perm`` string
+    mins with map-side partial aggregation.  Returns (_id, band, bucket).
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("_s")))).alias(f"_m{p}")
+        for p in range(num_perm)
+    ]
+    sigs = sh.groupBy("_id").agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"_m{b * r + j}") for j in range(r)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("_id", F.explode(band_structs).alias("_bb")).select(
+        "_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """`minhash_lsh_pairs` with the md5 hash family (see
+    `minhash_md5_band_table`): same banding -> candidate -> exact-verify
+    shape, oracle-replayable end to end."""
+    banded = minhash_md5_band_table(df, id_col, text_col, num_perm, bands, shingle_n)
+    cand = _bucket_candidate_pairs(banded, max_bucket_size).localCheckpoint(eager=False)
+    return _verify_jaccard(cand, df, id_col, text_col, shingle_n, jaccard_threshold)
+
+
 def _bucket_candidate_pairs(banded: DataFrame, max_bucket_size: int) -> DataFrame:
     """Distinct candidate (id_a < id_b) pairs from colliding (band,
     bucket) groups.

@@ -125,6 +125,74 @@ def dd_minhash_lsh(spark, sf_dir):
     )
 
 
+def _minhash_md5_oracle(num_perm: int = 16, bands: int = 4, shingle_n: int = 3, t: float = 0.2) -> str:
+    """DuckDB replay of the ENTIRE md5-family MinHash pipeline: shingle
+    -> per-permutation md5 min -> band bucket -> bucket candidates ->
+    exact-Jaccard verify.  Mirrors `dedup.minhash_md5_pairs` expression
+    for expression."""
+    r = num_perm // bands
+    n1 = shingle_n - 1
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len(tk) - {n1}, 1) + 1), "
+        f"i -> array_to_string(tk[i:i+{n1}], ' ')))"
+    )
+    mins = ", ".join(f"min(md5('{p}:' || _s)) as m{p}" for p in range(num_perm))
+    band_rows = "\n  union all\n  ".join(
+        f"select _id, {b} as band, md5(concat_ws('|', "
+        + ", ".join(f"m{b * r + j}" for j in range(r))
+        + ")) as bucket from sigs"
+        for b in range(bands)
+    )
+    return f"""
+with sh as (
+  select doc_id as _id, unnest({shingles}) as _s
+  from (select doc_id, string_split(text, ' ') as tk from documents)
+),
+sigs as (select _id, {mins} from sh group by _id),
+banded as (
+  {band_rows}
+),
+cand as (
+  select distinct l._id as id_a, r._id as id_b
+  from banded l join banded r on l.band = r.band and l.bucket = r.bucket
+                             and l._id < r._id
+),
+sizes as (select _id, count(*) as _sz from sh group by _id),
+inter as (
+  select c.id_a, c.id_b, count(*) as _inter
+  from cand c
+  join sh a on a._id = c.id_a
+  join sh b on b._id = c.id_b and a._s = b._s
+  group by 1, 2
+)
+select id_a, id_b,
+       (_inter / (sa._sz + sb._sz - _inter)) as jaccard
+from inter
+join sizes sa on inter.id_a = sa._id
+join sizes sb on inter.id_b = sb._id
+where (_inter / (sa._sz + sb._sz - _inter)) >= {t}
+"""
+
+
+@register(
+    "dd_minhash_md5",
+    oracle=_minhash_md5_oracle(),
+    survey_ref="dedup-minhash-lsh",
+    doc="MinHash banding with the md5 hash family: both engines share "
+    "md5's hex output, so the full shingle -> permuted-min -> band-"
+    "bucket -> candidate -> exact-verify pipeline replays in the oracle "
+    "BITWISE (the xxhash64 default is the fast path, certified by "
+    "property tests; this entry certifies the banding pipeline itself).",
+)
+def dd_minhash_md5(spark, sf_dir):
+    from ..operators.dedup import minhash_md5_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    return minhash_md5_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=3, jaccard_threshold=0.2
+    )
+
+
 @register(
     "dd_simhash",
     oracle=None,  # xxhash64-based signature is engine-specific; property-tested
