@@ -110,3 +110,26 @@ def test_run_submission_bucketed_matches_and_skips_exchange(spark, tx, tmp_path)
     cleaned = spark.table("cleaned_tx_bucketed")
     plan = cleaned.groupBy("user_id").count()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(user_id" not in plan, plan
+
+
+def test_run_submission_with_real_cbm(spark, tx):
+    """U6 real-model path: the reference .cbm scores the assembled frame
+    conform-by-name (nn_predict is the one shared trained feature; the
+    rest of the synthetic vocabulary scores at the 0-fill, run.py:470-475
+    semantics)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists("/root/reference/model_dir/model_cb.cbm"):
+        _pytest.skip("reference .cbm not present")
+    from vtb_datafusion_2023_spark.inference.udfs import catboost_cbm_model
+
+    sub = run_submission(
+        spark, tx, cat_vocab=CAT_VOCAB, n_reps=2, model=catboost_cbm_model()
+    ).toPandas()
+    n_users = tx.select("user_id").distinct().count()
+    assert len(sub) == n_users
+    assert sub["target"].notna().all()
+    # raw GBDT logits, not the linear stand-in's scale: finite and varied
+    assert sub["target"].std() >= 0.0 and sub["target"].abs().max() < 50

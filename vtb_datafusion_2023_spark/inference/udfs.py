@@ -104,6 +104,64 @@ def score_with_model(
 
 REFERENCE_RNN_CKPT = "/root/reference/nn_weights.ckpt"
 REFERENCE_VRAE_CKPT = "/root/reference/model_dir/vrae_5896.pth"
+REFERENCE_CBM = "/root/reference/model_dir/model_cb.cbm"
+REFERENCE_CBM_VRAE = "/root/reference/model_dir/model_cb_vrae.cbm"
+
+
+def catboost_cbm_model(path: str = REFERENCE_CBM) -> BroadcastModel:
+    """U6: the reference's real CatBoost model (run.py:466-468) parsed
+    from the public ``.cbm`` flatbuffers format — no catboost install.
+
+    The payload is ``CbmModel.payload()``: plain numpy arrays (tree
+    structure, borders, quantized leaves) safe to broadcast to bare
+    executor Python workers."""
+    from .cbm import CbmModel
+
+    return BroadcastModel(kind="cbm", payload=CbmModel.load(path).payload())
+
+
+CBM_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("score_q", T.LongType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+
+def score_catboost(df: DataFrame, model: BroadcastModel, id_col: str = "vec_id") -> DataFrame:
+    """Real oblivious-tree GBDT scoring over a wide feature row (U6,
+    run.py:466-475).
+
+    Columns are conformed BY NAME to the model's input features (J5:
+    run.py:470-475 — missing model columns scored at 0, extra frame
+    columns ignored).  Output per row: ``score_q`` — the exact int64
+    leaf sum in units of 2**-36 (bitwise stable under any partitioning
+    and replayable in plain SQL, see ``cbm.oracle_sql``) — and ``score``
+    = scale * q/2**36 + bias, the raw logit; sigmoid of it reproduces
+    catboost ``predict_proba[:, 1]``.
+    """
+    from .cbm import LEAF_SCALE, matrix_from_pandas_payload, score_q_payload
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast({"kind": model.kind, "payload": model.payload})
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = b.value["payload"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = matrix_from_pandas_payload(p, pdf)
+            q = score_q_payload(p, x)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "score_q": q,
+                    "score": p["scale"] * (q / LEAF_SCALE) + p["bias"],
+                }
+            )
+
+    return df.mapInPandas(run, schema=CBM_SCORE_SCHEMA)
 
 
 def rnn_scorer_model(path: str = REFERENCE_RNN_CKPT) -> BroadcastModel:

@@ -18,9 +18,12 @@ Branch A scores through the REAL reference weights when the artifacts
 are present: ``nn_weights.ckpt`` loads via the restricted numpy
 unpickler (``inference.torch_ckpt``) and runs the eval-mode BiGRU
 forward (``inference.nn_numpy``) inside mapInPandas — torch is not
-needed.  The final U6 stage keeps the deterministic linear stand-in
-(CatBoost ``.cbm`` is a closed format without catboost installed);
-swapping in a real model changes ONLY the BroadcastModel payload.
+needed.  The final U6 stage likewise runs the REAL CatBoost model when
+given ``model=catboost_cbm_model()`` — the ``.cbm`` parses through the
+public flatbuffers format (``inference.cbm``) and scores conform-by-name;
+the default stays a deterministic linear stand-in because the driver's
+synthetic feature vocabulary shares only ``nn_predict`` with the
+reference's trained feature names.
 
 The three branches are independent DAG subtrees off one scan: Spark runs
 them as parallel jobs feeding the assembly joins (vs the reference's
@@ -163,19 +166,32 @@ def run_submission(
     # Assembly J2 + strict dropna M1 (run.py:435-465)
     assembled = assemble_features([nn, feats], key="user_id", how="outer", fill=None).na.drop()
 
-    # U6 scoring over the wide row with a broadcast artifact
+    # U6 scoring over the wide row with a broadcast artifact.  A
+    # ``kind='cbm'`` model (inference.udfs.catboost_cbm_model) scores
+    # through the REAL reference GBDT, conforming columns by name (J5);
+    # any other kind scores the positional feature vector.
     feature_cols = [c for c in assembled.columns if c != "user_id"]
-    vecs = assembled.select(
-        "user_id", F.array(*[F.col(f"`{c}`").cast("double") for c in feature_cols]).alias("features")
-    )
-    if model is None:
-        dim = len(feature_cols)
-        model = linear_scorer([((j * 37) % 19 - 9) / (10.0 * dim) for j in range(dim)])
-    preds = (
-        score_with_model(vecs, model, id_col="user_id", vec_col="features")
-        .withColumnRenamed("vec_id", "user_id")
-        .select("user_id", F.col("score").alias("target"))
-    )
+    if model is not None and model.kind == "cbm":
+        from ..inference.udfs import score_catboost
+
+        preds = (
+            score_catboost(assembled, model, id_col="user_id")
+            .withColumnRenamed("vec_id", "user_id")
+            .select("user_id", F.col("score").alias("target"))
+        )
+    else:
+        vecs = assembled.select(
+            "user_id",
+            F.array(*[F.col(f"`{c}`").cast("double") for c in feature_cols]).alias("features"),
+        )
+        if model is None:
+            dim = len(feature_cols)
+            model = linear_scorer([((j * 37) % 19 - 9) / (10.0 * dim) for j in range(dim)])
+        preds = (
+            score_with_model(vecs, model, id_col="user_id", vec_col="features")
+            .withColumnRenamed("vec_id", "user_id")
+            .select("user_id", F.col("score").alias("target"))
+        )
 
     # J4/A14: users eliminated anywhere along the way come back at the
     # global max score; W6 sort

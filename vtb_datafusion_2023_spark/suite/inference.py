@@ -100,3 +100,73 @@ def u4_vrae_latents(spark, sf_dir):
     return lat.select(
         "user_id", F.posexplode("latent").alias("dim", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# U6 with the REAL CatBoost model: the reference's .cbm parsed from the
+# public flatbuffers format (inference/cbm.py) and scored as exact int64
+# leaf sums — which makes GBDT inference SQL-replayable, so this entry is
+# fully DuckDB-hash-gated (unlike the RNN/VRAE recurrences above).
+
+_CBM_PATH = "/root/reference/model_dir/model_cb.cbm"
+# Each mapped feature sweeps its own border range, driven by a distinct
+# (prime, modulus) of c_custkey — all-integer SQL arithmetic, then one
+# exact /64.0, so Spark and DuckDB binarize identical IEEE doubles.
+_CBM_FEATURES = [  # (model feature name, prime, modulus)
+    ("mcc_proc_cred-9222", 37, 97),
+    ("nn_predict", 61, 89),
+    ("mcc_proc_cred-5992", 101, 83),
+    ("dm_freq-10", 151, 79),
+    ("mcc_proc_cred-4121", 197, 73),
+    ("mcc_proc_cred-7999", 251, 71),
+]
+
+
+def _cbm_feature_exprs(model):
+    """SQL expression per mapped feature (same string on both engines)."""
+    pos_of = {model.feature_names[model.flat_index[i]]: i for i in range(len(model.flat_index))}
+    exprs = {}
+    for name, prime, mod in _CBM_FEATURES:
+        borders = model.bin_border[model.bin_feat == pos_of[name]]
+        bmin, span = float(borders.min()), float(borders.max() - borders.min())
+        exprs[name] = (
+            f"{bmin!r} + {span!r} * (CAST((c_custkey * {prime}) % {mod} AS DOUBLE) / 64.0)"
+        )
+    return exprs
+
+
+def _cbm_oracle() -> str | None:
+    import os
+
+    if not os.path.exists(_CBM_PATH):
+        return None  # artifact-less environment: rows-only gate
+    from ..inference.cbm import CbmModel, oracle_sql
+
+    model = CbmModel.load(_CBM_PATH)
+    return oracle_sql(
+        model, _cbm_feature_exprs(model), source_sql="customer", id_expr="c_custkey"
+    )
+
+
+@register(
+    "u6_catboost_cbm",
+    oracle=_cbm_oracle(),
+    survey_ref="U6,J5,S5",
+    doc="REAL CatBoost scoring: model_cb.cbm (750 oblivious trees, 825 "
+    "features) parsed from the public flatbuffers .cbm format without "
+    "catboost, broadcast once, scored vectorized in mapInPandas "
+    "(run.py:466-475).  Leaf values quantized to int64 units of 2**-36 "
+    "make the score an exact integer sum — partitioning-invariant and "
+    "replayed split-for-split by the generated DuckDB oracle.",
+)
+def u6_catboost_cbm(spark, sf_dir):
+    from ..inference.cbm import CbmModel
+    from ..inference.udfs import catboost_cbm_model, score_catboost
+
+    model = CbmModel.load(_CBM_PATH)
+    exprs = _cbm_feature_exprs(model)
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("vec_id"),
+        *[F.expr(e).alias(name) for name, e in exprs.items()],
+    )
+    return score_catboost(cust, catboost_cbm_model(_CBM_PATH), id_col="vec_id")
