@@ -1,0 +1,364 @@
+"""Real media codecs in pure numpy + stdlib — no PIL/opencv/soundfile.
+
+The multimodal north star treats image/audio as opaque ``binary`` columns
+decoded inside Arrow-batched Python stages.  This container ships no
+codec libraries, but several canonical formats are fully decodable from
+their PUBLIC specifications with nothing beyond ``zlib``/``struct``:
+
+- **PNG** (RFC 2083 / W3C spec): chunked container, zlib-deflated
+  scanlines, per-row filters None/Sub/Up/Average/Paeth; 8-bit gray /
+  gray+alpha / RGB / RGBA, non-interlaced.  Encoder + decoder.
+- **BMP** (Windows BITMAPINFOHEADER): 24-bit uncompressed bottom-up
+  rows padded to 4 bytes.  Encoder + decoder.
+- **PPM/PGM** (netpbm P6/P5): trivial header + raw samples.
+- **WAV** (RIFF PCM): 8/16-bit integer PCM chunks.  Encoder + decoder.
+
+JPEG/MP3/H.264 remain honestly out of scope (entropy-coded DCT needs a
+real codec library); ``decode_media`` raises NotImplementedError for
+unknown magic so the gap is explicit, and ``operators.multimodal`` keeps
+the deterministic ``fake_decode`` for plumbing tests.
+
+Scale note: these run inside ``mapInPandas`` batches (see
+``multimodal.media_features``) — per-payload work, no shuffle, payloads
+never leave the scan partition.  The pure-python filter recurrences are
+fine for thumbnail-scale fixtures; a production cluster swaps the
+decoder callable for PIL/turbojpeg WITHOUT touching the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+def encode_png(img: np.ndarray, filter_mode: str = "none") -> bytes:
+    """Encode HxW (gray) or HxWxC (C in 2,3,4) uint8 to a valid PNG.
+
+    ``filter_mode``: 'none' writes filter 0 rows; 'cycle' applies filter
+    ``row % 5`` (exercises every decoder filter path — used by the
+    round-trip oracle query).
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c  # bytes per pixel at bit depth 8
+
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int32)
+    for y in range(h):
+        row = img[y].astype(np.int32)
+        ft = (y % 5) if filter_mode == "cycle" else 0
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.vstack([np.zeros((1, c), np.int32), row[:-1]])
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            left = np.vstack([np.zeros((1, c), np.int32), row[:-1]])
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, c), np.int32), row[:-1]])
+            ul = np.vstack([np.zeros((1, c), np.int32), prev[:-1]])
+            filt = row - _paeth(left, prev, ul)
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorized."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> HxWxC uint8 (8-bit depth, non-interlaced)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG variant unsupported (depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type} (palette) unsupported")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) % 256
+        else:
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                elif ft == 4:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"PNG filter {ft} invalid")
+                rec[i] = (line[i] + pred) % 256
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, channels)
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit BITMAPINFOHEADER)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("BMP encoder expects RGB")
+    pad = (-(w * 3)) % 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.extend(img[y, :, ::-1].tobytes())  # BGR order
+        rows.extend(b"\x00" * pad)
+    pixel_off = 14 + 40
+    total = pixel_off + len(rows)
+    header = struct.pack("<2sIHHI", b"BM", total, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + dib + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    dib_size, w, h = struct.unpack_from("<Iii", data, 14)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP variant unsupported (bpp={bpp}, comp={compression})")
+    flip = h > 0
+    h = abs(h)
+    pad = (-(w * 3)) % 4
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    p = pixel_off
+    for row in range(h):
+        y = h - 1 - row if flip else row
+        line = np.frombuffer(data, dtype=np.uint8, count=w * 3, offset=p).reshape(w, 3)
+        out[y] = line[:, ::-1]  # BGR -> RGB
+        p += w * 3 + pad
+    return out
+
+
+# ---------------------------------------------------------------------------
+# netpbm (P5 gray / P6 RGB, maxval 255)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2 or img.shape[2] == 1:
+        img = img.reshape(img.shape[0], img.shape[1])
+        return b"P5 %d %d 255\n" % (img.shape[1], img.shape[0]) + img.tobytes()
+    if img.shape[2] != 3:
+        raise ValueError("PPM encoder expects gray or RGB")
+    return b"P6 %d %d 255\n" % (img.shape[1], img.shape[0]) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to EOL
+            while data[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("16-bit netpbm unsupported")
+    c = 1 if data[:2] == b"P5" else 3
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=pos)
+    return arr.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF integer PCM)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono/stereo int16 (or uint8) PCM -> RIFF/WAVE bytes."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if s.dtype == np.uint8:
+        bits, body = 8, s.tobytes()
+    else:
+        bits, body = 16, s.astype("<i2").tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits)
+    payload = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (samples[n, channels] int16/uint8, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, body = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        chunk = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif tag == b"data":
+            body = chunk
+        pos += 8 + size + (size & 1)
+    if fmt is None or body is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    codec, ch, rate, _, _, bits = fmt
+    if codec != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV codec {codec}/{bits}-bit unsupported (PCM 8/16 only)")
+    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+    arr = np.frombuffer(body, dtype=dt)
+    return arr.reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# dispatch + feature extraction
+
+
+def decode_media(payload: bytes) -> dict:
+    """Sniff + decode a binary payload; the REAL ``media_features`` decoder.
+
+    Returns the ``multimodal.FEATURE_SCHEMA`` dict: width/height + a
+    4-dim feature (pixel mean/std/min/max for images; rms/mean and
+    sample-count/rate for audio).  Raises NotImplementedError with the
+    detected container for formats needing a codec library (JPEG, ...).
+    """
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+    elif payload[:2] == b"BM":
+        img = decode_bmp(payload)
+    elif payload[:2] in (b"P5", b"P6"):
+        img = decode_ppm(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = decode_wav(payload)
+        x = samples.astype(np.float64)
+        return {
+            "width": int(samples.shape[0]),
+            "height": int(samples.shape[1]),
+            "feature": [
+                float(np.sqrt(np.mean(x**2))),
+                float(x.mean()),
+                float(len(samples)),
+                float(rate),
+            ],
+        }
+    elif payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode requires a codec library (PIL/turbojpeg)")
+    else:
+        raise NotImplementedError(f"unknown media container (magic {payload[:4]!r})")
+    x = img.astype(np.float64)
+    return {
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "feature": [float(x.mean()), float(x.std()), float(x.min()), float(x.max())],
+    }
+
+
+def resize_bilinear(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Vectorized bilinear resample (align_corners=False convention)."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Decode -> bilinear resize -> re-encode PNG (the real
+    ``multimodal.resize_media`` resampler for supported containers)."""
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+    elif payload[:2] == b"BM":
+        img = decode_bmp(payload)
+    elif payload[:2] in (b"P5", b"P6"):
+        img = decode_ppm(payload)
+    else:
+        raise NotImplementedError("resize supports PNG/BMP/PPM payloads")
+    return encode_png(resize_bilinear(img, width, height))

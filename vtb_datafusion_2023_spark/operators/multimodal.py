@@ -1,11 +1,15 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode step is STUBBED
-(clearly marked NotImplementedError + a deterministic fake decoder for
-tests) — but the Spark-side plumbing is real: schema contract, batch
-iteration, partition sizing, and the metadata extraction that needs no
-codec (byte length, content hash) runs JVM-side.
+The container has no image/audio libraries, but the decode step is REAL
+for the formats decodable from public specs with stdlib alone —
+PNG (all five scanline filters via zlib), BMP, PGM/PPM, and RIFF PCM
+WAV (``operators.codecs``, validated against system-shipped PNGs and an
+independent SQL replay of the pixel math in the ``mm_decode_png`` /
+``mm_audio_wav`` oracles).  Entropy-coded formats (JPEG/MP3/video) still
+raise NotImplementedError — swapping in PIL/turbojpeg touches only the
+decoder callable, never the Spark plumbing.  The metadata extraction that
+needs no codec (byte length, content hash) runs JVM-side.
 """
 
 from __future__ import annotations
@@ -51,15 +55,13 @@ def with_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFra
 
 
 def decode_image(payload: bytes) -> dict:
-    """REAL DECODER NOT AVAILABLE IN THIS ENVIRONMENT.
+    """REAL decode for PNG/BMP/PPM/WAV payloads (``operators.codecs``,
+    pure numpy + zlib/struct); raises NotImplementedError for containers
+    that need a codec library (JPEG/MP3/video).  See ``fake_decode`` for
+    the format-agnostic plumbing stub."""
+    from .codecs import decode_media
 
-    Swap in PIL/opencv here; the mapInPandas plumbing below is what the
-    engine provides.  See ``fake_decode`` for the deterministic test stub.
-    """
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv which are not installed; "
-        "use fake_decode for plumbing tests"
-    )
+    return decode_media(payload)
 
 
 def fake_decode(payload: bytes) -> dict:

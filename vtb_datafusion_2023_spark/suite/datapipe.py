@@ -588,7 +588,7 @@ select doc_id,
 from documents
 """,
     survey_ref="multimodal-binary",
-    doc="opaque-binary column metadata, JVM-side (decode path stubbed; see operators.multimodal).",
+    doc="opaque-binary column metadata, JVM-side (the always-available codec-free path).",
 )
 def mm_binary_metadata(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").withColumn(
@@ -597,6 +597,131 @@ def mm_binary_metadata(spark, sf_dir):
     out = with_binary_metadata(docs, "payload")
     return out.select(
         "doc_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), "sha"
+    )
+
+
+# Real codec round-trips (operators/codecs.py): each document synthesizes a
+# deterministic image/waveform, encodes it to the REAL container format,
+# decodes it back inside mapInPandas, and emits integer stats the DuckDB
+# oracle derives independently from the closed-form pixel/sample pattern —
+# so a single flipped bit anywhere in the encoder, zlib stream, filter
+# reconstruction, or dispatch fails the hash gate.
+
+_MM_W, _MM_H = 24, 16
+_WAV_N, _WAV_RATE = 64, 16000
+
+
+@register(
+    "mm_decode_png",
+    oracle=f"""
+select d.doc_id,
+       cast({_MM_W} as int) as width,
+       cast({_MM_H} as int) as height,
+       cast(sum((d.doc_id*7 + g.y*5 + g.x*3 + g.c*11) % 256) as bigint) as pix_sum
+from documents d
+cross join (select y.range as y, x.range as x, c.range as c
+            from range({_MM_H}) y, range({_MM_W}) x, range(3) c) g
+group by d.doc_id
+""",
+    survey_ref="multimodal-decode",
+    doc="REAL PNG decode (pure zlib+numpy, operators/codecs.py): encode a "
+    "per-doc RGB pattern with all five PNG scanline filters (row%5), decode "
+    "it back, emit pixel sums the oracle computes from the closed form.",
+)
+def mm_decode_png(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    from ..operators.codecs import decode_png, encode_png
+
+    w, h = _MM_W, _MM_H
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType(), False),
+            T_.StructField("width", T_.IntegerType(), True),
+            T_.StructField("height", T_.IntegerType(), True),
+            T_.StructField("pix_sum", T_.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        yy, xx, cc = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        base = yy * 5 + xx * 3 + cc * 11
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                img = ((int(doc_id) * 7 + base) % 256).astype(np.uint8)
+                back = decode_png(encode_png(img, filter_mode="cycle"))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": back.shape[1],
+                        "height": back.shape[0],
+                        "pix_sum": int(back.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "pix_sum"])
+
+    return (
+        T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+    )
+
+
+@register(
+    "mm_audio_wav",
+    oracle=f"""
+select d.doc_id,
+       cast({_WAV_N} as bigint) as n_samples,
+       cast({_WAV_RATE} as int) as sample_rate,
+       cast(sum((d.doc_id*13 + g.i*17) % 65536 - 32768) as bigint) as amp_sum
+from documents d
+cross join (select i.range as i from range({_WAV_N}) i) g
+group by d.doc_id
+""",
+    survey_ref="multimodal-decode",
+    doc="REAL WAV decode (RIFF PCM, operators/codecs.py): per-doc int16 "
+    "waveform encoded to a valid WAV and decoded back; sample sums oracle-"
+    "derived from the closed form.",
+)
+def mm_audio_wav(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    from ..operators.codecs import decode_wav, encode_wav
+
+    n, rate = _WAV_N, _WAV_RATE
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType(), False),
+            T_.StructField("n_samples", T_.LongType(), True),
+            T_.StructField("sample_rate", T_.IntegerType(), True),
+            T_.StructField("amp_sum", T_.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                samples = ((int(doc_id) * 13 + idx * 17) % 65536 - 32768).astype(np.int16)
+                back, got_rate = decode_wav(encode_wav(samples, rate))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": int(back.shape[0]),
+                        "sample_rate": int(got_rate),
+                        "amp_sum": int(back.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_samples", "sample_rate", "amp_sum"])
+
+    return (
+        T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
     )
 
 
@@ -981,18 +1106,34 @@ def emb_quantize_int8(spark, sf_dir):
 
 @register(
     "mm_resize",
-    oracle=None,  # binary mapInPandas output; plumbing proven by pytest
+    oracle=None,  # binary output column; decode/resize certified by
+    # mm_decode_png's hash gate + tests/test_codecs.py bilinear properties
     survey_ref="multimodal-resize",
-    doc="resize plumbing over binary media columns (Arrow-batched "
-    "mapInPandas, deterministic stub resampler; rows-only check).",
+    doc="REAL image resize over binary media columns: per-doc PNG payloads "
+    "decoded (operators/codecs.py), bilinear-resampled in numpy, re-encoded "
+    "PNG — Arrow-batched mapInPandas, payloads never shuffled.",
 )
 def mm_resize(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.codecs import encode_png, real_resize
     from ..operators.multimodal import resize_media
 
+    def _to_png(texts):
+        import numpy as np
+
+        out = []
+        for t in texts:
+            b = (t or "").encode()[:64].ljust(64, b"\0")
+            out.append(encode_png(np.frombuffer(b, dtype=np.uint8).reshape(8, 8)))
+        return pd.Series(out)
+
+    to_png = F.pandas_udf(_to_png, "binary")
+
     d = T(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")
+        F.col("doc_id").alias("media_id"), to_png("text").alias("payload")
     )
-    return resize_media(d, 16, 16)
+    return resize_media(d, 16, 16, resizer=real_resize)
 
 
 @register(
