@@ -184,3 +184,29 @@ def test_jsonl_drops_corrupt_lines(spark, tmp_path):
     df = read_jsonl(spark, str(p), "doc_id long, text string")
     got = sorted(r.doc_id for r in df.collect())
     assert got == [1, 2]
+
+
+def test_rolling_time_interval_frame_matches_epoch_frame(spark, sf_small):
+    """ROADMAP #9: the Spark-native INTERVAL RANGE frame variant must be
+    bitwise equal to the cross-engine epoch-seconds frame on whole-second
+    timestamps (same decimal-exact accumulation, same (user, ts) sort)."""
+    from vtb_datafusion_2023_spark.operators.windows import with_rolling_time
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "value"
+    )
+    a = (
+        with_rolling_time(ev, "user_id", "ts", "value", window="6 hours")
+        .orderBy("user_id", "ts", "value")
+        .toPandas()
+    )
+    b = (
+        with_rolling_time(ev, "user_id", "ts", "value", window="6 hours", interval_frame=True)
+        .orderBy("user_id", "ts", "value")
+        .toPandas()
+    )
+    assert list(a.columns) == list(b.columns)
+    for c in ("tw_sum", "tw_n", "tw_mean"):
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert (av == bv).all(), c
