@@ -110,3 +110,104 @@ def test_knn_join_blocked_plans_no_nested_loop(spark, sf_small):
     # the candidate set joins back as the BROADCAST side; the corpus scan
     # must not shuffle
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+
+
+def _load_emb(spark, sf_dir):
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_pq_encode_is_codegen_only(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import pq_encode
+
+    plan = pq_encode(_load_emb(spark, sf_small))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # scan-speed map, no shuffle
+
+
+def test_pq_encode_partitioning_invariant(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import pq_encode
+
+    emb = _load_emb(spark, sf_small)
+    a = [tuple(r) for r in pq_encode(emb).orderBy("vec_id").collect()]
+    b = [tuple(r) for r in pq_encode(emb.repartition(11)).orderBy("vec_id").collect()]
+    assert a == b
+
+
+def test_pq_trained_codebooks_beat_formula_on_quantization_error(spark, sf_small):
+    import numpy as np
+
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        pq_codebook_literal_sql,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = _load_emb(spark, sf_small)
+    x = np.asarray([list(r.embedding) for r in emb.orderBy("vec_id").collect()], dtype=np.float64)
+    trained = pq_train_codebooks(emb, m=8, k=16, iters=8, max_sample=400)
+
+    def recon_err(codes_rows, books):
+        err = 0.0
+        by_id = {r.vec_id: list(r.codes) for r in codes_rows}
+        for i, row in enumerate(sorted(by_id)):
+            codes = by_id[row]
+            rec = np.concatenate([books[s][codes[s]] for s in range(8)])
+            err += float(((x[i] - rec) ** 2).sum())
+        return err
+
+    # formula codebook materialized in numpy for the comparison
+    formula = np.zeros((8, 16, 8))
+    for s in range(8):
+        for c in range(16):
+            for j in range(8):
+                formula[s, c, j] = ((c * (j + 3) + s * 7) % 17 - 8) / 8.0
+    e_formula = recon_err(pq_encode(emb).collect(), formula)
+    e_trained = recon_err(
+        pq_encode(emb, codebook_sql=pq_codebook_literal_sql(trained)).collect(), trained
+    )
+    assert e_trained < e_formula  # Lloyd iterations must help
+
+
+def test_pq_topk_recall_against_exact(spark, sf_small):
+    """PQ for cosine: L2-normalize first (ADC is L2; on unit vectors L2
+    ranking == cosine ranking), train codebooks, compare to exact top-k.
+    The synthetic near-uniform 64-dim vectors are PQ's worst case (every
+    pair nearly equidistant), so the bound is a floor far above the ~2%
+    random baseline, not a production recall claim."""
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        cosine_topk,
+        l2_normalize,
+        pq_codebook_literal_sql,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _load_emb(spark, sf_small)
+    unit = l2_normalize(emb).select("vec_id", F.col("unit_vec").alias("embedding"))
+    qs = unit.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(unit, qs, k=10)
+    cb = pq_codebook_literal_sql(pq_train_codebooks(unit, m=16, k=64, iters=10, max_sample=500))
+    got = pq_topk(unit, qs, k_neighbors=10, m=16, k=64, subdim=4, codebook_sql=cb)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    recall = len(e & g) / len(e)
+    assert recall > 0.4, recall
+
+
+def test_pq_train_deterministic_across_partitionings(spark, sf_small):
+    import numpy as np
+
+    from vtb_datafusion_2023_spark.operators.similarity import pq_train_codebooks
+
+    emb = _load_emb(spark, sf_small)
+    a = pq_train_codebooks(emb, max_sample=300, iters=3)
+    b = pq_train_codebooks(emb.repartition(17), max_sample=300, iters=3)
+    assert np.array_equal(a, b)

@@ -451,3 +451,161 @@ def quantize_int8(
             lambda x: F.floor(x.cast("double") * F.col("q_scale") + F.lit(0.5)).cast("int"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side ANN scale path.  A d-dim
+# vector compresses to m uint8 codes (one per subspace, k<=256 centroids)
+# -- 32x smaller than float64 at (m=8, d=64), which is what lets a
+# 100 TB embedding corpus's index live in cluster RAM.  Search runs ADC
+# (asymmetric distance computation, Jegou et al. TPAMI'11): per query,
+# one (m x k) lookup table of subspace distances; each corpus row costs
+# m table lookups instead of d multiplies.
+#
+# Everything below is JVM array expressions with left-fold sums -- no
+# Python in the data path, bitwise partitioning-invariant, and exactly
+# replayable in DuckDB (suite `pq_encode_codes` / `ann_pq_topk`).
+
+
+def pq_formula_codebook_sql(m: int = 8, k: int = 16, subdim: int = 8) -> str:
+    """Deterministic data-independent codebook as a SQL expression:
+    centroid[sub][code][j] = ((code*(j+3) + sub*7) % 17 - 8) / 8.0 --
+    integer arithmetic then one exact /8.0, so Spark and DuckDB build the
+    identical nested array.  Used by the oracle-gated suite entries;
+    production swaps in `pq_train_codebooks` literals via
+    `pq_codebook_literal_sql` (same plan, different constants)."""
+    return (
+        f"transform(sequence(0, {m - 1}), sub -> "
+        f"transform(sequence(0, {k - 1}), code -> "
+        f"transform(sequence(0, {subdim - 1}), j -> "
+        f"cast((code*(j+3) + sub*7) % 17 - 8 as double) / 8.0)))"
+    )
+
+
+def pq_codebook_literal_sql(codebooks) -> str:
+    """Trained numpy codebooks (m, k, subdim) -> nested array literal SQL."""
+    subs = []
+    for sub in codebooks:
+        codes = ", ".join(
+            "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in cv) + ")"
+            for cv in sub
+        )
+        subs.append(f"array({codes})")
+    return "array(" + ", ".join(subs) + ")"
+
+
+def _pq_sub_dists(vec_sql: str, sub: int, subdim: int, cb_sql: str) -> str:
+    """Distances of one subvector to every centroid of its codebook:
+    left-fold of squared differences in index order (engine-shared)."""
+    return (
+        f"transform(element_at({cb_sql}, {sub + 1}), cv -> "
+        f"aggregate(zip_with(slice({vec_sql}, {sub * subdim + 1}, {subdim}), cv, "
+        f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        f"cast(0 as double), (a, b) -> a + b))"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    codebook_sql: str | None = None,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode vectors to m centroid codes (argmin squared distance per
+    subspace; ties break to the lowest code via first-position match).
+    Pure codegen map -- runs at scan speed, no shuffle."""
+    cb = codebook_sql or pq_formula_codebook_sql(m, k, subdim)
+    per_sub = []
+    for sub in range(m):
+        d = _pq_sub_dists(vec_col, sub, subdim, cb)
+        per_sub.append(f"(array_position({d}, array_min({d})) - 1)")
+    return df.select(
+        id_col, F.expr("array(" + ", ".join(per_sub) + ")").cast("array<int>").alias(out_col)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    codebook_sql: str | None = None,
+) -> DataFrame:
+    """ADC top-k: broadcast each query's (m x k) LUT of subspace
+    distances against the PQ-encoded corpus; a corpus row costs m array
+    lookups + a left-fold sum.  One window ranks per query
+    (WindowGroupLimit per-partition heaps at scale -- no global sort);
+    (adist, neighbor_id) ordering makes the cut deterministic."""
+    cb = codebook_sql or pq_formula_codebook_sql(m, k, subdim)
+    codes = pq_encode(corpus, id_col, vec_col, m, k, subdim, cb).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    luts = "array(" + ", ".join(_pq_sub_dists(vec_col, s, subdim, cb) for s in range(m)) + ")"
+    q = queries.select(F.col(id_col).alias("query_id"), F.expr(luts).alias("qlut"))
+    adist = (
+        f"aggregate(transform(sequence(1, {m}), s -> "
+        f"element_at(element_at(qlut, s), element_at(codes, s) + 1)), "
+        f"cast(0 as double), (a, b) -> a + b)"
+    )
+    scored = (
+        codes.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adist", F.expr(adist))
+        .select("query_id", "neighbor_id", "adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "adist")
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    max_sample: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+):
+    """Train PQ codebooks: seeded deterministic sample (md5-hash order on
+    the id -- partition-layout-independent, same device as
+    `weighted_sample`), then per-subspace Lloyd k-means in numpy with
+    k-means++-style farthest-first init from a seeded RNG.  The sample is
+    driver-side by design (bounded by ``max_sample``); at 100 TB the
+    codebook is KBs of broadcast state trained once."""
+    import numpy as np
+
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), F.col(id_col))
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    d = x.shape[1]
+    subdim = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, subdim))
+    for sub in range(m):
+        xs = x[:, sub * subdim : (sub + 1) * subdim]
+        cent = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(iters):
+            dist = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[sub] = cent
+    return books

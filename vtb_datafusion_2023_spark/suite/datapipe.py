@@ -371,6 +371,89 @@ from embeddings
 """
 
 
+# PQ: shared formula codebook (pq_formula_codebook_sql) replayed in DuckDB.
+# dist fold order (j ascending), argmin tie-break (lowest code), and the
+# ADC fold (sub ascending, 0.0 seed) all match the Spark expressions
+# exactly, so both entries hash bitwise.
+_PQ_DIST = """
+  select e.vec_id, g.sub, g.code,
+         list_reduce(list_transform(range(0, 8), j ->
+             (cast(e.embedding[g.sub*8 + j + 1] as double)
+               - cast((g.code*(j+3) + g.sub*7) % 17 - 8 as double) / 8.0)
+           * (cast(e.embedding[g.sub*8 + j + 1] as double)
+               - cast((g.code*(j+3) + g.sub*7) % 17 - 8 as double) / 8.0)),
+           (a, b) -> a + b) as dist
+  from embeddings e
+  cross join (select s.range as sub, c.range as code from range(8) s, range(16) c) g
+"""
+
+_PQ_ENC = f"""
+with dists as ({_PQ_DIST}),
+ranked as (
+  select vec_id, sub, code,
+         row_number() over (partition by vec_id, sub order by dist asc, code asc) as rn
+  from dists
+)
+"""
+
+
+@register(
+    "pq_encode_codes",
+    oracle=_PQ_ENC
+    + """
+select vec_id, cast(sub as int) as sub, cast(code as int) as code
+from ranked where rn = 1
+""",
+    survey_ref="sim-ann-pq",
+    doc="product-quantization encode (Jegou et al. TPAMI'11): argmin "
+    "subspace centroid per 8-dim block, pure codegen (no Python, no "
+    "shuffle); 32x memory compression for corpus-scale ANN indexes.  "
+    "Oracle replays the identical squared-distance folds + tie-break.",
+)
+def pq_encode_codes(spark, sf_dir):
+    from ..operators.similarity import pq_encode
+
+    emb = T(spark, sf_dir, "embeddings")
+    return pq_encode(emb).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_PQ_ENC
+    + """,
+enc as (select vec_id, sub, code from ranked where rn = 1),
+qd as (select vec_id, sub, code, dist from dists where vec_id < 5),
+pair as (
+  select qd.vec_id as query_id, e.vec_id as neighbor_id,
+         list_reduce(list(qd.dist order by qd.sub), (a, b) -> a + b) as adist
+  from enc e
+  join qd on qd.sub = e.sub and qd.code = e.code
+  where qd.vec_id <> e.vec_id
+  group by qd.vec_id, e.vec_id
+),
+rk as (
+  select query_id, neighbor_id, adist,
+         row_number() over (partition by query_id order by adist asc, neighbor_id asc) as rank
+  from pair
+)
+select query_id, neighbor_id, cast(rank as int) as rank, adist
+from rk where rank <= 5
+""",
+    survey_ref="sim-ann-pq",
+    doc="ADC top-k over the PQ-encoded corpus: broadcast per-query "
+    "(8x16) lookup tables, m array lookups + one left fold per corpus "
+    "row, WindowGroupLimit rank.  Bitwise oracle via the shared codebook "
+    "formula and fold orders.",
+)
+def ann_pq_topk(spark, sf_dir):
+    from ..operators.similarity import pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k_neighbors=5)
+
+
 @register(
     "ann_lsh_buckets",
     oracle=_BUCKET8,
