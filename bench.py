@@ -40,6 +40,9 @@ HEADLINE = [
     "q13_order_distribution",
     "tj_asof_join",
     "text_tfidf",
+    "u6_catboost_cbm",
+    "ann_pq_topk",
+    "mm_decode_png",
 ]
 
 

@@ -122,12 +122,44 @@ def _load_emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
-def test_pq_encode_is_codegen_only(spark, sf_small):
+def test_pq_encode_expr_path_is_codegen_only(spark, sf_small):
     from vtb_datafusion_2023_spark.operators.similarity import pq_encode
 
-    plan = pq_encode(_load_emb(spark, sf_small))._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        pq_encode(_load_emb(spark, sf_small), method="expr")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # scan-speed map, no shuffle
+
+
+def test_pq_encode_arrow_path_is_shuffle_free(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import pq_encode
+
+    plan = (
+        pq_encode(_load_emb(spark, sf_small), method="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # numpy map on the scan partition
+
+
+def test_pq_arrow_and_expr_paths_bitwise_equal(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = _load_emb(spark, sf_small)
+    a = [tuple(r) for r in pq_encode(emb, method="arrow").orderBy("vec_id").collect()]
+    e = [tuple(r) for r in pq_encode(emb, method="expr").orderBy("vec_id").collect()]
+    assert a == e
+    qs = emb.filter(F.col("vec_id") < 4)
+    ta = [tuple(r) for r in pq_topk(emb, qs, 5, method="arrow").orderBy("query_id", "rank").collect()]
+    te = [tuple(r) for r in pq_topk(emb, qs, 5, method="expr").orderBy("query_id", "rank").collect()]
+    assert ta == te
 
 
 def test_pq_encode_partitioning_invariant(spark, sf_small):
