@@ -130,33 +130,42 @@ def decode_png(data: bytes) -> np.ndarray:
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev: list[int] = [0] * stride
     bpp = channels
     for y in range(h):
         ft = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
+        start = y * (stride + 1) + 1
+        line = raw[start : start + stride]
         if ft == 0:
-            rec = line
+            rec = list(line)
         elif ft == 2:
-            rec = (line + prev) % 256
-        else:
-            rec = np.zeros(stride, dtype=np.int32)
+            rec = [(line[i] + prev[i]) & 0xFF for i in range(stride)]
+        elif ft == 1:
+            # Sub is a per-channel running sum — python-int recurrence
+            # (numpy scalar indexing is ~10x slower per element here)
+            rec = [0] * stride
+            for i in range(stride):
+                rec[i] = (line[i] + (rec[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ft == 3:
+            rec = [0] * stride
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            rec = [0] * stride
             for i in range(stride):
                 a = rec[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                elif ft == 4:
-                    c = prev[i - bpp] if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"PNG filter {ft} invalid")
-                rec[i] = (line[i] + pred) % 256
-        out[y] = rec.astype(np.uint8)
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {ft} invalid")
+        out[y] = rec
         prev = rec
     return out.reshape(h, w, channels)
 
