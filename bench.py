@@ -42,6 +42,7 @@ HEADLINE = [
     "text_tfidf",
     "u6_catboost_cbm",
     "ann_pq_topk",
+    "ann_lsh_pq_topk",
     "mm_decode_png",
 ]
 

@@ -243,3 +243,46 @@ def test_pq_train_deterministic_across_partitionings(spark, sf_small):
     a = pq_train_codebooks(emb, max_sample=300, iters=3)
     b = pq_train_codebooks(emb.repartition(17), max_sample=300, iters=3)
     assert np.array_equal(a, b)
+
+
+def test_lsh_signature_numpy_matches_jvm_bitwise(spark, sf_small):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        _lsh_signature_numpy,
+        lsh_signature,
+    )
+
+    emb = _load_emb(spark, sf_small)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    x = np.asarray([list(r.embedding) for r in rows], dtype=np.float64)
+    for planes, off in [(8, 0), (12, 5)]:
+        jvm = [
+            r.b
+            for r in emb.select(
+                "vec_id", lsh_signature(F.col("embedding"), planes, off).alias("b")
+            )
+            .orderBy("vec_id")
+            .collect()
+        ]
+        assert jvm == _lsh_signature_numpy(x, planes, off).tolist()
+
+
+def test_lsh_pq_topk_arrow_expr_parity_and_membership(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.similarity import lsh_ann_topk, lsh_pq_topk
+
+    emb = _load_emb(spark, sf_small)
+    qs = emb.filter(F.col("vec_id") < 5)
+    a = [tuple(r) for r in lsh_pq_topk(emb, qs, k=5, n_planes=8, method="arrow").orderBy("query_id", "rank").collect()]
+    e = [tuple(r) for r in lsh_pq_topk(emb, qs, k=5, n_planes=8, method="expr").orderBy("query_id", "rank").collect()]
+    assert a == e and len(a) > 0
+    # stage-1 soundness: every result lives in the query's LSH bucket
+    # (= appears in the unlimited in-bucket exact ranking)
+    bucket_all = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(emb, qs, k=10**6, n_planes=8).collect()
+    }
+    assert {(q, n) for q, n, _, _ in a} <= bucket_all

@@ -731,3 +731,170 @@ def pq_train_codebooks(
                     cent[c] = members.mean(axis=0)
         books[sub] = cent
     return books
+
+
+def _lsh_signature_numpy(x, n_planes: int, plane_offset: int = 0):
+    """numpy replica of ``lsh_signature``: identical integer plane
+    weights ((p*1009 + d + 1) * 2654435761 mod 2^31 - 2^30, exact in
+    int64) and the same d-ascending float64 fold from a 0.0 seed — so
+    bucket keys match the JVM/oracle expressions bitwise
+    (differentially tested)."""
+    import numpy as np
+
+    n, d = x.shape
+    dims = np.arange(d, dtype=np.int64)
+    buckets = np.zeros(n, dtype=np.int64)
+    for p in range(n_planes):
+        w = (
+            (((p + plane_offset) * 1009 + dims + 1) * 2654435761) % (1 << 31) - (1 << 30)
+        ).astype(np.float64)
+        acc = np.zeros(n)
+        for j in range(d):
+            acc += w[j] * x[:, j]
+        buckets |= (acc > 0).astype(np.int64) << p
+    return buckets
+
+
+def lsh_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 16,
+    rerank: int = 20,
+    m: int = 8,
+    n_centroids: int = 16,
+    subdim: int = 8,
+    codebook_sql: str | None = None,
+    method: str = "arrow",
+) -> DataFrame:
+    """Two-stage production retrieval: LSH bucket recall -> PQ/ADC cheap
+    scoring -> exact cosine rerank of the short list.
+
+    This is the composition that holds at corpus scale: the bucket match
+    bounds candidates at ~n/2^r per query, ADC prices each candidate at
+    m table lookups (codes are 32x smaller than vectors), and the exact
+    fold-cosine touches only ``rerank`` rows per query.  Every stage is
+    deterministic (integer-plane signatures, formula/literal codebooks,
+    (adist|cos, neighbor_id) tie-breaks), so the whole pipeline replays
+    bitwise in the DuckDB oracle (suite ``ann_lsh_pq_topk``).
+
+    ``method='arrow'`` (default) runs bucket match + encode + ADC +
+    per-batch shortlist pruning in ONE numpy pass over the corpus scan
+    (query buckets/LUTs precomputed driver-side with the identical
+    integer-plane and fold arithmetic — differentially tested bitwise
+    against the JVM signatures); only the O(Q * rerank) shortlist
+    reaches the JVM rerank join.  ``method='expr'`` is the all-Catalyst
+    formulation (zero Python, but m*k interpreted lambdas per row).
+    """
+    cb = codebook_sql or pq_formula_codebook_sql(m, n_centroids, subdim)
+    if method == "expr":
+        enc_cols = []
+        for sub in range(m):
+            d = _pq_sub_dists("_cv", sub, subdim, cb)
+            enc_cols.append(f"(array_position({d}, array_min({d})) - 1)")
+        c = (
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+            .withColumn("_bkt", lsh_signature(F.col("_cv"), n_planes))
+            .withColumn(
+                "_codes", F.expr("array(" + ", ".join(enc_cols) + ")").cast("array<int>")
+            )
+        )
+        luts = "array(" + ", ".join(_pq_sub_dists("_qv", s, subdim, cb) for s in range(m)) + ")"
+        q = (
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+            .withColumn("_bkt", lsh_signature(F.col("_qv"), n_planes))
+            .withColumn("_qlut", F.expr(luts))
+        )
+        adist = (
+            f"aggregate(transform(sequence(1, {m}), s -> "
+            f"element_at(element_at(_qlut, s), element_at(_codes, s) + 1)), "
+            f"cast(0 as double), (a, b) -> a + b)"
+        )
+        cand = (
+            c.join(broadcast(q), "_bkt")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("_adist", F.expr(adist))
+        )
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("_adist").asc(), F.col("neighbor_id").asc()
+        )
+        short = cand.withColumn("_rr", F.row_number().over(w_adc)).filter(F.col("_rr") <= rerank)
+        rescored = short.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    else:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        books = _pq_codebook_numpy(corpus.sparkSession, cb)
+        q_rows = queries.select(id_col, vec_col).collect()
+        if not q_rows:
+            return corpus.sparkSession.createDataFrame(
+                [], schema="query_id bigint, neighbor_id bigint, rank int, cos double"
+            )
+        q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        q_bkt = _lsh_signature_numpy(q_mat, n_planes)
+        luts_np = np.zeros((len(q_ids), m, n_centroids))
+        for sub in range(m):
+            for j in range(subdim):
+                diff = q_mat[:, sub * subdim + j, None] - books[None, sub, :, j]
+                luts_np[:, sub, :] += diff * diff
+        b = corpus.sparkSession.sparkContext.broadcast(
+            (q_ids, q_bkt, luts_np, books, n_planes)
+        )
+        schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("neighbor_id", T.LongType(), False),
+                T.StructField("_adist", T.DoubleType(), True),
+            ]
+        )
+
+        def run(batches):
+            qi, qb, lut, bk, planes = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                cbkt = _lsh_signature_numpy(x, planes)
+                codes = _pq_encode_numpy(x, bk)
+                out: dict[str, list] = {"query_id": [], "neighbor_id": [], "_adist": []}
+                for qpos in range(len(qi)):
+                    mask = (cbkt == qb[qpos]) & (ids != qi[qpos])
+                    if not mask.any():
+                        continue
+                    cids, ccodes = ids[mask], codes[mask]
+                    acc = np.zeros(len(cids))
+                    for sub in range(bk.shape[0]):  # s ascending: SQL fold order
+                        acc += lut[qpos, sub, ccodes[:, sub]]
+                    order = np.lexsort((cids, acc))[:rerank]
+                    out["query_id"].extend([int(qi[qpos])] * len(order))
+                    out["neighbor_id"].extend(cids[order].tolist())
+                    out["_adist"].extend(acc[order].tolist())
+                yield pd.DataFrame(out)
+
+        cand = corpus.select(id_col, vec_col).mapInPandas(run, schema=schema)
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("_adist").asc(), F.col("neighbor_id").asc()
+        )
+        short = (
+            cand.withColumn("_rr", F.row_number().over(w_adc))
+            .filter(F.col("_rr") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        rescored = (
+            cv.join(broadcast(short), "neighbor_id")
+            .join(broadcast(qv), "query_id")
+            .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+        )
+    w_fin = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_fin))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
+    )

@@ -511,6 +511,59 @@ def _cosf(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+@register(
+    "ann_lsh_pq_topk",
+    oracle=f"""{_PQ_ENC},
+enc as (select vec_id, sub, code from ranked where rn = 1),
+sigs as ({_BUCKET8}),
+q as (select vec_id as query_id, bucket from sigs where vec_id < 5),
+c as (select vec_id as neighbor_id, bucket from sigs),
+cand as (
+  select q.query_id, c.neighbor_id
+  from c join q using (bucket)
+  where q.query_id <> c.neighbor_id
+),
+qd as (select vec_id, sub, code, dist from dists where vec_id < 5),
+adc as (
+  select cand.query_id, cand.neighbor_id,
+         list_reduce(list(qd.dist order by qd.sub), (a, b) -> a + b) as adist
+  from cand
+  join enc e on e.vec_id = cand.neighbor_id
+  join qd on qd.vec_id = cand.query_id and qd.sub = e.sub and qd.code = e.code
+  group by cand.query_id, cand.neighbor_id
+),
+short as (
+  select query_id, neighbor_id,
+         row_number() over (partition by query_id order by adist asc, neighbor_id asc) as rr
+  from adc
+),
+rescored as (
+  select s.query_id, s.neighbor_id, {_cosf('qe.embedding', 'ne.embedding')} as cos
+  from short s
+  join embeddings qe on qe.vec_id = s.query_id
+  join embeddings ne on ne.vec_id = s.neighbor_id
+  where s.rr <= 20
+),
+fin as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from rescored
+)
+select query_id, neighbor_id, cast(rank as int) as rank, cos
+from fin where rank <= 5
+""",
+    survey_ref="sim-ann-pq,sim-ann-lsh",
+    doc="two-stage production retrieval: LSH bucket recall -> PQ/ADC cheap "
+    "scoring -> exact cosine rerank of the 20-row short list.  Every stage "
+    "deterministic; the oracle replays the whole pipeline bitwise.",
+)
+def ann_lsh_pq_topk(spark, sf_dir):
+    from ..operators.similarity import lsh_pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return lsh_pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=8, rerank=20)
+
+
 def _banded_sig_sql(r: int = 4, b: int = 8) -> str:
     """DuckDB replica of the Spark banded LSH signature: band ``bd`` uses
     planes [bd*r, bd*r + r) of the same integer-arithmetic family as
