@@ -67,3 +67,20 @@ def test_mlcv_harness_u7(spark, sf_small):
     assert len(metrics) == 2 and all(0.0 <= m <= 1.0 for m in metrics)
     auc = score_auc(df, [f"e{i}" for i in range(8)])
     assert 0.0 <= auc <= 1.0
+
+
+def test_gbt_cv_harness_u7(spark, sf_small):
+    """U7 with the reference's actual model family: boosted depth-3 trees
+    (training.ipynb cell 16) via spark.ml GBTClassifier + k-fold CV."""
+    emb = load_table(spark, sf_small, "embeddings")
+    df = emb.select(
+        (F.col("label") == 1).cast("int").alias("label"),
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"e{i}") for i in range(8)],
+    )
+    from vtb_datafusion_2023_spark.ml import train_gbt_with_cv
+
+    model, metrics = train_gbt_with_cv(
+        df, [f"e{i}" for i in range(8)], n_folds=3, max_iter=5, max_depth=3
+    )
+    assert len(metrics) == 1 and 0.0 <= metrics[0] <= 1.0
+    assert model.getMaxDepth() == 3 and len(model.trees) == 5

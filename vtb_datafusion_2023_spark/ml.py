@@ -72,3 +72,50 @@ def score_auc(df: DataFrame, feature_cols: list[str], label_col: str = "label") 
     train, test = data.randomSplit([0.7, 0.3], seed=7)
     m = LogisticRegression(featuresCol="features", labelCol=label_col, maxIter=50).fit(train)
     return float(auc_evaluator(label_col).evaluate(m.transform(test)))
+
+
+def train_gbt_with_cv(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    n_folds: int = 10,
+    max_iter: int = 20,
+    max_depth: int = 3,
+    step_size: float = 0.1,
+    seed: int = 42,
+):
+    """Gradient-boosted trees + k-fold CV — the same model FAMILY as the
+    reference's CatBoost (depth-3 boosted trees, cell 16: 750 iters,
+    depth 3, lr 0.01), on spark.ml's distributed GBTClassifier.
+
+    Pairs with ``inference.cbm`` for the serve side: train here, or train
+    in catboost offline and score the exported ``.cbm`` through
+    ``score_catboost`` — the engine covers both ends of U6/U7.
+
+    Returns (best_model, avg_auc_per_grid_point) like ``train_with_cv``.
+    """
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = assemble_vector(df, feature_cols).select(
+        "features", F.col(label_col).cast("double").alias(label_col)
+    )
+    gbt = GBTClassifier(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        stepSize=step_size,
+        seed=seed,
+    )
+    grid = ParamGridBuilder().addGrid(gbt.maxDepth, [max_depth]).build()
+    cv = CrossValidator(
+        estimator=gbt,
+        estimatorParamMaps=grid,
+        evaluator=auc_evaluator(label_col),
+        numFolds=n_folds,
+        seed=seed,
+        parallelism=4,
+    )
+    model = cv.fit(data)
+    return model.bestModel, list(model.avgMetrics)
