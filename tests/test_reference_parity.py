@@ -210,3 +210,36 @@ def test_rolling_time_interval_frame_matches_epoch_frame(spark, sf_small):
     for c in ("tw_sum", "tw_n", "tw_mean"):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert (av == bv).all(), c
+
+
+def test_ts_gap_fill_dense_grid_properties(spark, sf_small):
+    """Gap-fill invariants: consecutive daily buckets per user, event
+    counts preserved, gaps zero-count with forward-filled sums."""
+    import datetime
+
+    from vtb_datafusion_2023_spark.operators.windows import ts_gap_fill
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    out = ts_gap_fill(ev, "user_id", "ts", "value", bucket="day").orderBy(
+        "user_id", "bucket_ts"
+    )
+    rows = out.collect()
+    assert sum(r.gf_n for r in rows) == ev.count()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    saw_gap = False
+    for series in by_user.values():
+        last_sum = None
+        for i, r in enumerate(series):
+            if i > 0:
+                assert r.bucket_ts - series[i - 1].bucket_ts == datetime.timedelta(days=1)
+            if r.gf_n == 0:
+                saw_gap = True
+                assert r.gf_sum is None
+                assert r.gf_ffill == last_sum  # carried forward
+            else:
+                assert r.gf_sum is not None and r.gf_ffill == r.gf_sum
+                last_sum = r.gf_sum
+    assert saw_gap  # the fixture must actually exercise filling

@@ -282,3 +282,58 @@ def with_ewma(
         lambda acc, x: acc * one_m + x * a,
     )
     return df.withColumn(out, fold)
+
+
+def ts_gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+    prefix: str = "gf",
+) -> DataFrame:
+    """Regularize an event stream into a dense per-key time grid:
+    bucket -> aggregate -> fill missing buckets -> forward-fill.
+
+    Emits one row per (key, bucket) over each key's [first, last] span:
+    ``{prefix}_n`` (0 in gaps), ``{prefix}_sum`` (decimal-exact, NULL in
+    gaps), ``{prefix}_ffill`` (last seen sum carried forward — the
+    standard feed for downstream models that need equally-spaced input).
+
+    Scale: the aggregate is one (key, bucket) shuffle; the grid comes
+    from a per-key ``sequence`` explode (rows bounded by span/bucket, no
+    cross join); the fill join re-uses the same key partitioning; the
+    forward fill is one window over it.  ``bucket``: 'hour' | 'day'.
+    """
+    if bucket not in ("hour", "day"):
+        raise ValueError("bucket must be 'hour' or 'day'")
+    step = f"interval 1 {bucket}"
+    agg = (
+        df.withColumn("_bucket", F.date_trunc(bucket, F.col(ts_col)))
+        .groupBy(key_col, "_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.expr(sqlgen.dsum(value_col)).alias("_sum"),
+        )
+    )
+    grid = (
+        agg.groupBy(key_col)
+        .agg(F.min("_bucket").alias("_mn"), F.max("_bucket").alias("_mx"))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step))).alias("_bucket"),
+        )
+    )
+    joined = grid.join(agg, [key_col, "_bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        F.col("_bucket").alias("bucket_ts"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias(f"{prefix}_n"),
+        F.col("_sum").alias(f"{prefix}_sum"),
+        F.last("_sum", ignorenulls=True).over(w).alias(f"{prefix}_ffill"),
+    )

@@ -262,3 +262,39 @@ def w14_ewma(spark, sf_dir):
         T(spark, sf_dir, "events"), "user_id", ["ts", "event_id"], "value",
         alpha=0.1, n=32,
     ).select("event_id", "value_ewma")
+
+
+@register(
+    "w15_gap_fill",
+    oracle=f"""
+with b as (
+  select user_id, date_trunc('day', ts) as bucket,
+         count(*) as n, {sqlgen.dsum('value')} as s
+  from events
+  group by user_id, date_trunc('day', ts)
+),
+spans as (select user_id, min(bucket) as mn, max(bucket) as mx from b group by user_id),
+grid as (
+  select user_id, unnest(generate_series(mn, mx, interval 1 day)) as bucket
+  from spans
+),
+j as (
+  select g.user_id, g.bucket, coalesce(b.n, 0) as n, b.s
+  from grid g left join b on b.user_id = g.user_id and b.bucket = g.bucket
+)
+select user_id, bucket as bucket_ts,
+       cast(n as bigint) as gf_n, s as gf_sum,
+       last_value(s ignore nulls)
+         over (partition by user_id order by bucket
+               rows between unbounded preceding and current row) as gf_ffill
+from j
+""",
+    survey_ref="w-gap-fill",
+    doc="time-series regularization: per-user daily buckets densified over "
+    "each user's [first, last] span (sequence explode, no cross join), "
+    "zero-filled counts, decimal-exact sums, forward-filled values.",
+)
+def w15_gap_fill(spark, sf_dir):
+    from ..operators.windows import ts_gap_fill
+
+    return ts_gap_fill(T(spark, sf_dir, "events"), "user_id", "ts", "value", bucket="day")
