@@ -683,3 +683,35 @@ def test_minhash_md5_pairs_sound_and_match_xxhash_on_duplicates(spark, sf_small)
     }
     dup_pairs = {p for p, j in exact.items() if j == 1.0}
     assert dup_pairs <= set(md5p) and dup_pairs <= xx
+
+
+def test_scd2_intervals_semantics(spark, sf_small):
+    """SCD2 invariants: per-key intervals tile [first_change, inf) without
+    overlap, consecutive rows always change value, exactly one current."""
+    from vtb_datafusion_2023_spark.operators.cleaning import scd2_intervals
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    out = scd2_intervals(ev, ["user_id"], "ts", ["event_type"], ord_cols=["event_id"])
+    rows = out.orderBy("user_id", "valid_from").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for series in by_user.values():
+        assert sum(1 for r in series if r.is_current) == 1
+        assert series[-1].is_current and series[-1].valid_to is None
+        for a, b in zip(series, series[1:]):
+            assert a.valid_to == b.valid_from  # gapless tiling
+            assert a.event_type != b.event_type  # real change points
+    # point-in-time correctness: replay any event against the intervals
+    ev_rows = ev.orderBy("user_id", "ts", "event_id").collect()
+    import bisect
+
+    for r in ev_rows[:500]:
+        series = by_user[r.user_id]
+        froms = [s.valid_from for s in series]
+        i = bisect.bisect_right(froms, r.ts) - 1
+        # the interval covering this event's time must carry a value that
+        # was set at or before it
+        assert i >= 0 and series[i].valid_from <= r.ts

@@ -179,3 +179,41 @@ def latest_by_key(
     """
     w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in version_cols])
     return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    ord_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a change log into
+    validity intervals — one row per (key, value-change) with
+    ``valid_from`` / ``valid_to`` (NULL = current) and ``is_current``.
+
+    The complement of :func:`latest_by_key` (SCD1 latest-wins): history is
+    kept, consecutive rows with unchanged tracked values are collapsed
+    into one interval.  Downstream point-in-time lookups are the as-of
+    join (``temporal_joins``) against this table.
+
+    Scale: everything runs in one (key) window partitioning — change
+    detection (lag), interval close (lead), currency flag — a single
+    shuffle+sort shared across the three expressions.  Null-safe value
+    comparison keeps NULL attribute states as real states.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (ord_cols or [])]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    unchanged = F.lit(True)
+    for c in value_cols:
+        unchanged = unchanged & F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    changes = df.withColumn("_keep", first | ~unchanged).filter(F.col("_keep"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return changes.select(
+        *key_cols,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

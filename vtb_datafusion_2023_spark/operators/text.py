@@ -297,7 +297,15 @@ def tfidf(
     if exact_idf:
         from pyspark.sql.functions import broadcast
 
-        dfs = [r[0] for r in df_t.select("df").distinct().collect()]
+        # df values are integers in [1, n_docs].  Small corpora: build the
+        # full (df -> libm idf) table driver-side with NO extra Spark job
+        # (the distinct-df collect re-executed the whole terms lineage).
+        # Large corpora: collect the distinct df values (bounded by the
+        # vocabulary size, heavy-tailed small in practice).
+        if n_docs <= 1_000_000:
+            dfs = range(1, int(n_docs) + 1)
+        else:
+            dfs = [r[0] for r in df_t.select("df").distinct().collect()]
         idf = df.sparkSession.createDataFrame(
             [(d, math.log(n_docs / d)) for d in dfs], "df bigint, _idf double"
         )

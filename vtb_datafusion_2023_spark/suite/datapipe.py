@@ -1731,3 +1731,36 @@ def gr_pagerank(spark, sf_dir):
         F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return pagerank(edges).withColumnRenamed("r", "r")
+
+
+@register(
+    "dp_scd2_intervals",
+    oracle="""
+with o as (
+  select user_id, ts, event_id, event_type,
+         lag(event_type) over (partition by user_id order by ts, event_id) as _prev,
+         row_number() over (partition by user_id order by ts, event_id) as _rn
+  from events
+),
+ch as (
+  select user_id, ts, event_id, event_type
+  from o where _rn = 1 or event_type is distinct from _prev
+)
+select user_id, event_type, ts as valid_from,
+       lead(ts) over (partition by user_id order by ts, event_id) as valid_to,
+       (lead(ts) over (partition by user_id order by ts, event_id) is null) as is_current
+from ch
+""",
+    survey_ref="dp-scd2",
+    doc="SCD type-2 dimension build: change log -> validity intervals "
+    "(change detection, interval close, currency flag — all on ONE key "
+    "window partitioning); the history-keeping complement of "
+    "dp_latest_by_key, queried point-in-time via the as-of join.",
+)
+def dp_scd2_intervals(spark, sf_dir):
+    from ..operators.cleaning import scd2_intervals
+
+    ev = T(spark, sf_dir, "events")
+    return scd2_intervals(
+        ev, ["user_id"], "ts", ["event_type"], ord_cols=["event_id"]
+    )
