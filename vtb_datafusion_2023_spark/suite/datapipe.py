@@ -1764,3 +1764,42 @@ def dp_scd2_intervals(spark, sf_dir):
     return scd2_intervals(
         ev, ["user_id"], "ts", ["event_type"], ord_cols=["event_id"]
     )
+
+
+def _bpe_oracle() -> str:
+    from ..operators.bpe import SEED_MERGES, bpe_replace_chain_sql
+
+    chain = bpe_replace_chain_sql("w", SEED_MERGES)
+    return f"""
+with w as (
+  select doc_id, w from (
+    select doc_id, unnest(string_split(lower(text), ' ')) as w from documents
+  ) where w <> ''
+),
+enc as (
+  select doc_id,
+         (length({chain}) - length(replace({chain}, chr(1), ''))) / 2 as sub
+  from w
+)
+select doc_id, cast(sum(sub) as bigint) as n_bpe_tok
+from enc group by doc_id
+"""
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=_bpe_oracle(),
+    survey_ref="text-bpe",
+    doc="REAL trained BPE subword token counts (Sennrich ACL'16): greedy "
+    "merge table learned from an embedded seed vocabulary, applied via "
+    "the dictionary trick (each unique word encoded once in mapInPandas, "
+    "broadcast back).  The merge loop IS sequential string replacement, "
+    "so the oracle replays it as a generated 100-deep replace chain — "
+    "hash-gated, not a heuristic approximation.",
+)
+def text_bpe_tokens(spark, sf_dir):
+    from ..operators.bpe import bpe_token_count
+
+    return bpe_token_count(
+        T(spark, sf_dir, "documents"), out_col="n_bpe_tok"
+    )
