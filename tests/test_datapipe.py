@@ -715,3 +715,36 @@ def test_scd2_intervals_semantics(spark, sf_small):
         # the interval covering this event's time must carry a value that
         # was set at or before it
         assert i >= 0 and series[i].valid_from <= r.ts
+
+
+def test_drift_psi_properties(spark, sf_small):
+    import math
+
+    from vtb_datafusion_2023_spark.operators.profile import drift_psi
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    edges = [0.0, 5.0, 20.0, 50.0, 100.0, 250.0, 1000.0]
+    # identical samples -> PSI exactly 0 (every term is 0 * 0)
+    same = drift_psi(ev, ev, "value", edges).collect()
+    assert all(r.psi == 0.0 for r in same)
+    assert len(same) == len(edges)  # real bins + NULL bucket
+    # shifted sample (values doubled) -> positive PSI
+    shifted = drift_psi(
+        ev, ev.withColumn("value", F.col("value") * 2), "value", edges
+    ).collect()
+    psi = shifted[0].psi
+    assert psi > 0.01
+    # local replay of the formula from the emitted counts
+    nb = len(edges)
+    ta = sum(r.n_a for r in shifted) + nb
+    tb = sum(r.n_b for r in shifted) + nb
+    want = sum(
+        ((r.n_a + 1) / ta - (r.n_b + 1) / tb)
+        * (
+            (math.log(r.n_a + 1) - math.log(ta))
+            - (math.log(r.n_b + 1) - math.log(tb))
+        )
+        for r in sorted(shifted, key=lambda r: 999999 if r.bin is None else r.bin)
+    )
+    assert abs(psi - want) < 1e-12

@@ -149,3 +149,90 @@ def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
         f"stack({len(rules)}, {pairs}) as (rule, n_violations)",
         "cast(_n as bigint) as n_rows",
     )
+
+
+def drift_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    edges: list[float],
+) -> DataFrame:
+    """Population Stability Index between two samples of ``value_col`` —
+    the standard training-data / feature drift monitor (PSI < 0.1 stable,
+    > 0.25 shifted).
+
+    Both sides bin by the same fixed ``edges`` (P7 semantics; out-of-range
+    -> bin NULL, kept as its own bucket) and Laplace-smooth:
+    p_i = (n_i + 1) / (N + B).  PSI = sum_i (p_i - q_i) * ln(p_i / q_i).
+
+    Determinism contract (hash-gated cross-engine): every ln argument is
+    an INTEGER (counts + smoothed totals), so logs come from a broadcast
+    (int -> libm ln) table — the same device as tfidf's exact idf — and
+    ln(p/q) decomposes as (ln n_a - ln N_a) - (ln n_b - ln N_b).  The
+    per-bin fold into the PSI total runs over the bin-sorted array
+    (list_reduce / aggregate), giving one IEEE summation order on any
+    engine or partitioning.
+
+    Scale: the heavy operand — binning and counting each sample — is two
+    codegen scans + tiny (B-row) aggregates; the epilogue joins B rows.
+
+    Output: one row per bin (NULL bin last):
+    (bin, n_a, n_b, p_a, p_b, term, psi) with psi repeated on every row.
+    """
+    import math
+
+    from .projections import bin_by_edges
+
+    n_bins = len(edges) - 1 + 1  # real bins + the out-of-range NULL bucket
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(bin_by_edges(value_col, edges).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    ca, cb = counts(df_a, "n_a"), counts(df_b, "n_b")
+    bins = df_a.sparkSession.createDataFrame(
+        [(b,) for b in range(len(edges) - 1)] + [(None,)], "bin int"
+    )
+    joined = (
+        bins.join(ca, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    rows = joined.collect()  # B rows — the bounded epilogue, not the data
+    tot_a = sum(r.n_a for r in rows) + n_bins
+    tot_b = sum(r.n_b for r in rows) + n_bins
+    ints = sorted({r.n_a + 1 for r in rows} | {r.n_b + 1 for r in rows} | {tot_a, tot_b})
+    ln = df_a.sparkSession.createDataFrame(
+        [(i, math.log(i)) for i in ints], "i bigint, ln double"
+    )
+    la = ln.select(F.col("i").alias("_ia"), F.col("ln").alias("_lna"))
+    lb = ln.select(F.col("i").alias("_ib"), F.col("ln").alias("_lnb"))
+    lta = float(math.log(tot_a))
+    ltb = float(math.log(tot_b))
+    term = (
+        f"((cast(n_a + 1 as double) / cast({tot_a} as double))"
+        f" - (cast(n_b + 1 as double) / cast({tot_b} as double)))"
+        f" * ((_lna - cast({lta!r} as double)) - (_lnb - cast({ltb!r} as double)))"
+    )
+    detailed = (
+        joined.join(F.broadcast(la), joined["n_a"] + 1 == la["_ia"])
+        .join(F.broadcast(lb), joined["n_b"] + 1 == lb["_ib"])
+        .withColumn("p_a", F.expr(f"cast(n_a + 1 as double) / cast({tot_a} as double)"))
+        .withColumn("p_b", F.expr(f"cast(n_b + 1 as double) / cast({tot_b} as double)"))
+        .withColumn("term", F.expr(term))
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(coalesce(bin, 999999) as b, term))),"
+        " s -> s.term), cast(0 as double), (a, x) -> a + x)"
+    )
+    psi = detailed.select(F.expr(f"{fold} as psi").alias("psi"))
+    return detailed.crossJoin(F.broadcast(psi)).select(
+        "bin", "n_a", "n_b", "p_a", "p_b", "term", "psi"
+    )

@@ -1803,3 +1803,80 @@ def text_bpe_tokens(spark, sf_dir):
     return bpe_token_count(
         T(spark, sf_dir, "documents"), out_col="n_bpe_tok"
     )
+
+
+_PSI_EDGES = [0.0, 5.0, 20.0, 50.0, 100.0, 250.0, 1000.0]
+
+
+def _psi_oracle() -> str:
+    import math
+
+    nb = len(_PSI_EDGES) - 1 + 1  # real bins + NULL bucket
+    case = (
+        "(case "
+        + " ".join(
+            f"when value > {_PSI_EDGES[i - 1]} and value <= {_PSI_EDGES[i]} then {i - 1}"
+            for i in range(1, len(_PSI_EDGES))
+        )
+        + " end)"
+    )
+    bins_rows = ", ".join(f"({b})" for b in range(len(_PSI_EDGES) - 1)) + ", (NULL)"
+    return f"""
+with ca as (
+  select {case} as bin, count(*) as n_a from events where user_id % 2 = 0 group by 1
+),
+cb as (
+  select {case} as bin, count(*) as n_b from events where user_id % 2 = 1 group by 1
+),
+bins(bin) as (values {bins_rows}),
+j as (
+  select b.bin,
+         cast(coalesce(ca.n_a, 0) as bigint) as n_a,
+         cast(coalesce(cb.n_b, 0) as bigint) as n_b
+  from bins b
+  left join ca on ca.bin is not distinct from b.bin
+  left join cb on cb.bin is not distinct from b.bin
+),
+tot as (select sum(n_a) + {nb} as ta, sum(n_b) + {nb} as tb from j),
+d as (
+  select j.bin, j.n_a, j.n_b,
+         cast(j.n_a + 1 as double) / cast(t.ta as double) as p_a,
+         cast(j.n_b + 1 as double) / cast(t.tb as double) as p_b,
+         ((cast(j.n_a + 1 as double) / cast(t.ta as double))
+          - (cast(j.n_b + 1 as double) / cast(t.tb as double)))
+         * ((ln(cast(j.n_a + 1 as double)) - ln(cast(t.ta as double)))
+            - (ln(cast(j.n_b + 1 as double)) - ln(cast(t.tb as double)))) as term
+  from j cross join tot t
+),
+p as (
+  select list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(b := coalesce(bin, 999999), term := term))),
+             s -> s.term),
+           (a, x) -> a + x) as psi
+  from d
+)
+select d.bin, d.n_a, d.n_b, d.p_a, d.p_b, d.term, p.psi
+from d cross join p
+"""
+
+
+@register(
+    "an_drift_psi",
+    oracle=_psi_oracle(),
+    survey_ref="an-drift",
+    doc="Population Stability Index drift monitor between two samples: "
+    "fixed-edge binning + NULL out-of-range bucket, Laplace smoothing, "
+    "integer-argument logs (broadcast libm table), bin-ordered PSI fold — "
+    "bitwise deterministic on any engine/partitioning.",
+)
+def an_drift_psi(spark, sf_dir):
+    from ..operators.profile import drift_psi
+
+    ev = T(spark, sf_dir, "events")
+    return drift_psi(
+        ev.filter(F.expr("user_id % 2 = 0")),
+        ev.filter(F.expr("user_id % 2 = 1")),
+        "value",
+        _PSI_EDGES,
+    )
