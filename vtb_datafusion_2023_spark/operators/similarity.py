@@ -898,3 +898,31 @@ def lsh_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
     )
+
+
+def pq_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    codebook_sql: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup via PQ code collision: vectors whose m subspace
+    codes all agree are quantization-identical — a 1-byte/dim perceptual
+    bucket, the coarse first pass before banded-LSH cosine verify.
+
+    One encode map + one groupBy on the (tiny) code array; emits
+    (id, rep_id = min id in cluster, cluster_size) for clustered rows
+    only.  Deterministic: encode ties break to the lowest code, cluster
+    representative is the minimum id.
+    """
+    codes = pq_encode(df, id_col, vec_col, m, k, subdim, codebook_sql)
+    w = Window.partitionBy("codes")
+    return (
+        codes.withColumn("rep_id", F.min(id_col).over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("cluster_size") > 1)
+        .select(id_col, "rep_id", "cluster_size")
+    )

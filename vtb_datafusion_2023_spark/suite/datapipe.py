@@ -1880,3 +1880,24 @@ def an_drift_psi(spark, sf_dir):
         "value",
         _PSI_EDGES,
     )
+
+
+@register(
+    "dd_pq_dedup",
+    oracle=_PQ_ENC
+    + """,
+codes as (select vec_id, list(code order by sub) as cl from ranked where rn = 1 group by vec_id),
+g as (select cl, min(vec_id) as rep_id, count(*) as n from codes group by cl)
+select c.vec_id, g.rep_id, cast(g.n as bigint) as cluster_size
+from codes c join g on c.cl = g.cl
+where g.n > 1
+""",
+    survey_ref="dedup-embedding-pq",
+    doc="embedding near-dup via PQ code collision: quantization-identical "
+    "vectors bucket together (1 byte/dim) — the coarse pass before "
+    "banded-LSH cosine verify; oracle replays encode + collision grouping.",
+)
+def dd_pq_dedup(spark, sf_dir):
+    from ..operators.similarity import pq_dedup_clusters
+
+    return pq_dedup_clusters(T(spark, sf_dir, "embeddings"))
