@@ -84,3 +84,33 @@ def test_gbt_cv_harness_u7(spark, sf_small):
     )
     assert len(metrics) == 1 and 0.0 <= metrics[0] <= 1.0
     assert model.getMaxDepth() == 3 and len(model.trees) == 5
+
+
+def test_pair_affinity_matches_fpgrowth(spark, sf_small):
+    """The exact 2-itemset counts must agree with spark.ml FPGrowth's
+    frequent itemsets at the same support threshold."""
+    from pyspark.ml.fpm import FPGrowth
+
+    from vtb_datafusion_2023_spark.operators.analytics import pair_affinity
+
+    ev = load_table(spark, sf_small, "events")
+    ours = {
+        (r.item_a, r.item_b): r.n_both
+        for r in pair_affinity(ev).collect()
+    }
+    n_baskets = ev.select("user_id").distinct().count()
+    baskets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.01, minConfidence=0.1).fit(baskets)
+    fp_pairs = {
+        tuple(sorted(r["items"])): r["freq"]
+        for r in fp.freqItemsets.collect()
+        if len(r["items"]) == 2
+    }
+    assert fp_pairs  # threshold low enough to surface pairs
+    for pair, freq in fp_pairs.items():
+        assert ours[pair] == freq
+    # lift sanity on one pair
+    some = pair_affinity(ev).first()
+    assert some.lift > 0

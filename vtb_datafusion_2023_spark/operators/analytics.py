@@ -116,3 +116,51 @@ def topk_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def pair_affinity(
+    df: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket pair affinity: for every unordered item pair, how
+    many baskets contain both, each item's basket count, and lift
+    (support ratio vs independence) — the exact 2-itemset core of
+    association mining (spark.ml FPGrowth generalizes to k-itemsets;
+    differential-tested against it).
+
+    Scale shape: distinct (basket, item) once, then a SELF-JOIN ON THE
+    BASKET KEY (co-partitioned, one shuffle) — never an item-pair
+    cartesian.  Per-basket distinct items bound the join fan-out
+    (cap wide baskets upstream with ``cap_per_source`` semantics if a
+    basket can be pathological).  Lift divides exact int64 counts in one
+    fixed expression — bitwise deterministic.
+    """
+    base = df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")).distinct()
+    n_baskets = base.select("_b").distinct().count()
+    per_item = base.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    a = base.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = base.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = per_item.select(F.col("_i").alias("item_a"), F.col("_n").alias("n_a"))
+    nb = per_item.select(F.col("_i").alias("item_b"), F.col("_n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                f"(cast(n_both as double) * cast({n_baskets} as double))"
+                " / (cast(n_a as double) * cast(n_b as double))"
+            ).alias("lift"),
+        )
+    )

@@ -1901,3 +1901,37 @@ def dd_pq_dedup(spark, sf_dir):
     from ..operators.similarity import pq_dedup_clusters
 
     return pq_dedup_clusters(T(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "an_pair_affinity",
+    oracle="""
+with base as (select distinct user_id as b, event_type as i from events),
+tot as (select count(distinct b) as nb from base),
+per as (select i, count(*) as n from base group by i),
+pairs as (
+  select x.i as item_a, y.i as item_b, count(*) as n_both
+  from base x join base y on x.b = y.b and x.i < y.i
+  group by x.i, y.i
+)
+select p.item_a, p.item_b,
+       cast(p.n_both as bigint) as n_both,
+       cast(a.n as bigint) as n_a,
+       cast(c.n as bigint) as n_b,
+       (cast(p.n_both as double) * cast(t.nb as double))
+         / (cast(a.n as double) * cast(c.n as double)) as lift
+from pairs p
+join per a on a.i = p.item_a
+join per c on c.i = p.item_b
+cross join tot t
+""",
+    survey_ref="an-affinity",
+    doc="market-basket 2-itemset affinity with lift: distinct (basket, "
+    "item) -> basket-key self-join (co-partitioned, never an item "
+    "cartesian) -> exact-count lift; the 2-itemset core FPGrowth "
+    "generalizes (differential pytest).",
+)
+def an_pair_affinity(spark, sf_dir):
+    from ..operators.analytics import pair_affinity
+
+    return pair_affinity(T(spark, sf_dir, "events"))
