@@ -748,3 +748,26 @@ def test_drift_psi_properties(spark, sf_small):
         for r in sorted(shifted, key=lambda r: 999999 if r.bin is None else r.bin)
     )
     assert abs(psi - want) < 1e-12
+
+
+def test_simhash_md5_sound_and_partition_invariant(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        simhash_md5_chunks,
+        simhash_md5_pairs,
+    )
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_md5_pairs(docs, "doc_id", "text").collect()}
+    again = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_md5_pairs(docs.repartition(13), "doc_id", "text").collect()
+    }
+    assert pairs == again
+    sigs = {r._id: list(r.sig) for r in simhash_md5_chunks(docs, "doc_id", "text").collect()}
+    assert all(0 <= c <= 0xFFFF for s in sigs.values() for c in s)
+    for (a, b), h in list(pairs.items())[:50]:
+        want = sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+        assert h == want and h <= 8
+        # pigeonhole: the pair shares at least one chunk
+        assert any(x == y for x, y in zip(sigs[a], sigs[b]))

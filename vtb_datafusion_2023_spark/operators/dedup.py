@@ -859,3 +859,119 @@ def cluster_safe_split(
     clusters = dedup_clusters(docs.select(id_col), pairs, id_col=id_col)
     assigned = modulo_split(clusters, weights, id_col="cluster_id", denom=denom)
     return docs.join(assigned, id_col)
+
+
+def simhash_md5_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunks: int = 4
+) -> DataFrame:
+    """Cross-engine-certifiable SimHash: per-token hash bits come from
+    the HEX DIGITS of ``md5(token)`` (bit ``j*4 + k`` = bit k of hex
+    digit j, extracted with pure integer arithmetic — no 64-bit shifts,
+    no engine-specific hash), so the whole signature is replayable in
+    any engine with md5 (`dd_simhash_md5`), the same rationale as
+    `minhash_md5_band_table` vs the xxhash64 default.
+
+    Emits the signature as ``chunks`` 16-bit integers (the pigeonhole
+    keys) instead of one signed 64-bit word — small positive ints avoid
+    sign/overflow dialect differences entirely.  One explode + one
+    64-sum groupBy (map-side partials), codegen throughout.
+    Returns (_id, sig: array<int> of length ``chunks``).
+    """
+    from functools import reduce as _reduce
+
+    bits_per = 64 // chunks
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+        )
+        .filter(F.col("_t") != "")
+        .select("_id", F.md5("_t").alias("_h"))
+    )
+    hexv = "0123456789abcdef"
+
+    def bit(p: int):
+        j, k = divmod(p, 4)
+        v = F.instr(F.lit(hexv), F.substring(F.col("_h"), j + 1, 1)) - 1
+        return F.floor(v / (1 << k)) % 2
+
+    votes = [
+        F.sum(F.when(bit(p) == 1, 1).otherwise(-1)).alias(f"_v{p}") for p in range(64)
+    ]
+    ckeys = [
+        _reduce(
+            lambda x, y: x + y,
+            [
+                F.when(F.col(f"_v{c * bits_per + k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+                for k in range(bits_per)
+            ],
+        ).cast("int")
+        for c in range(chunks)
+    ]
+    return toks.groupBy("_id").agg(*votes).select(
+        "_id", F.array(*ckeys).alias("sig")
+    )
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """`simhash_near_pairs` with the md5 hash family: chunk-pigeonhole
+    candidates + in-bucket hamming verify (bit_count over xor'd 16-bit
+    chunks), the same one-lineage bucket-grouping shape — and bitwise
+    replayable by the DuckDB oracle."""
+    sig = simhash_md5_chunks(df, id_col, text_col, chunks)
+    chunked = sig.select(
+        "_id", "sig", F.posexplode("sig").alias("chunk", "ckey")
+    )
+    buckets = (
+        chunked.groupBy("chunk", "ckey")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "sig"))).alias("_m"))
+        .filter(F.size("_m") > 1)
+    )
+
+    def mk_pair(x, y):
+        return F.struct(
+            x["_id"].alias("id_a"),
+            y["_id"].alias("id_b"),
+            x["sig"].alias("sig_a"),
+            y["sig"].alias("sig_b"),
+        )
+
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))), lambda y: mk_pair(x, y)
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(F.col("_m"), 2, F.size(F.col("_m"))),
+        lambda y: mk_pair(F.element_at(F.col("_m"), 1), y),
+    )
+    pair_structs = F.when(F.size("_m") > max_bucket_size, star_pairs).otherwise(all_pairs)
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("_p.sig_a"),
+            F.col("_p.sig_b"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(
+            F.col("_p.id_a").alias("id_a"),
+            F.col("_p.id_b").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

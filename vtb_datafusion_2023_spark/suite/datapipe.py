@@ -1935,3 +1935,59 @@ def an_pair_affinity(spark, sf_dir):
     from ..operators.analytics import pair_affinity
 
     return pair_affinity(T(spark, sf_dir, "events"))
+
+
+def _simhash_md5_oracle(max_hamming: int = 8, chunks: int = 4) -> str:
+    bits_per = 64 // chunks
+
+    def bit(p: int) -> str:
+        j, k = divmod(p, 4)
+        return (
+            f"(floor((instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) / {1 << k}) % 2)"
+        )
+
+    votes = ", ".join(
+        f"sum(case when {bit(p)} = 1 then 1 else -1 end) as v{p}" for p in range(64)
+    )
+    cks = ", ".join(
+        "("
+        + " + ".join(
+            f"case when v{c * bits_per + k} > 0 then {1 << k} else 0 end"
+            for k in range(bits_per)
+        )
+        + f") as ck{c}"
+        for c in range(chunks)
+    )
+    ham = " + ".join(f"bit_count(xor(a.ck{c}, b.ck{c}))" for c in range(chunks))
+    anyc = " or ".join(f"a.ck{c} = b.ck{c}" for c in range(chunks))
+    return f"""
+with toks as (
+  select doc_id, md5(t) as h
+  from (select doc_id, unnest(string_split(text, ' ')) as t from documents)
+  where t <> ''
+),
+votes as (select doc_id, {votes} from toks group by doc_id),
+sig as (select doc_id, {cks} from votes),
+cand as (
+  select a.doc_id as id_a, b.doc_id as id_b, {ham} as hamming
+  from sig a join sig b on a.doc_id < b.doc_id and ({anyc})
+)
+select id_a, id_b, cast(hamming as int) as hamming
+from cand where hamming <= {max_hamming}
+"""
+
+
+@register(
+    "dd_simhash_md5",
+    oracle=_simhash_md5_oracle(),
+    survey_ref="dedup-simhash",
+    doc="SimHash near-dup with the md5 hash family: token bits from md5 "
+    "hex digits (pure integer extraction), 16-bit chunk pigeonhole "
+    "candidates, bit_count(xor) hamming verify — the ENTIRE pipeline "
+    "replays in DuckDB and certifies bitwise (the hard signal the "
+    "xxhash64 default gets from property tests).",
+)
+def dd_simhash_md5(spark, sf_dir):
+    from ..operators.dedup import simhash_md5_pairs
+
+    return simhash_md5_pairs(T(spark, sf_dir, "documents"), "doc_id", "text")
