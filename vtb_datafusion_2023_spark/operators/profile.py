@@ -179,11 +179,7 @@ def drift_psi(
     Output: one row per bin (NULL bin last):
     (bin, n_a, n_b, p_a, p_b, term, psi) with psi repeated on every row.
     """
-    import math
-
     from .projections import bin_by_edges
-
-    n_bins = len(edges) - 1 + 1  # real bins + the out-of-range NULL bucket
 
     def counts(df: DataFrame, alias: str) -> DataFrame:
         return (
@@ -192,7 +188,18 @@ def drift_psi(
             .agg(F.count(F.lit(1)).alias(alias))
         )
 
-    ca, cb = counts(df_a, "n_a"), counts(df_b, "n_b")
+    return psi_from_counts(counts(df_a, "n_a"), counts(df_b, "n_b"), edges)
+
+
+def psi_from_counts(ca: DataFrame, cb: DataFrame, edges: list[float]) -> DataFrame:
+    """PSI epilogue over precomputed (bin, n_a) / (bin, n_b) count frames
+    — shared by batch :func:`drift_psi` and the streaming monitor
+    (``streaming.events`` replays its per-bin streaming aggregation to
+    completion and feeds the final counts here)."""
+    import math
+
+    n_bins = len(edges) - 1 + 1  # real bins + the out-of-range NULL bucket
+    df_a = ca
     bins = df_a.sparkSession.createDataFrame(
         [(b,) for b in range(len(edges) - 1)] + [(None,)], "bin int"
     )

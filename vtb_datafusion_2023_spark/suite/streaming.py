@@ -307,3 +307,52 @@ def st_dedup_ingest(spark, sf_dir):
         bands=4,
     )
     return read_versioned(spark, f"{root}/corpus").select("doc_id")
+
+
+@register(
+    "st_drift_psi",
+    oracle=None,  # set below: identical formula to an_drift_psi
+    survey_ref="streaming-drift",
+    doc="streaming drift monitor: the live side's per-bin counts run as a "
+    "real streaming aggregation (complete mode, bounded state = B bins) "
+    "replayed to completion; the final counts feed the shared PSI "
+    "epilogue, so end-state PSI is batch-identical and hash-gated.",
+)
+def st_drift_psi(spark, sf_dir):
+    from ..operators.profile import psi_from_counts
+    from ..operators.projections import bin_by_edges
+    from .datapipe import _PSI_EDGES
+
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.expr("user_id % 2 = 0"))
+        .select(bin_by_edges("value", _PSI_EDGES).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    live_stream = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.expr("user_id % 2 = 1"))
+        .select(bin_by_edges("value", _PSI_EDGES).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    live = replay_to_table(spark, live_stream, mode="complete")
+    return psi_from_counts(ref, live, _PSI_EDGES)
+
+
+def _late_bind_psi_oracle() -> None:
+    from . import REGISTRY, QuerySpec
+    from .datapipe import _psi_oracle
+
+    spec = REGISTRY["st_drift_psi"]
+    REGISTRY["st_drift_psi"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_psi_oracle(),
+        survey_ref=spec.survey_ref,
+        doc=spec.doc,
+    )
+
+
+_late_bind_psi_oracle()
