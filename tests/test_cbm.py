@@ -159,3 +159,64 @@ def test_oracle_plan_covers_every_tree_exactly_once(model):
 
     per_tree = Counter(t for t, _, _, _ in plan["var_splits"])
     assert len(plan["leaves"]) == sum(2**v for v in per_tree.values())
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: the vectorized reduceat scorer vs a naive per-row tree walk
+# over RANDOM synthetic models — catches bit-order / offset / indexing bugs
+# the single reference artifact can't.
+
+
+def _random_model(rng, n_features=6, n_trees=12, max_depth=3):
+    from vtb_datafusion_2023_spark.inference.cbm import LEAF_SCALE
+
+    bin_feat, bin_border = [], []
+    for pos in range(n_features):
+        for b in sorted(rng.normal(0, 2, rng.integers(1, 5))):
+            bin_feat.append(pos)
+            bin_border.append(float(np.float32(b)))
+    sizes = rng.integers(1, max_depth + 1, n_trees)
+    splits = rng.integers(0, len(bin_feat), int(sizes.sum()))
+    leaf_values = rng.normal(0, 0.1, int((2**sizes).sum()))
+    return {
+        "feature_names": [f"f{i}" for i in range(n_features)],
+        "flat_index": np.arange(n_features),
+        "bin_feat": np.asarray(bin_feat),
+        "bin_border": np.asarray(bin_border),
+        "tree_splits": splits.astype(np.int64),
+        "tree_sizes": sizes.astype(np.int64),
+        "split_offsets": np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64),
+        "leaf_offsets": np.concatenate([[0], np.cumsum(2 ** sizes[:-1])]).astype(np.int64),
+        "leaf_q": np.round(leaf_values * LEAF_SCALE).astype(np.int64),
+        "scale": 1.0,
+        "bias": 0.0,
+    }
+
+
+def _tree_walk(p, x_row):
+    """Slow reference interpreter: one tree at a time, one split at a time."""
+    total = 0
+    for t in range(len(p["tree_sizes"])):
+        idx = 0
+        for d in range(int(p["tree_sizes"][t])):
+            g = int(p["tree_splits"][p["split_offsets"][t] + d])
+            feat = int(p["bin_feat"][g])
+            if x_row[feat] > p["bin_border"][g]:
+                idx |= 1 << d
+        total += int(p["leaf_q"][int(p["leaf_offsets"][t]) + idx])
+    return total
+
+
+def test_vectorized_scorer_matches_tree_walk_on_random_models():
+    from vtb_datafusion_2023_spark.inference.cbm import score_q_payload
+
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        p = _random_model(rng)
+        x = rng.normal(0, 2, (17, len(p["feature_names"])))
+        # exercise NaN routing too
+        x[3, 1] = np.nan
+        got = score_q_payload(p, x)
+        want = np.array([_tree_walk(p, row) for row in x])
+        # NaN > border is False in both paths
+        assert np.array_equal(got, want), trial
