@@ -771,3 +771,30 @@ def test_simhash_md5_sound_and_partition_invariant(spark, sf_small):
         assert h == want and h <= 8
         # pigeonhole: the pair shares at least one chunk
         assert any(x == y for x, y in zip(sigs[a], sigs[b]))
+
+
+def test_bigram_surprisal_flags_word_salad(spark, sf_small):
+    """On a corpus with real transition structure, scrambling a doc's
+    word order (same unigrams) must raise bigram surprisal; plus
+    partitioning invariance on the driver corpus (bitwise)."""
+    from vtb_datafusion_2023_spark.operators.text import bigram_logprob
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    base = {r.doc_id: r.bi_surprisal for r in bigram_logprob(docs).collect()}
+    again = {
+        r.doc_id: r.bi_surprisal for r in bigram_logprob(docs.repartition(9)).collect()
+    }
+    assert base == again and len(base) > 0
+
+    # structured corpus: 40 docs of repeating chains; 5 salad docs carry
+    # the same words in a scrambled order
+    chain = "alpha beta gamma delta " * 8
+    rows = [(i, chain.strip()) for i in range(40)]
+    salad = "beta alpha delta beta gamma gamma alpha delta " * 4
+    rows += [(100 + i, salad.strip()) for i in range(5)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bi_surprisal for r in bigram_logprob(corpus).collect()}
+    chain_scores = [out[i] for i in range(40)]
+    salad_scores = [out[100 + i] for i in range(5)]
+    assert max(chain_scores) < min(salad_scores)

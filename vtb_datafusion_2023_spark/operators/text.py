@@ -560,3 +560,86 @@ def top_ngrams(
         .filter(F.col("rank") <= k)
         .select("n", "ngram", "cnt", "rank")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    oov_weight: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model surprisal per document: mean
+    ``-ln p(w2 | w1)`` under the corpus's own bigram distribution
+    (conditional MLE ``c(w1,w2)/c(w1,·)``), bigrams seen fewer than
+    ``min_count`` times scored as OOV at ``oov_weight/total_bigrams``.
+    One order sharper than :func:`unigram_logprob` at spotting
+    word-salad (every token common, transitions impossible).
+
+    Same determinism contract: both logs take INTEGER arguments
+    (``ln c(w1,w2) - ln c(w1,·)``), served from broadcast libm tables
+    over the distinct count values; the per-doc fold runs over the
+    position-sorted array.  Bigram assembly is a shuffle-free array
+    transform (no window/lead pass over the corpus); the two count
+    aggregations are the only shuffles.
+
+    Returns ``(id_col, n_bigrams, bi_surprisal)`` for docs with >= 1
+    bigram.
+    """
+    import math
+
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(id_col, F.col("_p.pos").alias("pos"), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = big.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    vocab = cb.filter(F.col("cnt") >= min_count)
+    total = int(cb.agg(F.sum("cnt")).collect()[0][0])
+    ln_oov = math.log(oov_weight) - math.log(total)
+    spark = df.sparkSession
+    ln_cnt = spark.createDataFrame(
+        [(c, math.log(c)) for c in sorted({r[0] for r in vocab.select("cnt").distinct().collect()})],
+        "cnt bigint, _lncnt double",
+    )
+    ln_ctx = spark.createDataFrame(
+        [(c, math.log(c)) for c in sorted({r[0] for r in cw.select("ctx").distinct().collect()})],
+        "ctx bigint, _lnctx double",
+    )
+    scored = (
+        big.join(cw, "w1")
+        .join(vocab, ["w1", "w2"], "left")
+        .join(F.broadcast(ln_cnt), "cnt", "left")
+        .join(F.broadcast(ln_ctx), "ctx", "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("_lncnt") - F.col("_lnctx"), F.lit(ln_oov)).alias("_lnp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "_lnp"))), lambda s: -s["_lnp"]
+        ).alias("_nl"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("_nl"), 2, F.size(F.col("_nl"))),
+        F.element_at(F.col("_nl"), 1),
+        lambda acc, x: acc + x,
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        (fold / F.col("n_bigrams")).alias("bi_surprisal"),
+    )

@@ -1991,3 +1991,52 @@ def dd_simhash_md5(spark, sf_dir):
     from ..operators.dedup import simhash_md5_pairs
 
     return simhash_md5_pairs(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+with tok as (
+  select doc_id,
+         unnest(string_split(text, ' ')) as term,
+         generate_subscripts(string_split(text, ' '), 1) as pos
+  from documents
+),
+big as (
+  select doc_id, pos, term as w1,
+         lead(term) over (partition by doc_id order by pos) as w2
+  from tok
+),
+b2 as (select doc_id, pos, w1, w2 from big where w2 is not null),
+cb as (select w1, w2, count(*) as cnt from b2 group by w1, w2),
+cw as (select w1, count(*) as ctx from b2 group by w1),
+tot as (select sum(cnt) as t from cb),
+vocab as (select w1, w2, cnt from cb where cnt >= 2),
+scored as (
+  select b.doc_id, b.pos,
+         coalesce(ln(cast(v.cnt as double)) - ln(cast(cw.ctx as double)),
+                  ln(0.5) - ln(cast((select t from tot) as double))) as lnp
+  from b2 b
+  join cw using (w1)
+  left join vocab v on v.w1 = b.w1 and v.w2 = b.w2
+),
+perdoc as (
+  select doc_id, cast(count(*) as bigint) as n_bigrams,
+         list(-lnp order by pos) as nl
+  from scored group by doc_id
+)
+select doc_id, n_bigrams,
+       (list_reduce(nl, (a, b) -> a + b) / n_bigrams) as bi_surprisal
+from perdoc
+""",
+    survey_ref="text-surprisal",
+    doc="bigram conditional-LM surprisal per doc (mean -ln p(w2|w1), "
+    "OOV-smoothed): one order sharper than unigram at flagging word "
+    "salad.  Integer-argument libm logs (ln c(w1,w2) - ln c(w1,.)) via "
+    "broadcast tables + position-ordered fold => bitwise cross-engine; "
+    "bigram assembly is a shuffle-free array transform.",
+)
+def text_bigram_surprisal(spark, sf_dir):
+    from ..operators.text import bigram_logprob
+
+    return bigram_logprob(T(spark, sf_dir, "documents"))
