@@ -114,3 +114,24 @@ def test_pair_affinity_matches_fpgrowth(spark, sf_small):
     # lift sanity on one pair
     some = pair_affinity(ev).first()
     assert some.lift > 0
+
+
+def test_isotonic_calibration_monotone_and_rank_preserving(spark, sf_small):
+    from pyspark.ml.feature import VectorAssembler
+
+    from vtb_datafusion_2023_spark.ml import calibrate_isotonic
+
+    emb = load_table(spark, sf_small, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") == 1).cast("double").alias("label"),
+    )
+    model = calibrate_isotonic(scored)
+    grid = spark.createDataFrame([(x / 20.0,) for x in range(-40, 41)], "score double")
+    gv = VectorAssembler(inputCols=["score"], outputCol="_f").transform(
+        grid.withColumn("label", F.lit(0.0))
+    )
+    out = model.transform(gv).orderBy("score").collect()
+    cal = [r.calibrated for r in out]
+    assert all(b >= a - 1e-12 for a, b in zip(cal, cal[1:]))  # monotone
+    assert 0.0 <= min(cal) and max(cal) <= 1.0

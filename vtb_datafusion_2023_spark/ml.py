@@ -119,3 +119,28 @@ def train_gbt_with_cv(
     )
     model = cv.fit(data)
     return model.bestModel, list(model.avgMetrics)
+
+
+def calibrate_isotonic(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+):
+    """Monotone score calibration (isotonic regression): map raw model
+    scores (e.g. the GBDT logits from ``inference.score_catboost``) to
+    empirical probabilities without changing their ranking — so ROC-AUC
+    is preserved while probabilities become decision-grade.
+
+    Distributed PAV via spark.ml IsotonicRegression; returns the fitted
+    model (``.transform`` adds ``calibrated``).
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    data = VectorAssembler(inputCols=[score_col], outputCol="_f").transform(
+        df.select(F.col(score_col).cast("double"), F.col(label_col).cast("double"))
+    )
+    iso = IsotonicRegression(
+        featuresCol="_f", labelCol=label_col, predictionCol="calibrated"
+    )
+    return iso.fit(data)
