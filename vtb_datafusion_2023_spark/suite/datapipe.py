@@ -114,9 +114,12 @@ def dd_dedup_clusters(spark, sf_dir):
 
 @register(
     "dd_minhash_lsh",
-    oracle=None,  # xxhash64-based permutations are engine-specific; verified by property tests
+    oracle=None,  # xxhash64 permutations are engine-specific; the identical
+    # pipeline IS hash-certified via the md5 family (dd_minhash_md5)
     survey_ref="dedup-minhash-lsh",
-    doc="MinHash(64) banded LSH candidates + exact-Jaccard verify (scale path).",
+    doc="MinHash(64) banded LSH candidates + exact-Jaccard verify "
+    "(xxhash64 scale path; see dd_minhash_md5 for the oracle-certified "
+    "md5-family twin of the same banding pipeline).",
 )
 def dd_minhash_lsh(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
@@ -195,9 +198,12 @@ def dd_minhash_md5(spark, sf_dir):
 
 @register(
     "dd_simhash",
-    oracle=None,  # xxhash64-based signature is engine-specific; property-tested
+    oracle=None,  # xxhash64 signature is engine-specific; the identical
+    # pipeline IS hash-certified via the md5 family (dd_simhash_md5)
     survey_ref="dedup-simhash",
-    doc="64-bit SimHash near-dup pairs via chunk-pigeonhole candidates.",
+    doc="64-bit SimHash near-dup pairs via chunk-pigeonhole candidates "
+    "(xxhash64 scale path; see dd_simhash_md5 for the oracle-certified "
+    "md5-family twin of the same pipeline).",
 )
 def dd_simhash(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
