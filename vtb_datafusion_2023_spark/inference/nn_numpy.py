@@ -42,13 +42,12 @@ import numpy as np
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
-    # numerically-stable logistic; float32 in -> float32 out
-    out = np.empty_like(x)
-    pos = x >= 0
-    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
-    ex = np.exp(x[~pos])
-    out[~pos] = ex / (1.0 + ex)
-    return out
+    # numerically-stable logistic.  z = exp(-|x|) <= 1 for every x, then
+    # pick the branch with np.where — element-for-element the same ops
+    # (and bits) as the classic two-branch form, but pure ufuncs instead
+    # of boolean fancy indexing (~3x faster at RNN gate shapes).
+    z = np.exp(-np.abs(x))
+    return np.where(x >= 0, 1.0 / (1.0 + z), z / (1.0 + z))
 
 
 def linear(x: np.ndarray, weight: np.ndarray, bias: np.ndarray) -> np.ndarray:
@@ -70,8 +69,9 @@ def lstm_layer(
     h = np.zeros((batch, hidden), dtype=x.dtype)
     c = np.zeros((batch, hidden), dtype=x.dtype)
     outs = np.empty((t_len, batch, hidden), dtype=x.dtype)
+    gx_all = x @ w_ih.T + b_ih  # one GEMM for every step's input gates
     for t in range(t_len):
-        gates = x[t] @ w_ih.T + b_ih + h @ w_hh.T + b_hh
+        gates = gx_all[t] + h @ w_hh.T + b_hh
         i = _sigmoid(gates[:, :hidden])
         f = _sigmoid(gates[:, hidden : 2 * hidden])
         g = np.tanh(gates[:, 2 * hidden : 3 * hidden])
@@ -97,9 +97,15 @@ def gru_layer(
     hidden = w_hh.shape[1]
     h = np.zeros((batch, hidden), dtype=x.dtype)
     outs = np.empty((batch, t_len, hidden), dtype=x.dtype)
+    # input projections have no recurrence: one (B*T, F) GEMM for all
+    # steps instead of T small ones (the recurrent h @ w_hh stays per
+    # step).  BLAS blocking may reassociate sums vs the per-step GEMM —
+    # ~1e-15 relative in float64, absorbed by the surfaces' output
+    # rounding exactly like batch-shape noise (module docstring).
+    gi_all = x @ w_ih.T + b_ih  # (B, T, 3H)
     steps = range(t_len - 1, -1, -1) if reverse else range(t_len)
     for t in steps:
-        gi = x[:, t] @ w_ih.T + b_ih
+        gi = gi_all[:, t]
         gh = h @ w_hh.T + b_hh
         r = _sigmoid(gi[:, :hidden] + gh[:, :hidden])
         z = _sigmoid(gi[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden])
