@@ -65,9 +65,11 @@ def test_same_pixels_through_different_containers_agree():
     assert a["width"] == 8 and a["height"] == 12 and len(a["feature"]) == 4
 
 
-def test_decode_media_rejects_entropy_coded_and_unknown():
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        C.decode_media(b"\xff\xd8\xff\xe0rest")
+def test_decode_media_rejects_truncated_jpeg_and_unknown():
+    # JPEG now dispatches to the real baseline decoder (operators/jpeg.py);
+    # a bare SOI with no frame must fail loudly, not silently
+    with pytest.raises((ValueError, NotImplementedError)):
+        C.decode_media(b"\xff\xd8\xff\xe0\x00\x02rest")
     with pytest.raises(NotImplementedError, match="unknown"):
         C.decode_media(b"\x00\x01\x02\x03")
 

@@ -13,10 +13,13 @@ their PUBLIC specifications with nothing beyond ``zlib``/``struct``:
 - **PPM/PGM** (netpbm P6/P5): trivial header + raw samples.
 - **WAV** (RIFF PCM): 8/16-bit integer PCM chunks.  Encoder + decoder.
 
-JPEG/MP3/H.264 remain honestly out of scope (entropy-coded DCT needs a
-real codec library); ``decode_media`` raises NotImplementedError for
-unknown magic so the gap is explicit, and ``operators.multimodal`` keeps
-the deterministic ``fake_decode`` for plumbing tests.
+**Baseline JPEG** decodes too (``operators/jpeg.py``: huffman + dequant
++ matrix IDCT from ITU-T T.81, differentially validated against the
+JVM's ImageIO decode of real photographs to <=0.5 mean level error).
+Progressive JPEG / MP3 / H.264 remain honestly out of scope;
+``decode_media`` raises NotImplementedError with the detected container
+so the gap is explicit, and ``operators.multimodal`` keeps the
+deterministic ``fake_decode`` for plumbing tests.
 
 Scale note: these run inside ``mapInPandas`` batches (see
 ``multimodal.media_features``) — per-payload work, no shuffle, payloads
@@ -329,7 +332,9 @@ def decode_media(payload: bytes) -> dict:
             ],
         }
     elif payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires a codec library (PIL/turbojpeg)")
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)  # baseline sequential; progressive raises
     else:
         raise NotImplementedError(f"unknown media container (magic {payload[:4]!r})")
     x = img.astype(np.float64)
