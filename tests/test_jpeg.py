@@ -52,14 +52,35 @@ def test_decode_media_dispatches_jpeg(spark):
     assert d["width"] > 0 and d["height"] > 0 and len(d["feature"]) == 4
 
 
-def test_progressive_jpeg_still_gated():
+PROGRESSIVE = sorted(glob.glob("/usr/share/doc/nodejs/*.jpg")) + glob.glob(
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg"
+)
+
+
+def test_progressive_jpeg_matches_reference(spark):
+    """SOF2 progressive scans (spectral selection + successive
+    approximation, incl. the AC refinement correction-bit walk) against
+    the JVM reference decode."""
     from vtb_datafusion_2023_spark.operators.jpeg import decode_jpeg
 
-    prog = glob.glob("/usr/share/doc/nodejs/*.jpg")
-    if not prog:
-        pytest.skip("no progressive sample present")
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(open(prog[0], "rb").read())
+    if not PROGRESSIVE:
+        pytest.skip("no progressive samples present")
+    checked = 0
+    for p in PROGRESSIVE:
+        r = spark.read.format("image").load(p).select("image.*").first()
+        ref = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+            r.height, r.width, r.nChannels
+        )
+        if r.nChannels == 3:
+            ref = ref[:, :, ::-1]
+        got = decode_jpeg(open(p, "rb").read())
+        if got.shape[2] == 1:
+            ref = ref.reshape(got.shape)
+        assert got.shape == ref.shape
+        d = np.abs(got.astype(int) - ref.astype(int))
+        assert d.mean() <= 0.5 and d.max() <= 4, (p, d.mean(), d.max())
+        checked += 1
+    assert checked >= 1
 
 
 def test_rejects_non_jpeg():

@@ -13,10 +13,11 @@ their PUBLIC specifications with nothing beyond ``zlib``/``struct``:
 - **PPM/PGM** (netpbm P6/P5): trivial header + raw samples.
 - **WAV** (RIFF PCM): 8/16-bit integer PCM chunks.  Encoder + decoder.
 
-**Baseline JPEG** decodes too (``operators/jpeg.py``: huffman + dequant
-+ matrix IDCT from ITU-T T.81, differentially validated against the
-JVM's ImageIO decode of real photographs to <=0.5 mean level error).
-Progressive JPEG / MP3 / H.264 remain honestly out of scope;
+**JPEG** decodes too — baseline AND progressive (``operators/jpeg.py``:
+T.81 huffman + spectral-selection/successive-approximation scans +
+dequant + matrix IDCT, differentially validated against the JVM's
+ImageIO decode of real photographs to <=0.5 mean level error).
+MP3 / H.264 / hierarchical-lossless JPEG remain honestly out of scope;
 ``decode_media`` raises NotImplementedError with the detected container
 so the gap is explicit, and ``operators.multimodal`` keeps the
 deterministic ``fake_decode`` for plumbing tests.
@@ -334,7 +335,7 @@ def decode_media(payload: bytes) -> dict:
     elif payload[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg
 
-        img = decode_jpeg(payload)  # baseline sequential; progressive raises
+        img = decode_jpeg(payload)  # baseline or progressive
     else:
         raise NotImplementedError(f"unknown media container (magic {payload[:4]!r})")
     x = img.astype(np.float64)
