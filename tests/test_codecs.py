@@ -101,3 +101,32 @@ def test_decode_image_is_real_now():
     d = decode_image(C.encode_png(img))
     assert d["width"] == 8 and d["height"] == 8
     assert d["feature"][0] == pytest.approx(31.5)  # mean of 0..63
+
+
+def test_media_features_with_real_decoder_mixed_payloads(spark):
+    """Distributed decode dispatch: PNG, BMP, WAV, and a real JPEG flow
+    through media_features with the REAL decode_media in one mapInPandas
+    pass (mixed containers in the same batch)."""
+    import glob
+
+    from vtb_datafusion_2023_spark.operators.multimodal import media_features
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    wav = rng.integers(-1000, 1000, 64).astype(np.int16)
+    payloads = [
+        (0, bytearray(C.encode_png(img, filter_mode="cycle"))),
+        (1, bytearray(C.encode_bmp(img))),
+        (2, bytearray(C.encode_wav(wav, 8000))),
+    ]
+    jpgs = glob.glob("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg")
+    if jpgs:
+        payloads.append((3, bytearray(open(jpgs[0], "rb").read())))
+    df = spark.createDataFrame(payloads, "media_id long, payload binary").repartition(2)
+    rows = {r.media_id: r for r in media_features(df, decoder=C.decode_media).collect()}
+    assert rows[0].width == 12 and rows[0].height == 10
+    assert rows[1].width == 12 and rows[1].height == 10
+    assert rows[0].feature == rows[1].feature  # same pixels, two containers
+    assert rows[2].feature[3] == 8000.0  # wav sample rate
+    if jpgs:
+        assert rows[3].width == 199 and rows[3].height == 313
