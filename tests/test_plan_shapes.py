@@ -471,3 +471,52 @@ def test_zorder_parquet_prunes_on_both_columns(spark, tmp_path):
     assert z_b <= z_n // 2, (z_b, z_n)
     # lossless
     assert spark.read.parquet(zorder).count() == 10000
+
+
+def test_bloom_prune_join_shape_and_equivalence(spark, sf_small):
+    """bloom_semi_join: (a) result == plain join (no false negatives),
+    (b) the bitmap probes are BROADCAST joins (the fact side is never
+    shuffled before the prune filter), (c) the prune actually drops
+    definitely-unmatched rows before the real join."""
+    from vtb_datafusion_2023_spark.operators.joins import (
+        bloom_build,
+        bloom_prune,
+        bloom_semi_join,
+    )
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    pa = (
+        load_table(spark, sf_small, "part")
+        .filter(F.col("p_size") <= 2)
+        .select("p_partkey", "p_brand")
+    )
+    got = (
+        bloom_semi_join(li, pa, "l_partkey", "p_partkey")
+        .groupBy("p_brand")
+        .count()
+        .orderBy("p_brand")
+        .collect()
+    )
+    want = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand")
+        .count()
+        .orderBy("p_brand")
+        .collect()
+    )
+    assert got == want
+
+    n_dim = pa.count()
+    num_bits, k = 16 * max(n_dim, 1), 5
+    bloom = bloom_build(pa, "p_partkey", num_bits, k)
+    pruned = bloom_prune(li, bloom, "l_partkey", num_bits, k)
+    p = pruned._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") == k
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # the fact side reaches the filter without a hash exchange
+    assert "Exchange hashpartitioning(l_partkey" not in p
+    # selective dim => the bloom must drop most of the fact table
+    assert pruned.count() < li.count() * 0.5

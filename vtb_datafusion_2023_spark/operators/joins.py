@@ -128,6 +128,110 @@ def salted_join(
     return salted.join(replicated, on=[on, sc], how=how).drop(sc)
 
 
+def _bloom_positions(key_col: str, num_bits: int, num_hashes: int) -> list:
+    """k independent bit positions for one key: pmod(xxhash64(key, i), m).
+
+    Seeding the hash with the probe index (an extra lit column folded into
+    the same xxhash64 call) gives k independent functions without any
+    double-hashing correlation; everything stays in whole-stage codegen.
+    """
+    return [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(dim: DataFrame, key_col: str, num_bits: int, num_hashes: int) -> DataFrame:
+    """Build a SPARSE bloom-filter bitmap over ``dim[key_col]`` as a tiny
+    ``(word_idx bigint, bits bigint)`` table: word ``w`` holds the OR of
+    ``1 << (pos % 64)`` for every hash position ``pos`` with
+    ``pos // 64 == w``.
+
+    Spark exposes no SQL ``bloom_filter_agg``/``might_contain`` (probed:
+    UNRESOLVED_ROUTINE on 4.1), so the bitmap is an ordinary aggregate —
+    which is exactly what makes it scale: the build is one hash-agg over
+    ``num_hashes`` exploded positions, and the result is at most
+    ``num_bits/64`` rows (a few MB for hundreds of millions of bits),
+    broadcastable to every executor.
+    """
+    pos = F.explode(F.array(*_bloom_positions(key_col, num_bits, num_hashes))).alias("_pos")
+    return (
+        dim.filter(F.col(key_col).isNotNull())
+        .select(pos)
+        .groupBy((F.col("_pos") / 64).cast("bigint").alias("word_idx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(pmod(_pos, 64) as int)))"
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_prune(
+    fact: DataFrame, bloom: DataFrame, key_col: str, num_bits: int, num_hashes: int
+) -> DataFrame:
+    """Drop ``fact`` rows whose ``key_col`` is DEFINITELY absent from the
+    bloom bitmap built by :func:`bloom_build` (no false negatives — every
+    surviving row set is a superset of the true matches).
+
+    Shape at 100 TB: ``num_hashes`` BROADCAST hash joins on the computed
+    word index — the fact side is never shuffled, never exploded, and the
+    filter runs before any downstream join/aggregate shuffle, so the
+    shuffle that follows moves only rows that can possibly match.  This is
+    the explicit, plannable version of Spark's runtime bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.*), which only triggers on
+    selective shuffle-join builds and cannot be composed by the user.
+    """
+    out = fact
+    keep = None
+    for i, pos in enumerate(_bloom_positions(key_col, num_bits, num_hashes)):
+        w, b = f"_bw{i}", f"_bb{i}"
+        out = out.withColumn(w, (pos / 64).cast("bigint"))
+        side = bloom.select(F.col("word_idx").alias(w), F.col("bits").alias(b))
+        out = out.join(broadcast(side), on=w, how="left")
+        mask = F.expr(
+            f"shiftleft(cast(1 as bigint), "
+            f"cast(pmod(pmod(xxhash64({key_col}, {i}), {num_bits}), 64) as int))"
+        )
+        hit = F.col(b).isNotNull() & (F.col(b).bitwiseAND(mask) != 0)
+        keep = hit if keep is None else (keep & hit)
+    return out.filter(keep).drop(
+        *[f"_bw{i}" for i in range(num_hashes)],
+        *[f"_bb{i}" for i in range(num_hashes)],
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Equi-join with an explicit bloom-filter pre-prune of the fact side.
+
+    Sizing uses the standard formulas m = -n·ln(p)/ln(2)² and
+    k = round(m/n·ln 2); ``expected_items`` defaults to ``dim.count()``
+    (one cheap job over the SMALL side only — never the fact table).
+    Result is exactly ``fact JOIN dim`` (bloom filters have no false
+    negatives); the oracle for this operator is therefore the plain SQL
+    join.
+    """
+    import math
+
+    n = expected_items if expected_items is not None else dim.count()
+    n = max(n, 1)
+    num_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = num_hashes if num_hashes is not None else max(1, round(num_bits / n * math.log(2)))
+    bloom = bloom_build(dim, dim_key, num_bits, k)
+    pruned = bloom_prune(fact, bloom, fact_key, num_bits, k)
+    cond = pruned[fact_key] == dim[dim_key]
+    return pruned.join(dim, on=cond, how=how)
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS-style filter: rows of ``left`` with at least one match in
     ``right`` (the dual of J3's anti join — /root/reference/run.py:200-202

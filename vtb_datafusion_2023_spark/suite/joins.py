@@ -203,3 +203,35 @@ def sj_salted_join(spark, sf_dir):
         "c_name",
         (F.col("o_totalprice") * F.col("c_acctbal")).alias("weighted"),
     )
+
+
+@register(
+    "j6_bloom_prune_join",
+    oracle=f"""
+select p.p_brand, count(*) as n_items, {sqlgen.dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+from lineitem l join part p on l.l_partkey = p.p_partkey
+where p.p_size <= 4 and p.p_name like 'small%'
+group by p.p_brand
+""",
+    survey_ref="bloom-prune-join",
+    doc="equi-join with an explicit bloom-filter pre-prune of the fact "
+    "side (operators/joins.py::bloom_semi_join): the selective dim "
+    "predicate becomes a broadcast bitmap probe on lineitem BEFORE any "
+    "shuffle, so at 100 TB the join shuffle moves only possibly-matching "
+    "rows.  Bloom filters have no false negatives, so the oracle is the "
+    "plain SQL join.",
+)
+def j6_bloom_prune_join(spark, sf_dir):
+    from ..operators.joins import bloom_semi_join
+
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    pa = (
+        T(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 4) & F.col("p_name").startswith("small"))
+        .select("p_partkey", "p_brand")
+    )
+    joined = bloom_semi_join(li, pa, "l_partkey", "p_partkey", fpp=0.01)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(sqlgen.dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+    )
