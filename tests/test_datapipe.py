@@ -798,3 +798,27 @@ def test_bigram_surprisal_flags_word_salad(spark, sf_small):
     chain_scores = [out[i] for i in range(40)]
     salad_scores = [out[100 + i] for i in range(5)]
     assert max(chain_scores) < min(salad_scores)
+
+
+def test_substring_dedup_semantics(spark):
+    """First (doc_id, pos) occurrence of a duplicated window survives;
+    every later site is removed; overlapping duplicate windows union into
+    one span; sub-window docs pass through untouched."""
+    from vtb_datafusion_2023_spark.operators.dedup import substring_dedup
+
+    common = "a b c d e f"  # 6 tokens => two overlapping 5-windows
+    rows = [
+        (1, common + " x y z"),          # canonical first occurrence
+        (2, "p q " + common + " r"),     # later copy -> 6 tokens removed
+        (3, "u v w"),                    # shorter than the window: untouched
+        (4, common),                     # later copy, whole doc removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_removed)
+        for r in substring_dedup(df, window_tokens=5).collect()
+    }
+    assert got[1] == (rows[0][1], 0)      # first occurrence intact
+    assert got[2] == ("p q r", 6)         # overlapping windows -> one span
+    assert got[3] == ("u v w", 0)
+    assert got[4] == ("", 6)              # fully-duplicated doc -> empty

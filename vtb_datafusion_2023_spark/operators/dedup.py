@@ -975,3 +975,68 @@ def simhash_md5_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 5,
+) -> DataFrame:
+    """Exact duplicated-substring removal at window granularity (the
+    semantics of suffix-array training-data dedup, Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    length-W token window whose exact text occurs at MORE than one
+    (doc, position) site in the corpus is deleted from every site except
+    the canonical first (smallest ``(doc_id, position)``); surviving
+    tokens reassemble in original order.  Overlapping duplicate windows
+    union into one removed span, so long copied passages vanish wholesale
+    while their first occurrence survives intact.
+
+    Distributed shape: one row per overlapping window (md5 of the
+    space-joined W tokens — the cross-engine hash family, see
+    ``minhash_md5_band_table``), one shuffle on the window hash for the
+    duplicate ranking, one shuffle back on ``doc_col`` for span
+    reassembly.  Window enumeration is a JVM-side ``transform`` over a
+    ``sequence`` — linear fan-out, no Python, no self-join; at 100 TB
+    total window rows = total corpus tokens, the same linear budget the
+    suffix-array construction pays.  Returns
+    ``(doc_col, text_dedup, n_removed)``.
+    """
+    W = window_tokens
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(doc_col, toks.alias("_t"), F.size(toks).alias("_n"))
+    starts = F.when(
+        F.col("_n") >= W, F.sequence(F.lit(1), F.col("_n") - (W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        doc_col,
+        F.explode(starts).alias("p"),
+        F.col("_t"),
+    ).select(
+        doc_col,
+        "p",
+        F.md5(F.array_join(F.slice(F.col("_t"), F.col("p"), W), " ")).alias("h"),
+    )
+    wspec = Window.partitionBy("h").orderBy(doc_col, "p")
+    flagged = (
+        wins.withColumn("rn", F.row_number().over(wspec))
+        .filter(F.col("rn") >= 2)
+        .groupBy(doc_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("_flags"))
+    )
+    covered = F.array_distinct(
+        F.flatten(F.transform(F.col("_flags"), lambda s: F.sequence(s, s + (W - 1))))
+    )
+    return (
+        base.join(flagged, on=doc_col, how="left")
+        .withColumn("_cov", F.coalesce(covered, F.array().cast("array<int>")))
+        .select(
+            doc_col,
+            F.array_join(
+                F.filter("_t", lambda t, i: ~F.array_contains(F.col("_cov"), i + 1)),
+                " ",
+            ).alias("text_dedup"),
+            F.size("_cov").cast("bigint").alias("n_removed"),
+        )
+    )

@@ -2046,3 +2046,47 @@ def text_bigram_surprisal(spark, sf_dir):
     from ..operators.text import bigram_logprob
 
     return bigram_logprob(T(spark, sf_dir, "documents"))
+
+
+_SUBSTR_W = 5
+
+@register(
+    "dd_substring_dedup",
+    oracle=f"""
+with toks as (
+  select doc_id, str_split(text, ' ') as t, len(str_split(text, ' ')) as n from documents
+),
+wins as (
+  select doc_id,
+         unnest(case when n >= {_SUBSTR_W} then generate_series(1, n-{_SUBSTR_W}+1) else [] end) as p,
+         unnest([md5(array_to_string(t[p:p+{_SUBSTR_W}-1], ' '))
+                 for p in (case when n >= {_SUBSTR_W} then generate_series(1, n-{_SUBSTR_W}+1) else [] end)]) as h
+  from toks
+),
+flagged as (
+  select doc_id, p from (
+    select doc_id, p, row_number() over (partition by h order by doc_id, p) as rn
+    from wins) where rn >= 2
+),
+flags as (
+  select doc_id,
+         list_distinct(flatten([generate_series(s, s+{_SUBSTR_W}-1) for s in list_sort(list(p))])) as cov
+  from flagged group by doc_id
+)
+select t.doc_id,
+       coalesce(array_to_string([t.t[i] for i in generate_series(1, t.n)
+                        if not list_contains(coalesce(f.cov, []), i)], ' '), '') as text_dedup,
+       cast(len(coalesce(f.cov, [])) as bigint) as n_removed
+from toks t left join flags f using (doc_id)
+""",
+    survey_ref="dedup-substring",
+    doc="exact duplicated-substring removal at window granularity (Lee et "
+    "al. 2021 suffix-array dedup semantics): any 5-token window occurring "
+    "at >1 corpus site is deleted everywhere except its first "
+    "(doc_id, pos) occurrence; overlapping windows union into spans.  "
+    "Linear window fan-out + one hash shuffle — no self-join, no Python.",
+)
+def dd_substring_dedup(spark, sf_dir):
+    from ..operators.dedup import substring_dedup
+
+    return substring_dedup(T(spark, sf_dir, "documents"), window_tokens=_SUBSTR_W)
