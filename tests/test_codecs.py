@@ -130,3 +130,148 @@ def test_media_features_with_real_decoder_mixed_payloads(spark):
     assert rows[2].feature[3] == 8000.0  # wav sample rate
     if jpgs:
         assert rows[3].width == 199 and rows[3].height == 313
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding + IMA ADPCM
+
+
+def _g711_signal():
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    return np.concatenate([s, np.array([-32768, -256, -8, -1, 0, 1, 8, 255, 32767], dtype=np.int16)])
+
+
+def test_g711_decoded_values_are_fixed_points():
+    from vtb_datafusion_2023_spark.operators.codecs import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    s = _g711_signal()
+    for enc, dec, name in ((ulaw_encode, ulaw_decode, "ulaw"), (alaw_encode, alaw_decode, "alaw")):
+        q = dec(enc(s))
+        assert np.array_equal(dec(enc(q)), q), name
+        rel = np.abs(q.astype(int) - s.astype(int)) / np.maximum(np.abs(s.astype(int)), 64)
+        assert rel.max() < 0.17, (name, rel.max())  # log-PCM relative error bound
+
+
+def test_g711_known_extremes_and_table_ranges():
+    from vtb_datafusion_2023_spark.operators.codecs import (
+        alaw_decode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    # G.711 u-law: code 0x00 is the most negative level (-32124), 0x80 the
+    # most positive (+32124); +0 encodes to 0xFF
+    assert ulaw_decode(np.array([0x00]))[0] == -32124
+    assert ulaw_decode(np.array([0x80]))[0] == 32124
+    assert ulaw_encode(np.array([0]))[0] == 0xFF
+    u = ulaw_decode(np.arange(256))
+    a = alaw_decode(np.arange(256))
+    assert u.min() == -32124 and u.max() == 32124
+    assert a.min() == -32256 and a.max() == 32256
+    # every decode table value is distinct per sign-magnitude level
+    assert len(np.unique(u)) == 255  # +0 and -0 both decode to 0
+    assert len(np.unique(a)) == 256  # A-law has no code for 0 itself
+
+
+def test_g711_vectorized_matches_scalar_reference():
+    """Differential test: the numpy encoders against a direct scalar port
+    of the CCITT reference routines."""
+    from vtb_datafusion_2023_spark.operators.codecs import alaw_encode, ulaw_encode
+
+    useg = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
+    aseg = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+    def seg_of(v, ends):
+        for i, e in enumerate(ends):
+            if v <= e:
+                return i
+        return 8
+
+    def ulaw1(s):
+        mask, v = (0x7F, 0x84 - s) if s < 0 else (0xFF, s + 0x84)
+        v = min(v, 0x7FFF)
+        seg = seg_of(v, useg)
+        return ((seg << 4) | ((v >> (seg + 3)) & 0xF)) ^ mask
+
+    def alaw1(s):
+        x = s >> 3
+        mask, v = (0xD5, x) if x >= 0 else (0x55, -x - 1)
+        seg = seg_of(v, aseg)
+        mant = (v >> 1) & 0xF if seg < 2 else (v >> seg) & 0xF
+        return ((seg << 4) | mant) ^ mask
+
+    s = _g711_signal()
+    assert np.array_equal(ulaw_encode(s), np.array([ulaw1(int(v)) for v in s], dtype=np.uint8))
+    assert np.array_equal(alaw_encode(s), np.array([alaw1(int(v)) for v in s], dtype=np.uint8))
+
+
+def test_g711_wav_container_roundtrip():
+    from vtb_datafusion_2023_spark.operators.codecs import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav,
+        encode_wav,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    s = _g711_signal()
+    for codec, enc, dec in (("ulaw", ulaw_encode, ulaw_decode), ("alaw", alaw_encode, alaw_decode)):
+        back, rate = decode_wav(encode_wav(s, 8000, codec=codec))
+        assert rate == 8000
+        assert np.array_equal(back.ravel(), dec(enc(s)))
+
+
+def test_ima_adpcm_roundtrip_snr_and_exact_length():
+    from vtb_datafusion_2023_spark.operators.codecs import decode_wav, encode_wav
+
+    t = np.arange(3001)  # odd length: exercises trailing-block padding
+    sig = (9000 * np.sin(t / 25) + 1500 * np.sin(t / 6)).astype(np.int16)
+    back, rate = decode_wav(encode_wav(sig, 8000, codec="ima"))
+    back = back.ravel()
+    assert len(back) == len(sig)  # fact chunk trims the padded tail
+    err = (sig.astype(float) - back.astype(float)) ** 2
+    snr = 10 * np.log10((sig.astype(float) ** 2).mean() / err.mean())
+    assert snr > 25, snr
+
+
+def test_ima_adpcm_decode_matches_scalar_spec_walk():
+    """Nibble-level differential test of the block decoder against an
+    independent scalar walk of the IMA spec state machine."""
+    from vtb_datafusion_2023_spark.operators.codecs import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        ima_adpcm_decode,
+        ima_adpcm_encode_block,
+    )
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-2000, 2000, 505).astype(np.int64)
+    block, _ = ima_adpcm_encode_block(samples, idx=0)
+    got = ima_adpcm_decode(block, len(block), 505)
+
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    idx = block[2]
+    want = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0xF, byte >> 4):
+            step = int(_IMA_STEPS[idx])
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            if nib & 8:
+                diff = -diff
+            pred = max(-32768, min(32767, pred + diff))
+            idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+            want.append(pred)
+    assert np.array_equal(got, np.array(want[:505], dtype=np.int16))

@@ -258,22 +258,188 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# G.711 companding (ITU-T G.711: u-law / A-law log PCM, 8 bits/sample)
+#
+# Vectorized numpy ports of the public CCITT/Sun reference routines
+# (linear2ulaw/ulaw2linear, linear2alaw/alaw2linear); segment search is a
+# searchsorted over the 8 segment end values.
+
+_ULAW_BIAS = 0x84
+_ULAW_SEG_END = np.array([0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF])
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> u-law codes (uint8)."""
+    s = np.asarray(samples).astype(np.int64)
+    neg = s < 0
+    m = np.minimum(np.where(neg, _ULAW_BIAS - s, s + _ULAW_BIAS), 0x7FFF)
+    seg = np.searchsorted(_ULAW_SEG_END, m)
+    mant = (m >> (seg + 3)) & 0xF
+    return (((seg << 4) | mant) ^ np.where(neg, 0x7F, 0xFF)).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """u-law codes (uint8) -> int16 linear PCM."""
+    u = (~np.asarray(codes).astype(np.int64)) & 0xFF
+    t = (((u & 0xF) << 3) + _ULAW_BIAS) << ((u >> 4) & 7)
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> A-law codes (uint8)."""
+    x = np.asarray(samples).astype(np.int64) >> 3  # 13-bit domain
+    neg = x < 0
+    m = np.where(neg, -x - 1, x)
+    seg = np.searchsorted(_ALAW_SEG_END, m)
+    mant = np.where(seg < 2, (m >> 1) & 0xF, (m >> seg) & 0xF)
+    return (((seg << 4) | mant) ^ np.where(neg, 0x55, 0xD5)).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law codes (uint8) -> int16 linear PCM."""
+    a = (np.asarray(codes).astype(np.int64)) ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0xF) << 4
+    t = np.where(
+        seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.where(seg >= 2, seg - 1, 0))
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11): 4-bit differential coding with the
+# public IMA step/index tables; per-block int16 predictor + step-index
+# header, low nibble first.  Mono only (the suite's waveforms are mono).
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+])
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8])
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    step = int(_IMA_STEPS[idx])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+    return pred, idx
+
+
+def ima_adpcm_encode_block(samples: np.ndarray, idx: int = 0) -> tuple[bytes, int]:
+    """One mono IMA block: samples[0] is the header predictor; the rest
+    quantize to nibbles.  Returns (block_bytes, final_index) so blocks
+    chain their step index (the standard encoder behavior)."""
+    s = np.asarray(samples, dtype=np.int64)
+    pred = int(s[0])
+    out = bytearray(struct.pack("<hBB", pred, idx, 0))
+    nibs = []
+    for sample in s[1:]:
+        step = int(_IMA_STEPS[idx])
+        delta = int(sample) - pred
+        nib = 0
+        if delta < 0:
+            nib, delta = 8, -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        pred, idx = _ima_step(pred, idx, nib)
+        nibs.append(nib)
+    if len(nibs) % 2:
+        nibs.append(0)
+    for lo, hi in zip(nibs[::2], nibs[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out), idx
+
+
+def ima_adpcm_decode(body: bytes, block_align: int, n_samples: int) -> np.ndarray:
+    """Mono IMA ADPCM data chunk -> int16 PCM (first ``n_samples``)."""
+    out = []
+    for off in range(0, len(body), block_align):
+        block = body[off : off + block_align]
+        if len(block) < 4:
+            break
+        pred, idx = struct.unpack_from("<hB", block, 0)
+        idx = max(0, min(88, idx))
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                pred, idx = _ima_step(pred, idx, nib)
+                out.append(pred)
+    return np.array(out[:n_samples], dtype=np.int16)
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF integer PCM)
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Mono/stereo int16 (or uint8) PCM -> RIFF/WAVE bytes."""
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000, codec: str = "pcm") -> bytes:
+    """Mono/stereo int16 (or uint8) PCM -> RIFF/WAVE bytes.
+
+    ``codec``: ``pcm`` (tag 1), ``ulaw``/``alaw`` (G.711, tags 7/6, 8-bit
+    log PCM), or ``ima`` (IMA/DVI ADPCM, tag 0x11, 4-bit, mono,
+    505 samples per 256-byte block with a ``fact`` chunk for the exact
+    sample count)."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    if s.dtype == np.uint8:
-        bits, body = 8, s.tobytes()
+    extra = b""
+    chunks = b""
+    if codec == "pcm":
+        if s.dtype == np.uint8:
+            bits, body = 8, s.tobytes()
+        else:
+            bits, body = 16, s.astype("<i2").tobytes()
+        tag, block = 1, ch * bits // 8
+        byterate = sample_rate * block
+    elif codec in ("ulaw", "alaw"):
+        enc = ulaw_encode if codec == "ulaw" else alaw_encode
+        bits, body = 8, enc(s.astype(np.int64).ravel()).tobytes()
+        tag, block = (7 if codec == "ulaw" else 6), ch
+        byterate = sample_rate * block
+    elif codec == "ima":
+        if ch != 1:
+            raise NotImplementedError("IMA ADPCM encode: mono only")
+        block_align, spb = 256, (256 - 4) * 2 + 1  # 505 samples/block
+        flat = s.ravel().astype(np.int64)
+        parts, idx = [], 0
+        for off in range(0, len(flat), spb):
+            chunk = flat[off : off + spb]
+            if len(chunk) < spb:  # zero-pad the trailing block
+                chunk = np.concatenate([chunk, np.zeros(spb - len(chunk), dtype=np.int64)])
+            blk, idx = ima_adpcm_encode_block(chunk, idx)
+            parts.append(blk)
+        bits, body, tag, block = 4, b"".join(parts), 0x11, block_align
+        byterate = (sample_rate * block_align + spb - 1) // spb
+        extra = struct.pack("<HH", 2, spb)
+        chunks = b"fact" + struct.pack("<II", 4, n)
     else:
-        bits, body = 16, s.astype("<i2").tobytes()
-    block = ch * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits)
-    payload = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(body)) + body
+        raise ValueError(f"unknown codec {codec!r}")
+    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate, byterate, block, bits) + extra
+    payload = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + chunks
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
@@ -281,7 +447,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (samples[n, channels] int16/uint8, sample_rate)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, fmt, body = 12, None, None
+    pos, fmt, body, fact_n = 12, None, None, None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -290,14 +456,29 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
         elif tag == b"data":
             body = chunk
+        elif tag == b"fact" and size >= 4:
+            (fact_n,) = struct.unpack_from("<I", chunk, 0)
         pos += 8 + size + (size & 1)
     if fmt is None or body is None:
         raise ValueError("WAV missing fmt/data chunk")
-    codec, ch, rate, _, _, bits = fmt
-    if codec != 1 or bits not in (8, 16):
-        raise NotImplementedError(f"WAV codec {codec}/{bits}-bit unsupported (PCM 8/16 only)")
-    dt = np.uint8 if bits == 8 else np.dtype("<i2")
-    arr = np.frombuffer(body, dtype=dt)
+    codec, ch, rate, _, block_align, bits = fmt
+    if codec == 1 and bits in (8, 16):
+        dt = np.uint8 if bits == 8 else np.dtype("<i2")
+        arr = np.frombuffer(body, dtype=dt)
+    elif codec in (6, 7) and bits == 8:  # G.711 A-law / u-law
+        dec = ulaw_decode if codec == 7 else alaw_decode
+        arr = dec(np.frombuffer(body, dtype=np.uint8))
+    elif codec == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        if ch != 1:
+            raise NotImplementedError("IMA ADPCM decode: mono only")
+        spb = (block_align - 4) * 2 + 1
+        n_blocks = (len(body) + block_align - 1) // block_align
+        n = fact_n if fact_n is not None else n_blocks * spb
+        arr = ima_adpcm_decode(body, block_align, n)
+    else:
+        raise NotImplementedError(
+            f"WAV codec {codec}/{bits}-bit unsupported (PCM 8/16, G.711, IMA ADPCM)"
+        )
     return arr.reshape(-1, ch), rate
 
 

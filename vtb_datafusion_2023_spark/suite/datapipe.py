@@ -2090,3 +2090,114 @@ def dd_substring_dedup(spark, sf_dir):
     from ..operators.dedup import substring_dedup
 
     return substring_dedup(T(spark, sf_dir, "documents"), window_tokens=_SUBSTR_W)
+
+
+# G.711 quantizer replayed in integer-exact SQL (encode+decode closed form;
+# power(2, k) is exact in doubles for k <= 10)
+_ULAW_Q = """
+case when _s < 0 then -_q0 else _q0 end
+""".strip()
+
+_G711_SQL_PRE = f"""
+with g as (select i.range as i from range({_WAV_N}) i),
+samp as (
+  select d.doc_id, (d.doc_id*13 + g.i*17) % 65536 - 32768 as _s
+  from documents d cross join g
+),
+ul as (
+  select doc_id, _s,
+         least(case when _s < 0 then 132 - _s else _s + 132 end, 32767) as _m
+  from samp
+),
+ulq as (
+  select doc_id, _s,
+         case when _m <= 255 then 0 when _m <= 511 then 1 when _m <= 1023 then 2
+              when _m <= 2047 then 3 when _m <= 4095 then 4 when _m <= 8191 then 5
+              when _m <= 16383 then 6 else 7 end as _seg, _m
+  from ul
+),
+ulv as (
+  select doc_id, _s,
+         ((_m // cast(power(2, _seg+3) as bigint)) % 16 * 8 + 132)
+           * cast(power(2, _seg) as bigint) - 132 as _q0
+  from ulq
+),
+al as (
+  select doc_id, _s, cast(floor(_s / 8.0) as bigint) as _x from samp
+),
+al2 as (
+  select doc_id, _s, _x, case when _x < 0 then -_x - 1 else _x end as _m from al
+),
+alq as (
+  select doc_id, _s, _x, _m,
+         case when _m <= 31 then 0 when _m <= 63 then 1 when _m <= 127 then 2
+              when _m <= 255 then 3 when _m <= 511 then 4 when _m <= 1023 then 5
+              when _m <= 2047 then 6 else 7 end as _seg
+  from al2
+),
+alv as (
+  select doc_id, _x,
+         (case when _seg = 0 then _t + 8 when _seg = 1 then _t + 264
+               else (_t + 264) * cast(power(2, _seg - 1) as bigint) end) as _t2
+  from (select *, (case when _seg < 2 then (_m // 2) % 16
+                        else (_m // cast(power(2, _seg) as bigint)) % 16 end) * 16 as _t
+        from alq)
+)
+"""
+
+
+@register(
+    "mm_audio_g711",
+    oracle=_G711_SQL_PRE + f"""
+select u.doc_id,
+       cast({_WAV_N} as bigint) as n_samples,
+       u.ulaw_sum, a.alaw_sum
+from (select doc_id, sum(case when _s < 0 then -_q0 else _q0 end) as ulaw_sum
+      from ulv group by doc_id) u
+join (select doc_id, sum(case when _x < 0 then -_t2 else _t2 end) as alaw_sum
+      from alv group by doc_id) a using (doc_id)
+""",
+    survey_ref="multimodal-decode",
+    doc="REAL G.711 u-law + A-law decode (ITU-T G.711, WAV format tags "
+    "7/6, operators/codecs.py): per-doc int16 waveforms compressed to "
+    "8-bit log PCM inside a valid WAV container and decoded back; the "
+    "oracle replays the companding quantizer (segment search + mantissa "
+    "truncation) in integer-exact SQL, so sample sums match bitwise.",
+)
+def mm_audio_g711(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    from ..operators.codecs import decode_wav, encode_wav
+
+    n, rate = _WAV_N, _WAV_RATE
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType(), False),
+            T_.StructField("n_samples", T_.LongType(), True),
+            T_.StructField("ulaw_sum", T_.LongType(), True),
+            T_.StructField("alaw_sum", T_.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                samples = ((int(doc_id) * 13 + idx * 17) % 65536 - 32768).astype(np.int16)
+                uq, _ = decode_wav(encode_wav(samples, rate, codec="ulaw"))
+                aq, _ = decode_wav(encode_wav(samples, rate, codec="alaw"))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": int(uq.shape[0]),
+                        "ulaw_sum": int(uq.astype(np.int64).sum()),
+                        "alaw_sum": int(aq.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_samples", "ulaw_sum", "alaw_sum"])
+
+    return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
