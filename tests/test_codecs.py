@@ -275,3 +275,77 @@ def test_ima_adpcm_decode_matches_scalar_spec_walk():
             idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
             want.append(pred)
     assert np.array_equal(got, np.array(want[:505], dtype=np.int16))
+
+
+# ---------------------------------------------------------------------------
+# GIF
+
+
+def _rand_indexed_rgb(rng, h, w, ncolors=17):
+    pal = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    return pal[rng.integers(0, ncolors, (h, w))]
+
+
+def test_gif_roundtrip_gray_and_rgb():
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+    assert np.array_equal(C.decode_gif(C.encode_gif(g)), np.stack([g] * 3, -1))
+    rgb = _rand_indexed_rgb(rng, 25, 31)
+    assert np.array_equal(C.decode_gif(C.encode_gif(rgb)), rgb)
+
+
+def test_gif_lzw_table_growth_and_reclear():
+    # tiling all 256 symbols x40 grows the code width to 12 bits and
+    # forces at least one mid-stream clear
+    long_idx = np.tile(np.arange(256, dtype=np.uint8), 40)
+    enc = C._gif_lzw_encode(long_idx, 8)
+    assert np.array_equal(C._gif_lzw_decode(enc, 8, len(long_idx)), long_idx)
+    rng = np.random.default_rng(5)
+    runs = np.repeat(rng.integers(0, 4, 500), rng.integers(1, 60, 500)).astype(np.uint8)
+    assert np.array_equal(C._gif_lzw_decode(C._gif_lzw_encode(runs, 8), 8, len(runs)), runs)
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF: rows stored in the 4 spec passes,
+    interlace flag set — decode must undo the row permutation."""
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, (16, 9)).astype(np.uint8)
+    plain = bytearray(C.encode_gif(g))
+    h = 16
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, h, step)]
+    permuted = g[np.array(order)]
+    inter = bytearray(C.encode_gif(permuted))
+    # image descriptor of encode_gif output sits right after the 13-byte
+    # header + 768-byte palette; its flags byte is the 10th of the block
+    flags_off = 13 + 768 + 9
+    assert inter[13 + 768] == 0x2C
+    inter[flags_off] |= 0x40
+    assert np.array_equal(C.decode_gif(bytes(inter)), np.stack([g] * 3, -1))
+
+
+def test_gif_multiframe_and_transparency():
+    """Two frames + a GCE transparency extension before the second."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    b = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    ga, gb = C.encode_gif(a), C.encode_gif(b)
+    body_a = ga[13 + 768 : -1]  # image block only
+    body_b = gb[13 + 768 : -1]
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, int(b[0, 0]), 0])  # transparent idx
+    two = ga[: 13 + 768] + body_a + gce + body_b + b"\x3b"
+    assert C.gif_frame_count(two) == 2
+    frames = C.decode_gif_frames(two)
+    assert np.array_equal(frames[0], np.stack([a] * 3, -1))
+    # frame 2: pixels equal to the transparent index become black
+    expect = np.stack([b] * 3, -1).copy()
+    expect[b == b[0, 0]] = 0
+    assert np.array_equal(frames[1], expect)
+
+
+def test_gif_media_features_dispatch():
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, (12, 20)).astype(np.uint8)
+    f = C.decode_media(C.encode_gif(g))
+    x = np.stack([g] * 3, -1).astype(np.float64)
+    assert f["width"] == 20 and f["height"] == 12
+    assert abs(f["feature"][0] - x.mean()) < 1e-12

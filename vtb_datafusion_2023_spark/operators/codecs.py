@@ -517,6 +517,8 @@ def decode_media(payload: bytes) -> dict:
         from .jpeg import decode_jpeg
 
         img = decode_jpeg(payload)  # baseline or progressive
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        img = decode_gif(payload)  # first frame
     else:
         raise NotImplementedError(f"unknown media container (magic {payload[:4]!r})")
     x = img.astype(np.float64)
@@ -558,3 +560,237 @@ def real_resize(payload: bytes, width: int, height: int) -> bytes:
     else:
         raise NotImplementedError("resize supports PNG/BMP/PPM payloads")
     return encode_png(resize_bilinear(img, width, height))
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a): LZW-compressed indexed color, from the public GIF spec.
+# Decode handles global/local color tables, interlacing, GCE transparency
+# metadata, and multi-frame files (returns the first frame; decode_media
+# reports frame count).  Encode writes a single-frame GIF87a with a real
+# variable-width LZW compressor.
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Variable-width LZW (GIF flavor): clear/EOI codes, table grows to
+    4096 entries, code width grows AFTER the table fills a width."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bitstream, LSB first
+    bits = 0
+    n_bits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    prev: bytes | None = None
+    while pos < len(data) or n_bits >= width:
+        while n_bits < width and pos < len(data):
+            bits |= data[pos] << n_bits
+            n_bits += 8
+            pos += 1
+        if n_bits < width:
+            break
+        code = bits & ((1 << width) - 1)
+        bits >>= width
+        n_bits -= width
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        if n_out >= n_pixels:
+            break
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if n_out < n_pixels:
+        raise ValueError(f"LZW underrun: {n_out}/{n_pixels} pixels")
+    return out
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF LZW compressor: emits an initial clear code, grows code width
+    with the table, re-clears at 4096 (the spec maximum)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bits = 0
+    n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bits, n_bits
+        bits |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            n_bits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    run = b""
+    for b in indices.tobytes():
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> RGB uint8 array [h, w, 3] (first frame, composed on
+    the global background for frames smaller than the screen)."""
+    frames = decode_gif_frames(data, max_frames=1)
+    return frames[0]
+
+
+def gif_frame_count(data: bytes) -> int:
+    """Number of image descriptors (frames) without decoding pixels."""
+    return len(_gif_scan(data, decode_pixels=False))
+
+
+def _gif_scan(data: bytes, decode_pixels: bool, max_frames: int | None = None) -> list:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                transparent = data[pos + 4] if gflags & 1 else None
+            while data[pos]:  # skip sub-blocks
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+                pos += 3 * n
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                cnt = data[pos]
+                lzw += data[pos + 1 : pos + 1 + cnt]
+                pos += cnt + 1
+            pos += 1
+            if decode_pixels:
+                if ct is None:
+                    raise ValueError("GIF image with no color table")
+                idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih).reshape(ih, iw)
+                if iflags & 0x40:  # interlaced: rows stored in 4 passes
+                    de = np.empty_like(idx)
+                    src = 0
+                    for start, step in _GIF_INTERLACE_PASSES:
+                        rows = range(start, ih, step)
+                        for r in rows:
+                            de[r] = idx[src]
+                            src += 1
+                    idx = de
+                frames.append(((ix, iy, iw, ih), ct, idx, transparent, (w, h)))
+            else:
+                frames.append(((ix, iy, iw, ih), None, None, transparent, (w, h)))
+            transparent = None
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    return frames
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Decode up to ``max_frames`` frames to RGB [h, w, 3] each (each frame
+    composed alone on black; animation disposal is out of scope)."""
+    out = []
+    for (ix, iy, iw, ih), ct, idx, transparent, (w, h) in _gif_scan(
+        data, decode_pixels=True, max_frames=max_frames
+    ):
+        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        frame = ct[idx]
+        if transparent is not None:
+            frame = np.where((idx == transparent)[..., None], 0, frame)
+        rgb[iy : iy + ih, ix : ix + iw] = frame
+        out.append(rgb)
+    return out
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Grayscale [h,w] or RGB [h,w,3] uint8 -> single-frame GIF87a.
+
+    RGB input must use <= 256 distinct colors (indexed format); grayscale
+    always fits via the identity 256-gray palette.
+    """
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        idx = a
+    else:
+        colors, inverse = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(f"GIF needs <=256 colors, got {len(colors)}")
+        palette = np.zeros((256, 3), dtype=np.uint8)
+        palette[: len(colors)] = colors
+        idx = inverse.astype(np.uint8).reshape(a.shape[:2])
+    h, w = idx.shape
+    head = b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0) + palette.tobytes()
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _gif_lzw_encode(idx.ravel(), 8)
+    blocks = bytearray([8])  # min code size
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return head + desc + bytes(blocks) + b"\x3b"

@@ -2201,3 +2201,63 @@ def mm_audio_g711(spark, sf_dir):
             yield pd.DataFrame(out, columns=["doc_id", "n_samples", "ulaw_sum", "alaw_sum"])
 
     return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+
+
+@register(
+    "mm_decode_gif",
+    oracle=f"""
+select d.doc_id,
+       cast({_MM_W} as int) as width,
+       cast({_MM_H} as int) as height,
+       cast(sum(((d.doc_id*3 + g.y*7 + g.x) % 256) * 3) as bigint) as pix_sum
+from documents d
+cross join (select y.range as y, x.range as x
+            from range({_MM_H}) y, range({_MM_W}) x) g
+group by d.doc_id
+""",
+    survey_ref="multimodal-decode",
+    doc="REAL GIF decode (GIF87a LZW, operators/codecs.py): per-doc "
+    "grayscale pattern encoded with the real variable-width LZW "
+    "compressor and decoded back (identity 256-gray palette => each "
+    "pixel contributes 3x its gray level); pixel sums oracle-derived "
+    "from the closed form.",
+)
+def mm_decode_gif(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    from ..operators.codecs import decode_gif, encode_gif
+
+    w, h = _MM_W, _MM_H
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType(), False),
+            T_.StructField("width", T_.IntegerType(), True),
+            T_.StructField("height", T_.IntegerType(), True),
+            T_.StructField("pix_sum", T_.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = yy * 7 + xx
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                img = ((int(doc_id) * 3 + base) % 256).astype(np.uint8)
+                back = decode_gif(encode_gif(img))  # [h, w, 3]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": back.shape[1],
+                        "height": back.shape[0],
+                        "pix_sum": int(back.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "pix_sum"])
+
+    return (
+        T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+    )
