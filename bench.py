@@ -44,6 +44,11 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_lsh_pq_topk",
     "mm_decode_png",
+    "j6_bloom_prune_join",
+    "dd_substring_dedup",
+    "gr_triangles",
+    "mm_decode_gif",
+    "mm_audio_g711",
 ]
 
 

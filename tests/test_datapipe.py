@@ -822,3 +822,32 @@ def test_substring_dedup_semantics(spark):
     assert got[2] == ("p q r", 6)         # overlapping windows -> one span
     assert got[3] == ("u v w", 0)
     assert got[4] == ("", 6)              # fully-duplicated doc -> empty
+
+
+def test_triangles_known_graphs_and_naive_differential(spark):
+    from vtb_datafusion_2023_spark.operators.graph import triangles
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return sorted(tuple(r) for r in triangles(df).collect())
+
+    # K4: 4 triangles; edges given in mixed orientation with a dup + self-loop
+    k4 = [(1, 2), (2, 1), (1, 3), (1, 4), (3, 2), (2, 4), (3, 4), (3, 3)]
+    assert tri(k4) == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+    # 4-cycle: none
+    assert tri([(1, 2), (2, 3), (3, 4), (4, 1)]) == []
+    # hub star + one closing rim edge: exactly one triangle through the hub
+    star = [(0, i) for i in range(1, 9)] + [(3, 7)]
+    assert tri(star) == [(0, 3, 7)]
+    # random graph vs naive enumeration
+    import itertools
+    import random
+
+    rnd = random.Random(9)
+    edges = {(a, b) for a in range(12) for b in range(a + 1, 12) if rnd.random() < 0.35}
+    naive = sorted(
+        (x, y, z)
+        for x, y, z in itertools.combinations(range(12), 3)
+        if {(x, y), (x, z), (y, z)} <= edges
+    )
+    assert tri([(a, b) for a, b in edges]) == naive

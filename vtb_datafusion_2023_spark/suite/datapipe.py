@@ -2261,3 +2261,46 @@ def mm_decode_gif(spark, sf_dir):
     return (
         T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
     )
+
+
+@register(
+    "gr_triangles",
+    oracle="""
+with base as (
+  select distinct l_orderkey as o, l_partkey as p from lineitem where l_orderkey <= 300
+),
+e as (
+  select distinct x.p as a, y.p as b
+  from base x join base y on x.o = y.o and x.p < y.p
+)
+select e1.a as a, e1.b as b, e2.b as c
+from e e1
+join e e2 on e2.a = e1.b
+join e e3 on e3.a = e1.a and e3.b = e2.b
+""",
+    survey_ref="graph-triangles",
+    doc="exact triangle enumeration (Suri-Vassilvitskii degree-ordered "
+    "orientation: out-degrees capped at O(sqrt m), so wedge fan-out has "
+    "no hub blow-up) over the part co-occurrence graph; the oracle is an "
+    "INDEPENDENT naive three-way self-join listing each x<y<z triple.",
+)
+def gr_triangles(spark, sf_dir):
+    from ..operators.graph import triangles
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 300)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("x"), li.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return triangles(edges)
