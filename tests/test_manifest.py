@@ -187,3 +187,31 @@ def test_read_versioned_pruned_opens_fewer_files(spark, tmp_path):
     # the plan reads only the probed buckets' files
     scanned = out.inputFiles()
     assert 0 < len(scanned) < n_files
+
+
+def test_table_changes_classifies_merge_delta(spark, tmp_path):
+    """CDC between versions: the change feed of a merge_into is exactly its
+    upserts/deletes, classified insert/update/delete with old/new values."""
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned_bucketed,
+        merge_into,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(k, k * 10) for k in range(1, 9)], "k long, v long")
+    v1 = commit_versioned_bucketed(base, t, key_col="k", n_buckets=4)
+    updates = spark.createDataFrame([(3, 999), (4, 40), (20, 2000)], "k long, v long")
+    dels = spark.createDataFrame([(7,)], "k long")
+    v2 = merge_into(spark, t, updates, delete_keys=dels)
+
+    got = {r.k: (r.change_type, r.old_v, r.new_v) for r in table_changes(spark, t, v1, v2).collect()}
+    # k=4 was upserted with the SAME value -> not a change
+    assert got == {
+        3: ("update", 30, 999),
+        20: ("insert", None, 2000),
+        7: ("delete", 70, None),
+    }
+    # reverse direction flips the feed
+    rev = {r.k: r.change_type for r in table_changes(spark, t, v2, v1).collect()}
+    assert rev == {3: "update", 20: "delete", 7: "insert"}

@@ -343,3 +343,75 @@ def compact_versioned(
     return commit_versioned(
         latest.repartition(target_files), table_dir, mode="overwrite"
     )
+
+
+def cdc_diff(before: DataFrame, after: DataFrame, keys: list[str]) -> DataFrame:
+    """Change-data-feed between two keyed snapshots: one row per changed
+    key with ``change_type`` in ``insert`` (key only in ``after``),
+    ``delete`` (only in ``before``), ``update`` (present in both with any
+    non-key column differing — null-safe comparison).  Non-key columns
+    come back twice, as ``old_<col>`` / ``new_<col>``; unchanged keys are
+    absent.
+
+    One full-outer shuffle join on the key — the minimal cost of a
+    snapshot diff; on bucketed versioned tables both sides arrive
+    co-partitioned, so the exchange disappears (same mechanics as
+    ``merge_into``).
+    """
+    from pyspark.sql import functions as F
+
+    val_cols = [c for c in before.columns if c not in keys]
+    if val_cols != [c for c in after.columns if c not in keys]:
+        raise ValueError("snapshots have different schemas")
+    b = before.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("_in_b"),
+        *[F.col(c).alias(f"old_{c}") for c in val_cols],
+    )
+    a = after.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("_in_a"),
+        *[F.col(c).alias(f"new_{c}") for c in val_cols],
+    )
+    j = b.join(a, on=keys, how="full_outer")
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    ct = (
+        F.when(F.col("_in_b").isNull(), F.lit("insert"))
+        .when(F.col("_in_a").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", ct)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[f"old_{c}" for c in val_cols],
+            *[f"new_{c}" for c in val_cols],
+        )
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """CDC between two committed versions of a versioned table (the
+    Delta-style ``table_changes``): reads both manifests and diffs the
+    snapshots with :func:`cdc_diff`.  ``keys`` defaults to the table's
+    bucketing key when committed via ``commit_versioned_bucketed``."""
+    if keys is None:
+        m = _read_manifest(table_dir, table_versions(table_dir)[-1])
+        if "bucketing" not in m:
+            raise ValueError("pass keys= for tables without a bucketing key")
+        keys = [m["bucketing"]["key_col"]]
+    return cdc_diff(
+        read_versioned(spark, table_dir, version=from_version),
+        read_versioned(spark, table_dir, version=to_version),
+        keys,
+    )

@@ -2304,3 +2304,54 @@ def gr_triangles(spark, sf_dir):
         .distinct()
     )
     return triangles(edges)
+
+
+@register(
+    "dp_cdc_diff",
+    oracle="""
+with s1 as (
+  select user_id, event_type, value from (
+    select user_id, event_type, value,
+           row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+    from events where event_id <= 4999) where rn = 1
+),
+s2 as (
+  select user_id, event_type, value from (
+    select user_id, event_type, value,
+           row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+    from events) where rn = 1
+)
+select coalesce(s1.user_id, s2.user_id) as user_id,
+       case when s1.user_id is null then 'insert'
+            when s2.user_id is null then 'delete'
+            else 'update' end as change_type,
+       s1.event_type as old_event_type, s1.value as old_value,
+       s2.event_type as new_event_type, s2.value as new_value
+from s1 full outer join s2 on s1.user_id = s2.user_id
+where s1.user_id is null or s2.user_id is null
+   or (s1.event_type is distinct from s2.event_type)
+   or (s1.value is distinct from s2.value)
+""",
+    survey_ref="dp-cdc",
+    doc="change-data-feed between two keyed snapshots "
+    "(sources/manifest.py::cdc_diff, the Delta-style table_changes "
+    "surface): per-user latest-event state at event_id<=4999 vs the full "
+    "log, classified insert/delete/update with old_*/new_* values via "
+    "one null-safe full-outer join.",
+)
+def dp_cdc_diff(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..sources.manifest import cdc_diff
+
+    ev = T(spark, sf_dir, "events")
+
+    def snap(df):
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    return cdc_diff(snap(ev.filter(F.col("event_id") <= 4999)), snap(ev), keys=["user_id"])
