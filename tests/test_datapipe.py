@@ -851,3 +851,20 @@ def test_triangles_known_graphs_and_naive_differential(spark):
         if {(x, y), (x, z), (y, z)} <= edges
     )
     assert tri([(a, b) for a, b in edges]) == naive
+
+
+def test_token_entropy_closed_forms(spark):
+    import math
+
+    from vtb_datafusion_2023_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "a b c d"),          # uniform over 4 -> ln 4
+        (2, "x x x x x"),        # degenerate -> 0
+        (3, "a a b"),            # H = ln3 - (2 ln2)/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_tokens, r.entropy) for r in token_entropy(df).collect()}
+    assert got[1] == (4, math.log(4))
+    assert got[2] == (5, 0.0)
+    assert got[3][0] == 3 and abs(got[3][1] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-15

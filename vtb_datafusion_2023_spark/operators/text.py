@@ -643,3 +643,53 @@ def bigram_logprob(
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         (fold / F.col("n_bigrams")).alias("bi_surprisal"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shannon entropy of each document's token distribution:
+    ``H = ln(n) - (1/n) * sum_c c*ln(c)`` over per-doc term counts ``c``
+    (nats).  Low entropy = repetitive/templated text, high = diverse
+    vocabulary — with :func:`unigram_logprob` (corpus-relative) this is
+    the doc-local half of the cheap LM-quality pair.
+
+    Bitwise cross-engine by the module's established contract: ``ln`` is
+    evaluated only at INTEGER arguments (driver-side libm over the
+    bounded set of distinct counts/lengths, broadcast back), and the
+    per-doc sum folds in term order over a sorted array.  One shuffle on
+    ``(doc, term)``, one on ``doc``.
+
+    Returns ``(id_col, n_tokens, entropy)``.
+    """
+    import math
+
+    toks = F.split(F.col(text_col), " ")
+    tc = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c_values = sorted(r[0] for r in tc.select("c").distinct().collect())
+    spark = df.sparkSession
+    ln_c = spark.createDataFrame(
+        [(c, float(c) * math.log(c)) for c in c_values], "c bigint, _cl double"
+    )
+    per_doc = (
+        tc.join(F.broadcast(ln_c), "c")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(term, _cl))),"
+                " x -> x._cl), cast(0 as double), (a, b) -> a + b)"
+            ).alias("_s"),
+        )
+    )
+    n_values = sorted(r[0] for r in per_doc.select("n_tokens").distinct().collect())
+    ln_n = spark.createDataFrame(
+        [(n, math.log(n)) for n in n_values], "n_tokens bigint, _lnn double"
+    )
+    return per_doc.join(F.broadcast(ln_n), "n_tokens").select(
+        id_col,
+        "n_tokens",
+        (F.col("_lnn") - F.col("_s") / F.col("n_tokens")).alias("entropy"),
+    )

@@ -2355,3 +2355,28 @@ def dp_cdc_diff(spark, sf_dir):
         )
 
     return cdc_diff(snap(ev.filter(F.col("event_id") <= 4999)), snap(ev), keys=["user_id"])
+
+
+@register(
+    "text_entropy",
+    oracle="""
+with tc as (
+  select doc_id, term, cast(count(*) as bigint) as c
+  from (select doc_id, unnest(str_split(text, ' ')) as term from documents)
+  group by doc_id, term
+)
+select doc_id, cast(sum(c) as bigint) as n_tokens,
+       (ln(cast(sum(c) as bigint))
+        - list_reduce(list(c * ln(c) order by term), (a, b) -> a + b) / sum(c)) as entropy
+from tc group by doc_id
+""",
+    survey_ref="text-entropy",
+    doc="per-doc token-distribution Shannon entropy (nats): ln evaluated "
+    "only at integer arguments (libm parity), term-ordered fold => "
+    "bitwise cross-engine.  Doc-local complement of the corpus-relative "
+    "unigram surprisal.",
+)
+def text_entropy(spark, sf_dir):
+    from ..operators.text import token_entropy
+
+    return token_entropy(T(spark, sf_dir, "documents"))
