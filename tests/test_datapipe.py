@@ -868,3 +868,31 @@ def test_token_entropy_closed_forms(spark):
     assert got[1] == (4, math.log(4))
     assert got[2] == (5, 0.0)
     assert got[3][0] == 3 and abs(got[3][1] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-15
+
+
+def test_chunk_overlap_coverage_and_reconstruction(spark):
+    """Strided chunking: every window starts at chunk_id*stride, shares
+    chunk-stride tokens with its predecessor, covers the doc exactly, and
+    stride=chunk_tokens reproduces the disjoint chunker."""
+    from vtb_datafusion_2023_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(75))
+    df = spark.createDataFrame([(1, words), (2, "a b c")], "doc_id bigint, text string")
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk, r.n_chunk_tokens)
+         for r in chunk_documents(df, chunk_tokens=32, stride=16).collect())
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    # 75 tokens, chunk 32, stride 16 -> ceil(43/16)+1 = 4 windows
+    assert [r[1] for r in doc1] == [0, 1, 2, 3]
+    for _, cid, chunk, n in doc1:
+        toks = chunk.split(" ")
+        assert toks[0] == f"w{cid*16}" and n == len(toks)
+        assert n == (32 if cid < 3 else 75 - 48)
+    # consecutive windows overlap by exactly 16 tokens
+    assert doc1[0][2].split(" ")[16:] == doc1[1][2].split(" ")[:16]
+    # short doc: single ragged window
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "a b c", 3)]
+    # stride=default reproduces the old disjoint behavior
+    dis = chunk_documents(df, chunk_tokens=32).collect()
+    assert {(r.doc_id, r.chunk_id) for r in dis} == {(1, 0), (1, 1), (1, 2), (2, 0)}

@@ -76,7 +76,12 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> dict:
                 d = d[~np.isnan(d)]
                 bad[c] = {"maxdiff": float(d.max()) if len(d) else "nan-mismatch"}
         else:
-            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            # (av == bv) is <NA> when exactly one side is null — pandas
+            # nullable-boolean .any() would SKIP those, silently masking
+            # null-vs-value mismatches (e.g. DuckDB NULL vs Spark '').
+            # Treat NA equality as False so one-sided nulls count.
+            eq = (av == bv).fillna(False) | (av.isna() & bv.isna())
+            neq = ~eq
             if neq.any():
                 i = int(np.argmax(neq.to_numpy()))
                 bad[c] = {"n_mismatch": int(neq.sum()), "first": (str(av.iloc[i]), str(bv.iloc[i]))}

@@ -92,17 +92,32 @@ def chunk_documents(
     text_col: str = "text",
     doc_col: str = "doc_id",
     chunk_tokens: int = 64,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Split each document into consecutive ``chunk_tokens``-token windows
+    """Split each document into ``chunk_tokens``-token windows
     (context-window chunking for training-data prep): one output row per
     chunk, ``(doc_col, chunk_id, chunk, n_chunk_tokens)``.
 
+    ``stride`` (default = ``chunk_tokens``, i.e. disjoint windows) <
+    ``chunk_tokens`` gives OVERLAPPING sliding windows — the standard
+    train-prep shape that preserves cross-boundary context (each window
+    shares ``chunk_tokens - stride`` tokens with its predecessor).
+    Window count = 1 if the doc fits, else
+    ``ceil((n - chunk_tokens)/stride) + 1`` (last window ragged).
+
     Explode of a computed index range — a narrow per-row fan-out that
-    needs no shuffle and streams at scan speed; the final (ragged) chunk
-    keeps its natural length.
+    needs no shuffle and streams at scan speed.
     """
+    if stride is None:
+        stride = chunk_tokens
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(f"stride must be in [1, chunk_tokens], got {stride}")
     toks = tokens(text_col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("bigint")
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1).cast("bigint"))
+        .otherwise(F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("bigint") + 1)
+    )
     ex = df.select(
         doc_col,
         toks.alias("_toks"),
@@ -110,7 +125,7 @@ def chunk_documents(
     )
     sliced = F.slice(
         F.col("_toks"),
-        (F.col("chunk_id") * chunk_tokens + 1).cast("int"),
+        (F.col("chunk_id") * stride + 1).cast("int"),
         chunk_tokens,
     )
     return ex.select(

@@ -2380,3 +2380,36 @@ def text_entropy(spark, sf_dir):
     from ..operators.text import token_entropy
 
     return token_entropy(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+with toks as (
+  select doc_id, str_split(text, ' ') as t, len(str_split(text, ' ')) as n from documents
+),
+w as (
+  select doc_id, t,
+         case when n <= 32 then 1 else cast(ceil((n-32)/16.0) as bigint) + 1 end as k
+  from toks
+)
+select doc_id,
+       unnest(generate_series(0, k-1)) as chunk_id,
+       unnest([array_to_string(t[i*16+1 : i*16+32], ' ')
+               for i in generate_series(0, k-1)]) as chunk,
+       unnest([cast(len(t[i*16+1 : i*16+32]) as int)
+               for i in generate_series(0, k-1)]) as n_chunk_tokens
+from w
+""",
+    survey_ref="text-chunk-overlap",
+    doc="sliding-window chunking with overlap (32-token windows, stride "
+    "16): each window shares 16 tokens with its predecessor so no "
+    "training context dies on a chunk boundary.  Same shuffle-free "
+    "explode fan-out as disjoint chunking.",
+)
+def text_chunk_overlap(spark, sf_dir):
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(
+        T(spark, sf_dir, "documents"), chunk_tokens=32, stride=16
+    )
