@@ -520,3 +520,32 @@ def test_bloom_prune_join_shape_and_equivalence(spark, sf_small):
     assert "Exchange hashpartitioning(l_partkey" not in p
     # selective dim => the bloom must drop most of the fact table
     assert pruned.count() < li.count() * 0.5
+
+
+def test_hll_partial_distinct_merge_properties(spark):
+    """Mergeable distinct sketches: (a) small cardinalities are EXACT,
+    (b) merge is shard-count- and order-insensitive, (c) large
+    cardinalities stay within the HLL error envelope."""
+    from vtb_datafusion_2023_spark.operators.rollup import (
+        finalize_distinct,
+        merge_distinct_partials,
+        partial_distinct,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 97).alias("v")
+    )
+    exact = {r.g: r.n for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+
+    shards = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    parts = [partial_distinct(s, ["g"], "v") for s in shards]
+    got = {r.g: r.nd for r in finalize_distinct(merge_distinct_partials(parts, ["g"])).collect()}
+    assert got == exact  # 97 distinct values: exact sketch regime
+
+    rev = {r.g: r.nd for r in finalize_distinct(merge_distinct_partials(parts[::-1], ["g"])).collect()}
+    assert rev == got  # order-insensitive
+
+    big = spark.range(0, 300000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    parts_b = [partial_distinct(big.filter(F.col("v") % 2 == i), ["g"], "v") for i in range(2)]
+    est = finalize_distinct(merge_distinct_partials(parts_b, ["g"])).collect()[0].nd
+    assert abs(est - 300000) / 300000 < 0.05, est

@@ -101,3 +101,42 @@ def finalize_partials(df: DataFrame, prefix: str = "total") -> DataFrame:
     return df.withColumn(prefix, F.expr(sqlgen.fsum_final(prefix))).drop(
         f"{prefix}_hi", f"{prefix}_lo"
     )
+
+
+def partial_distinct(
+    df: DataFrame, keys: list, value_col: str, lgk: int = 12, prefix: str = "nd"
+) -> DataFrame:
+    """Per-key mergeable DISTINCT-COUNT state: an Apache DataSketches HLL
+    sketch (``hll_sketch_agg``, binary column ``{prefix}_sk``) — the
+    distinct-count analogue of :func:`partial_agg`'s exact sums.
+
+    Incremental-rollup building block: sketch each ingest batch once,
+    persist the bytes, merge forever after in O(groups) — history never
+    rescans for a distinct count.  Sketches are EXACT while the key set
+    fits the sketch's list/set mode (hundreds of values at lgk=12) and
+    within ~1.6%/sqrt(2^lgk) beyond it; both bounds hold regardless of
+    merge order.
+    """
+    return df.groupBy(*keys).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lgk})").alias(f"{prefix}_sk")
+    )
+
+
+def merge_distinct_partials(
+    parts: list[DataFrame], keys: list[str], prefix: str = "nd"
+) -> DataFrame:
+    """Union any number of sketch tables -> one ``hll_union_agg`` per key
+    (associative, order-insensitive)."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*keys).agg(
+        F.expr(f"hll_union_agg({prefix}_sk, true)").alias(f"{prefix}_sk")
+    )
+
+
+def finalize_distinct(df: DataFrame, prefix: str = "nd") -> DataFrame:
+    """Finish merged sketches into bigint distinct-count estimates."""
+    return df.withColumn(
+        prefix, F.expr(f"cast(hll_sketch_estimate({prefix}_sk) as bigint)")
+    ).drop(f"{prefix}_sk")

@@ -2413,3 +2413,30 @@ def text_chunk_overlap(spark, sf_dir):
     return chunk_documents(
         T(spark, sf_dir, "documents"), chunk_tokens=32, stride=16
     )
+
+
+@register(
+    "agg_incremental_distinct",
+    oracle="""
+select user_id, cast(count(distinct event_type) as bigint) as nd
+from events group by user_id
+""",
+    survey_ref="rollup-distinct",
+    doc="incrementally-maintained distinct counts: two ingest shards "
+    "sketch independently (DataSketches HLL via hll_sketch_agg), merge "
+    "with hll_union_agg, finalize to counts.  Per-user event_type "
+    "cardinality sits in the sketch's exact list/set regime, so the "
+    "estimates EQUAL the oracle's exact count(distinct) — certifying "
+    "the whole partial->merge->finalize path, not an approximation.",
+)
+def agg_incremental_distinct(spark, sf_dir):
+    from ..operators.rollup import (
+        finalize_distinct,
+        merge_distinct_partials,
+        partial_distinct,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    shard1 = partial_distinct(ev.filter(F.col("event_id") < 5000), ["user_id"], "event_type")
+    shard2 = partial_distinct(ev.filter(F.col("event_id") >= 5000), ["user_id"], "event_type")
+    return finalize_distinct(merge_distinct_partials([shard1, shard2], ["user_id"]))
