@@ -896,3 +896,28 @@ def test_chunk_overlap_coverage_and_reconstruction(spark):
     # stride=default reproduces the old disjoint behavior
     dis = chunk_documents(df, chunk_tokens=32).collect()
     assert {(r.doc_id, r.chunk_id) for r in dis} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+
+
+def test_hashed_features_stability_and_distribution(spark):
+    """Hashing trick: buckets in range, deterministic across runs and
+    partitionings, salted per column (same value, different columns ->
+    different buckets), reasonably uniform."""
+    from vtb_datafusion_2023_spark.operators.projections import hashed_features
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 50).cast("string").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    out = hashed_features(df, ["a", "b"], n_buckets=64, crosses=[["a", "b"]])
+    pdf = out.toPandas()
+    for c in ("hf_a", "hf_b", "hf_a_x_b"):
+        assert pdf[c].between(0, 63).all()
+    # deterministic under repartition
+    out2 = hashed_features(df.repartition(13), ["a", "b"], n_buckets=64, crosses=[["a", "b"]])
+    assert sorted(map(tuple, pdf.values.tolist())) == sorted(
+        map(tuple, out2.toPandas().values.tolist())
+    )
+    # column salt: value "3" appears in both a and b but buckets differ
+    row = pdf[(pdf.a == "3") & (pdf.b == 3)].iloc[0]
+    assert row.hf_a != row.hf_b
+    # 50 distinct values over 64 buckets: no bucket should swallow >25%
+    assert pdf.groupby("hf_a").size().max() / len(pdf) < 0.25

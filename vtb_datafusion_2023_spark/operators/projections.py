@@ -103,3 +103,42 @@ def json_col(df: DataFrame, col: str, schema_ddl: str, prefix: str = "") -> Data
     return df.select(
         "*", *[parsed.getField(n).alias(f"{prefix}{n}") for n in names]
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 256,
+    crosses: list[list[str]] | None = None,
+    prefix: str = "hf",
+) -> DataFrame:
+    """Hashing-trick categorical encoding (Weinberger et al. 2009): each
+    value maps to a stable bucket in ``[0, n_buckets)`` — the unbounded-
+    vocabulary alternative to the reference's frozen one-hot list
+    (/root/reference/run.py:103-108): no vocabulary pass, no conform
+    step, new categories at inference time land in a bucket instead of
+    being dropped.
+
+    ``crosses`` adds feature-cross columns (bucket of the '\\x1f'-joined
+    value tuple) — interaction features without materializing the cross
+    product.  Buckets come from ``sqlgen.md5_bucket`` (column-name
+    salted), so they are partition-independent, engine-independent
+    (DuckDB-replayable), and stable across runs — a training set encoded
+    today and a scoring row encoded next year agree.  Pure codegen
+    projection: no shuffle, no vocabulary state.
+    """
+    from .. import sqlgen
+
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"{prefix}_{c}", F.expr(sqlgen.md5_bucket(c, n_buckets, salt=f"{c}:"))
+        )
+    for cross in crosses or []:
+        name = f"{prefix}_{'_x_'.join(cross)}"
+        joined = " || chr(31) || ".join(f"(({c}) || '')" for c in cross)
+        out = out.withColumn(
+            name,
+            F.expr(sqlgen.md5_bucket(f"({joined})", n_buckets, salt=f"{'x'.join(cross)}:")),
+        )
+    return out

@@ -328,3 +328,26 @@ def wrangecount(x: str, partition: str, epoch_order: str, window_sec: int) -> st
         f"count({x}) over (partition by {partition} order by {epoch_order} "
         f"range between {window_sec} preceding and current row)"
     )
+
+
+def md5_bucket(x: str, n_buckets: int, salt: str = "") -> str:
+    """Hashing-trick bucket in ``[0, n_buckets)`` — textually identical
+    and value-identical in Spark and DuckDB (the md5 cross-engine hash
+    family: both engines emit the same lowercase hex digest and share
+    instr/substr semantics).
+
+    Uses the first 4 hex nibbles (16 bits) positionally decoded via
+    ``instr`` — neither engine shares a hex->int builtin (Spark ``conv``
+    has no DuckDB twin), so the nibbles decode by character lookup.
+    Stringification is ``x || ''`` (portable; Spark rejects
+    length-less ``cast(.. as varchar)``) — use on string/integer
+    columns, where both engines render identical text.
+    Requires ``n_buckets <= 65536``; the modulo keeps a <=1/65536 bias
+    for non-power-of-two sizes.  NULL input -> NULL bucket.
+    """
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
+    h = f"md5({salt!r} || (({x}) || ''))" if salt else f"md5(({x}) || '')"
+    nib = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    n1, n2, n3, n4 = (nib.format(h=h, i=i) for i in (1, 2, 3, 4))
+    return f"cast(((({n1}) * 4096 + ({n2}) * 256 + ({n3}) * 16 + ({n4})) % {n_buckets}) as int)"

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .. import sqlgen
 from ..inference.udfs import linear_scorer, score_with_model
 from ..operators.dedup import (
     exact_dedup,
@@ -2440,3 +2441,26 @@ def agg_incremental_distinct(spark, sf_dir):
     shard1 = partial_distinct(ev.filter(F.col("event_id") < 5000), ["user_id"], "event_type")
     shard2 = partial_distinct(ev.filter(F.col("event_id") >= 5000), ["user_id"], "event_type")
     return finalize_distinct(merge_distinct_partials([shard1, shard2], ["user_id"]))
+
+
+@register(
+    "dp_feature_hash",
+    oracle=f"""
+select event_id, user_id, event_type,
+       {sqlgen.md5_bucket('event_type', 256, salt='event_type:')} as hf_event_type,
+       {sqlgen.md5_bucket("((event_type) || '') || chr(31) || ((user_id) || '')", 256, salt='event_typexuser_id:')} as hf_event_type_x_user_id
+from events
+""",
+    survey_ref="feature-hashing",
+    doc="hashing-trick categorical encoding + feature cross (Weinberger "
+    "et al. 2009): md5-nibble buckets, partition- and engine-independent "
+    "(the oracle runs the textually identical fragment), no vocabulary "
+    "pass — the unbounded-vocab alternative to the frozen one-hot P5.",
+)
+def dp_feature_hash(spark, sf_dir):
+    from ..operators.projections import hashed_features
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return hashed_features(
+        ev, cols=["event_type"], n_buckets=256, crosses=[["event_type", "user_id"]]
+    )
