@@ -921,3 +921,32 @@ def test_hashed_features_stability_and_distribution(spark):
     assert row.hf_a != row.hf_b
     # 50 distinct values over 64 buckets: no bucket should swallow >25%
     assert pdf.groupby("hf_a").size().max() / len(pdf) < 0.25
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """Plant value = base + seasonal(phase) on a regular series: the
+    decomposition's seasonal term must recover the planted cycle (up to a
+    constant absorbed by the trend) and residuals must vanish away from
+    the window edges."""
+    import math
+
+    from vtb_datafusion_2023_spark.operators.analytics import seasonal_decompose
+
+    period, n = 6, 120
+    cyc = [5.0, -3.0, 0.0, 4.0, -6.0, 0.0]  # zero-mean cycle
+    rows = [(1, i, 10.0 + cyc[i % period]) for i in range(n)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = {r.event_id: r for r in seasonal_decompose(
+        df, "user_id", "event_id", "value", period=period).collect()}
+    h = period // 2
+    # edges: trend NULL -> residual NULL
+    assert out[0].trend is None and out[0].residual is None
+    assert out[n - 1].trend is None
+    # interior: the centered 7-row mean of a period-6 cycle wobbles a bit,
+    # but seasonal+trend reconstruct value to ~the cycle amplitude / period
+    for i in range(h + period, n - h - period):
+        r = out[i]
+        assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 1e-9
+        assert abs(r.residual) < 2.0, (i, r.residual)
+    # phases cycle correctly
+    assert all(out[i].phase == i % period for i in range(n))

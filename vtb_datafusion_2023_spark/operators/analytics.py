@@ -164,3 +164,59 @@ def pair_affinity(
             ).alias("lift"),
         )
     )
+
+
+def seasonal_decompose_sql(
+    key: str, order: str, value: str, period: int = 24
+) -> tuple[str, str, str]:
+    """Shared SQL fragments (trend, phase, seasonal) for
+    :func:`seasonal_decompose` — the same text runs in Spark and DuckDB,
+    so the decomposition is bitwise cross-engine."""
+    from .. import sqlgen
+
+    h = period // 2
+    w = f"partition by {key} order by {order} rows between {h} preceding and {h} following"
+    cnt = f"count({value}) over ({w})"
+    tsum = sqlgen.dec_to_double(f"sum(cast(({value}) as {sqlgen.DEC})) over ({w})")
+    trend = f"(case when {cnt} = {2 * h + 1} then ({tsum} / {cnt}) end)"
+    phase = (
+        f"cast(((row_number() over (partition by {key} order by {order})) - 1)"
+        f" % {period} as int)"
+    )
+    det = f"(({value}) - trend)"
+    ssum = sqlgen.dec_to_double(
+        f"sum(cast({det} as {sqlgen.DEC})) over (partition by {key}, phase)"
+    )
+    scnt = f"count({det}) over (partition by {key}, phase)"
+    seasonal = f"({ssum} / {scnt})"
+    return trend, phase, seasonal
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive time-series decomposition on a REGULAR per-key
+    series (regularize gaps first with ``windows.gap_fill``):
+
+    - ``trend``: centered decimal-exact mean over ``2*(period//2)+1``
+      rows (NULL on the edges where the window is partial — the classic
+      moving-average convention),
+    - ``seasonal``: per-(key, phase) mean of the detrended values, phase
+      = position in the period cycle,
+    - ``residual``: ``value - trend - seasonal``.
+
+    Everything derives from decimal-exact window sums with textually
+    identical SQL in both engines => bitwise reproducible at any
+    partitioning.  Two window shuffles (key-ordered frame, then
+    (key, phase) partition) — the minimal plan for a centered frame; at
+    100 TB each key's series must fit a partition (same contract as
+    every ordered per-user window in the engine).
+    """
+    trend, phase, seasonal = seasonal_decompose_sql(key, order, value, period)
+    s1 = df.selectExpr("*", f"{trend} as trend", f"{phase} as phase")
+    s2 = s1.selectExpr("*", f"{seasonal} as seasonal")
+    return s2.selectExpr("*", f"(({value}) - trend - seasonal) as residual")

@@ -2464,3 +2464,37 @@ def dp_feature_hash(spark, sf_dir):
     return hashed_features(
         ev, cols=["event_type"], n_buckets=256, crosses=[["event_type", "user_id"]]
     )
+
+
+def _seasonal_oracle() -> str:
+    from ..operators.analytics import seasonal_decompose_sql
+
+    trend, phase, seasonal = seasonal_decompose_sql("user_id", "event_id", "value", 24)
+    return f"""
+with s1 as (
+  select user_id, event_id, value, {trend} as trend, {phase} as phase
+  from events
+),
+s2 as (
+  select *, {seasonal} as seasonal from s1
+)
+select user_id, event_id, value, trend, phase, seasonal,
+       ((value) - trend - seasonal) as residual
+from s2
+"""
+
+
+@register(
+    "an_seasonal_decompose",
+    oracle=_seasonal_oracle(),
+    survey_ref="ts-seasonal",
+    doc="classical additive decomposition over per-user event series "
+    "(period 24): centered decimal-exact trend (NULL edges), per-phase "
+    "seasonal means of the detrended values, residual — identical SQL "
+    "text both engines, bitwise.",
+)
+def an_seasonal_decompose(spark, sf_dir):
+    from ..operators.analytics import seasonal_decompose
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return seasonal_decompose(ev, key="user_id", order="event_id", value="value", period=24)
