@@ -549,3 +549,35 @@ def test_hll_partial_distinct_merge_properties(spark):
     parts_b = [partial_distinct(big.filter(F.col("v") % 2 == i), ["g"], "v") for i in range(2)]
     est = finalize_distinct(merge_distinct_partials(parts_b, ["g"])).collect()[0].nd
     assert abs(est - 300000) / 300000 < 0.05, est
+
+
+def test_cms_overestimate_and_merge_properties(spark):
+    """CMS: estimates are NEVER below true counts, merge is shard- and
+    order-insensitive, and a deliberately tiny width forces collisions
+    whose overestimates stay bounded by the colliding mass."""
+    from vtb_datafusion_2023_spark.operators.rollup import (
+        cms_estimate,
+        merge_cms_partials,
+        partial_cms,
+    )
+
+    df = spark.range(0, 5000).select((F.col("id") % 37).cast("string").alias("v"))
+    exact = {r.v: r.n for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    probes = df.select("v").distinct()
+
+    shards = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    parts = [partial_cms(s, [], "v", depth=3, width=16) for s in shards]  # tiny width
+    merged = merge_cms_partials(parts, [])
+    est = {r.v: r.est for r in cms_estimate(merged, probes, "v", depth=3, width=16).collect()}
+    assert set(est) == set(exact)
+    for v, e in est.items():
+        assert e >= exact[v], (v, e, exact[v])          # CMS never undercounts
+        assert e <= 5000, v                              # bounded by total mass
+    rev = {r.v: r.est for r in cms_estimate(
+        merge_cms_partials(parts[::-1], []), probes, "v", depth=3, width=16).collect()}
+    assert rev == est                                    # merge order-free
+    # ample width: exact
+    parts_w = [partial_cms(s, [], "v", depth=3, width=4096) for s in shards]
+    est_w = {r.v: r.est for r in cms_estimate(
+        merge_cms_partials(parts_w, []), probes, "v").collect()}
+    assert est_w == exact

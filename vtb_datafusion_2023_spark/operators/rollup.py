@@ -140,3 +140,90 @@ def finalize_distinct(df: DataFrame, prefix: str = "nd") -> DataFrame:
     return df.withColumn(
         prefix, F.expr(f"cast(hll_sketch_estimate({prefix}_sk) as bigint)")
     ).drop(f"{prefix}_sk")
+
+
+def partial_cms(
+    df: DataFrame,
+    keys: list,
+    value_col: str,
+    depth: int = 3,
+    width: int = 4096,
+    prefix: str = "cms",
+) -> DataFrame:
+    """Per-key mergeable FREQUENCY state: a count-min sketch (Cormode &
+    Muthukrishnan 2005) stored sparsely as ``(keys, {prefix}_d,
+    {prefix}_p, {prefix}_n)`` rows — depth hash rows x width buckets,
+    only touched cells materialized.  Completes the mergeable-state
+    family: exact sums (``partial_agg``), distinct counts
+    (``partial_distinct``), now item frequencies.
+
+    Build = explode ``depth`` JVM-side hash positions per row + one hash
+    agg; merge = re-aggregate (associative, order-free); estimates are
+    upper bounds that overshoot a true count only when the item collides
+    in EVERY depth row (p ~ (n_distinct/width)^depth).
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("_d"),
+                    F.pmod(F.xxhash64(F.col(value_col), F.lit(d)), F.lit(width)).alias("_p"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("_dp")
+    return (
+        df.select(*keys, pos)
+        .select(*keys, F.col("_dp._d").alias(f"{prefix}_d"), F.col("_dp._p").alias(f"{prefix}_p"))
+        .groupBy(*keys, f"{prefix}_d", f"{prefix}_p")
+        .agg(F.count(F.lit(1)).alias(f"{prefix}_n"))
+    )
+
+
+def merge_cms_partials(parts: list[DataFrame], keys: list[str], prefix: str = "cms") -> DataFrame:
+    """Union sketch tables -> one exact integer re-aggregation per cell."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*keys, f"{prefix}_d", f"{prefix}_p").agg(
+        F.expr(f"cast(sum({prefix}_n) as bigint) as {prefix}_n")
+    )
+
+
+def cms_estimate(
+    state: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    depth: int = 3,
+    width: int = 4096,
+    prefix: str = "cms",
+) -> DataFrame:
+    """Point-query frequencies for ``probes[value_col]`` against a CMS
+    state: recompute each probe's ``depth`` positions, join the touched
+    cells (broadcast the probe side — it is the small side by
+    construction), take the per-probe MIN over depths; absent cells are
+    zero.  Returns the probe columns + ``est``."""
+    keys = keys or []
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("_d"),
+                    F.pmod(F.xxhash64(F.col(value_col), F.lit(d)), F.lit(width)).alias("_p"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("_dp")
+    probe_pos = probes.select("*", pos).select(
+        *probes.columns, F.col("_dp._d").alias(f"{prefix}_d"), F.col("_dp._p").alias(f"{prefix}_p")
+    )
+    joined = state.join(
+        F.broadcast(probe_pos), on=[*keys, f"{prefix}_d", f"{prefix}_p"], how="right"
+    )
+    return (
+        joined.groupBy(*[F.col(c) for c in probes.columns], *[F.col(k) for k in keys])
+        .agg(F.min(F.coalesce(F.col(f"{prefix}_n"), F.lit(0))).alias("est"))
+    )

@@ -2498,3 +2498,29 @@ def an_seasonal_decompose(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events").select("user_id", "event_id", "value")
     return seasonal_decompose(ev, key="user_id", order="event_id", value="value", period=24)
+
+
+@register(
+    "agg_incremental_cms",
+    oracle="""
+select event_type, cast(count(*) as bigint) as est
+from events group by event_type
+""",
+    survey_ref="rollup-cms",
+    doc="incrementally-maintained item frequencies: two ingest shards "
+    "build count-min sketch state (sparse (depth,pos,count) rows), merge "
+    "by exact integer re-aggregation, point-query with min-over-depths.  "
+    "event_type cardinality (~distinct/width = 6/4096 per depth) makes "
+    "an all-depths collision practically impossible AND the sketch is "
+    "deterministic, so the estimates EQUAL the oracle's exact counts — "
+    "certifying the partial->merge->estimate path end to end.",
+)
+def agg_incremental_cms(spark, sf_dir):
+    from ..operators.rollup import cms_estimate, merge_cms_partials, partial_cms
+
+    ev = T(spark, sf_dir, "events")
+    s1 = partial_cms(ev.filter(F.col("event_id") < 5000), [], "event_type")
+    s2 = partial_cms(ev.filter(F.col("event_id") >= 5000), [], "event_type")
+    merged = merge_cms_partials([s1, s2], [])
+    probes = ev.select("event_type").distinct()
+    return cms_estimate(merged, probes, "event_type")
