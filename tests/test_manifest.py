@@ -215,3 +215,43 @@ def test_table_changes_classifies_merge_delta(spark, tmp_path):
     # reverse direction flips the feed
     rev = {r.k: r.change_type for r in table_changes(spark, t, v2, v1).collect()}
     assert rev == {3: "update", 20: "delete", 7: "insert"}
+
+
+def test_zone_map_range_read_prunes_files(spark, tmp_path):
+    """commit_versioned(stats_cols=) lifts per-file min/max from parquet
+    footers; read_versioned_range opens only overlapping files and
+    returns exactly the rows a full-scan filter would."""
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        read_versioned,
+        read_versioned_range,
+    )
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "zm")
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(10, "k")
+    commit_versioned(df, t, stats_cols=["k"])
+
+    narrow = read_versioned_range(spark, t, "k", lo=2500, hi=2600)
+    opened = set(narrow.inputFiles())
+    total = set(read_versioned(spark, t).inputFiles())
+    assert len(opened) <= 2 and len(total) == 10, (len(opened), len(total))
+    got = sorted(r.k for r in narrow.collect())
+    assert got == list(range(2500, 2601))
+
+    # half-open bounds
+    assert read_versioned_range(spark, t, "k", lo=9990).count() == 10
+    assert read_versioned_range(spark, t, "k", hi=9).count() == 10
+    # disjoint range: zero files, empty result with the right schema
+    empty = read_versioned_range(spark, t, "k", lo=20000)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+    # a statless commit is conservatively un-pruned but still correct
+    t2 = str(tmp_path / "zm2")
+    commit_versioned(df, t2)
+    r2 = read_versioned_range(spark, t2, "k", lo=2500, hi=2600)
+    assert len(set(r2.inputFiles())) == 10
+    assert r2.count() == 101

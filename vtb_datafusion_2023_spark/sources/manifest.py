@@ -59,11 +59,47 @@ def _file_names(manifest: dict) -> list[str]:
     return [e["name"] if isinstance(e, dict) else e for e in manifest["files"]]
 
 
-def commit_versioned(df: DataFrame, table_dir: str, mode: str = "overwrite") -> int:
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Per-file zone map: column min/max read from the parquet FOOTER
+    row-group statistics (no data scan — pyarrow metadata only).
+    Timestamps serialize as isoformat strings (JSON-safe, order-preserving
+    for comparisons against isoformat probes); values the footer has no
+    stats for are omitted."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if lo is not None:
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            out[c] = [lo, hi]
+    return out
+
+
+def commit_versioned(
+    df: DataFrame, table_dir: str, mode: str = "overwrite", stats_cols: list[str] | None = None
+) -> int:
     """Write ``df`` as a new committed version of ``table_dir``; returns
     the new version number.  ``mode='overwrite'`` snapshots just this
     data; ``mode='append'`` carries the previous version's files forward
     (append = old manifest's file list + the new files — no data rewrite).
+
+    ``stats_cols`` records per-file ZONE MAPS (column min/max lifted from
+    the parquet footers — no extra scan) in the manifest;
+    :func:`read_versioned_range` then prunes whole files by predicate
+    before Spark ever lists them.
 
     The write stages to a scratch dir, hard-moves the finished parts into
     ``data/`` under version-unique names (invisible to readers: readers
@@ -84,8 +120,14 @@ def commit_versioned(df: DataFrame, table_dir: str, mode: str = "overwrite") -> 
     files = []
     for i, part in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
         name = f"v{version}-{tag}-{i:05d}.parquet"
-        os.replace(part, os.path.join(data_dir, name))
-        files.append(name)
+        entry: str | dict = name
+        if stats_cols:
+            dest = os.path.join(data_dir, name)
+            os.replace(part, dest)
+            entry = {"name": name, "stats": _footer_stats(dest, stats_cols)}
+        else:
+            os.replace(part, os.path.join(data_dir, name))
+        files.append(entry)
     shutil.rmtree(stage, ignore_errors=True)
 
     if mode == "append" and versions:
@@ -415,3 +457,59 @@ def table_changes(
         read_versioned(spark, table_dir, version=to_version),
         keys,
     )
+
+
+def read_versioned_range(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range read with ZONE-MAP file pruning: open only the data files
+    whose manifest ``[min, max]`` for ``col`` overlaps ``[lo, hi]``
+    (either bound optional), then filter exactly.  Files committed
+    without stats for ``col`` are conservatively kept.
+
+    The lakehouse skipping primitive: on a table sorted or clustered by
+    ``col`` (e.g. ``write_zorder_parquet`` order, or natural event-time
+    arrival), a narrow range touches a handful of files regardless of
+    table size — manifest-level pruning before Spark's own row-group
+    pruning even starts.
+    """
+    from pyspark.sql import functions as F
+
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(table_dir, v)
+
+    def keep(entry) -> bool:
+        if not isinstance(entry, dict):
+            return True
+        st = entry.get("stats", {}).get(col)
+        if st is None:
+            return True
+        fmin, fmax = st
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+
+    data_dir = os.path.join(table_dir, "data")
+    kept = [e for e in m["files"] if keep(e)]
+    base = read_versioned(spark, table_dir, version=v)
+    if not kept:
+        out = base.limit(0)
+    else:
+        out = spark.read.schema(base.schema).parquet(
+            *[os.path.join(data_dir, e["name"] if isinstance(e, dict) else e) for e in kept]
+        )
+    if lo is not None:
+        out = out.filter(F.col(col) >= lo)
+    if hi is not None:
+        out = out.filter(F.col(col) <= hi)
+    return out
