@@ -133,3 +133,41 @@ def test_upsert_snapshot_latest_wins_across_batches(spark, sf_small, tmp_path):
     upsert_snapshot(stream2, snap, ckpt, ["user_id"], ["ts", "event_id"])
     got2 = spark.read.parquet(snap)
     assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0
+
+
+def test_stream_to_versioned_table_exactly_once(spark, sf_small, tmp_path):
+    """Streaming sink into a manifest table: each micro-batch commits one
+    append version stamped with its batch_id; replaying the SAME batches
+    (fresh checkpoint, same source) no-ops instead of duplicating rows."""
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        read_versioned,
+        table_versions,
+    )
+    from vtb_datafusion_2023_spark.streaming.events import read_events_stream
+    from vtb_datafusion_2023_spark.streaming.sinks import stream_to_versioned_table
+
+    t = str(tmp_path / "vt")
+    stream = read_events_stream(spark, sf_small).select("event_id", "user_id", "value")
+    stream_to_versioned_table(stream, t, str(tmp_path / "ck1"))
+
+    versions = table_versions(t)
+    assert versions, "no versions committed"
+    n = read_versioned(spark, t).count()
+    assert n == spark.read.parquet(f"{sf_small}/events.parquet").count()
+
+    # same checkpoint: offsets already committed -> no new versions
+    stream_to_versioned_table(
+        read_events_stream(spark, sf_small).select("event_id", "user_id", "value"),
+        t,
+        str(tmp_path / "ck1"),
+    )
+    assert table_versions(t) == versions
+
+    # FRESH checkpoint (simulated reprocessing): batch ids repeat from 0,
+    # the manifest guard makes each a no-op -> identical row count
+    stream_to_versioned_table(
+        read_events_stream(spark, sf_small).select("event_id", "user_id", "value"),
+        t,
+        str(tmp_path / "ck2"),
+    )
+    assert read_versioned(spark, t).count() == n

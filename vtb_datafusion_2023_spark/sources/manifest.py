@@ -369,7 +369,7 @@ def read_versioned_pruned(
 
 
 def compact_versioned(
-    spark: SparkSession, table_dir: str, target_files: int = 8
+    spark: SparkSession, table_dir: str, target_files: int = 8, stats_cols: list[str] | None = None
 ) -> int:
     """Rewrite the LATEST version's data into ``target_files`` files and
     commit the result as a new version (same rows, fewer files).
@@ -383,7 +383,7 @@ def compact_versioned(
     """
     latest = read_versioned(spark, table_dir)
     return commit_versioned(
-        latest.repartition(target_files), table_dir, mode="overwrite"
+        latest.repartition(target_files), table_dir, mode="overwrite", stats_cols=stats_cols
     )
 
 

@@ -95,3 +95,68 @@ def upsert_snapshot(
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
+
+
+def stream_to_versioned_table(
+    sdf: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    stats_cols: list[str] | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Stream -> manifest-committed versioned table, EXACTLY-ONCE per
+    micro-batch: each batch append-commits one new table version whose
+    manifest records the source ``batch_id``; a batch replayed after a
+    checkpoint/commit race (Structured Streaming is at-least-once into
+    foreachBatch) finds its id already committed and no-ops instead of
+    appending duplicates.  This is the standard idempotent-sink contract
+    (the same txn-version guard Delta's streaming sink uses), on top of
+    the atomic one-object manifest publish — so a crash between data
+    staging and manifest publish also leaves no visible partial batch.
+
+    Every version stays time-travel readable; ``compact_versioned`` +
+    ``vacuum_versioned`` manage the file count as batches accumulate.
+    """
+    from ..sources.manifest import (
+        _read_manifest,
+        commit_versioned,
+        table_versions,
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        versions = table_versions(table_dir)
+        committed = set()
+        for v in versions:
+            m = _read_manifest(table_dir, v)
+            if "batch_id" in m:
+                committed.add(m["batch_id"])
+        if batch_id in committed:
+            return  # replay of an already-committed batch: exactly-once no-op
+        import json
+        import os
+
+        v = commit_versioned(df, table_dir, mode="append", stats_cols=stats_cols)
+        # stamp the batch id into the just-published manifest (single
+        # small-object rewrite; readers see either stamped or unstamped —
+        # both list the same data files)
+        from ..sources.manifest import _manifest_path
+
+        path = _manifest_path(table_dir, v)
+        with open(path) as f:
+            m = json.load(f)
+        m["batch_id"] = batch_id
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, path)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
