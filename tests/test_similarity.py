@@ -286,3 +286,38 @@ def test_lsh_pq_topk_arrow_expr_parity_and_membership(spark, sf_small):
         for r in lsh_ann_topk(emb, qs, k=10**6, n_planes=8).collect()
     }
     assert {(q, n) for q, n, _, _ in a} <= bucket_all
+
+
+def test_ivf_indexed_search_matches_in_memory_and_prunes_files(spark, sf_small, tmp_path):
+    """Persisted IVF index: ivf_search_indexed == ivf_topk on the same
+    deterministic centroids, and the search opens only the probed cells'
+    bucket files."""
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        ivf_search_indexed,
+        ivf_topk,
+        write_ivf_index,
+    )
+    from vtb_datafusion_2023_spark.sources.manifest import read_versioned
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, n_cells=8)
+
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_search_indexed(spark, idx, queries, k=5, n_probe=2).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # file pruning: the probed read opens fewer files than the full cells table
+    total_files = len(set(read_versioned(spark, idx + "/cells").inputFiles()))
+    from vtb_datafusion_2023_spark.sources.manifest import read_versioned_pruned
+
+    probed = read_versioned_pruned(spark, idx + "/cells", keys=[0])
+    assert len(set(probed.inputFiles())) < total_files

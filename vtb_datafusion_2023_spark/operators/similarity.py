@@ -926,3 +926,106 @@ def pq_dedup_clusters(
         .filter(F.col("cluster_size") > 1)
         .select(id_col, "rep_id", "cluster_size")
     )
+
+
+def _assign_cells(side: DataFrame, cents: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
+    """Rank centroids per vector (broadcast cross + window), keep the
+    nearest ``keep`` cell ids.  ``cents``: (_cid, _cv)."""
+    scored = side.crossJoin(broadcast(cents)).withColumn(
+        "_ccos", cosine(F.col(vecc), F.col("_cv"))
+    )
+    w = Window.partitionBy(idc).orderBy(F.col("_ccos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") <= keep)
+        .select(idc, vecc, "_cid")
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    centroids: DataFrame | None = None,
+) -> int:
+    """Persist an IVF index as a versioned table: centroids in
+    ``{index_dir}/centroids`` and the cell-assigned corpus in
+    ``{index_dir}/cells``, BUCKETED BY CELL ID — so a later search opens
+    only the probed cells' files (``read_versioned_pruned``), the
+    disk-level inverted-file contract.  Centroids default to the
+    deterministic first-``n_cells`` corpus vectors (``ivf_topk``'s
+    oracle-friendly scheme); pass ``ivf_train_centroids`` output for the
+    k-means production path.  Returns the cells-table version.
+
+    At 100 TB the index build is one broadcast assign + one bucketed
+    write; refreshing it for an append-only corpus is ``merge_into`` on
+    the new vectors' buckets.
+    """
+    import os
+
+    from ..sources.manifest import commit_versioned, commit_versioned_bucketed
+
+    if centroids is not None:
+        cents = centroids.select(F.col("cid").alias("_cid"), F.col("centroid").alias("_cv"))
+    else:
+        cents = corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("int").alias("_cid"), F.col(vec_col).alias("_cv")
+        )
+    commit_versioned(
+        cents.select(F.col("_cid").alias("cid"), F.col("_cv").alias("centroid")),
+        os.path.join(index_dir, "centroids"),
+    )
+    assigned = _assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvv")),
+        cents,
+        "neighbor_id",
+        "_cvv",
+        1,
+    ).select("_cid", "neighbor_id", "_cvv")
+    return commit_versioned_bucketed(
+        assigned, os.path.join(index_dir, "cells"), key_col="_cid", n_buckets=n_cells
+    )
+
+
+def ivf_search_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index: assign queries to their ``n_probe``
+    nearest stored centroids, then read ONLY those cells' data files
+    (bucket-pruned point read) and exact-rerank with cosine.  Identical
+    results to ``ivf_topk`` with the same centroids — certified by
+    equivalence test — but the corpus scan cost is ``n_probe/n_cells`` of
+    the files on disk, not a full-table read.
+    """
+    import os
+
+    from ..sources.manifest import read_versioned, read_versioned_pruned
+
+    cents = read_versioned(spark, os.path.join(index_dir, "centroids")).select(
+        F.col("cid").alias("_cid"), F.col("centroid").alias("_cv")
+    )
+    q_cells = _assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        cents,
+        "query_id",
+        "_qv",
+        n_probe,
+    )
+    probed = [r["_cid"] for r in q_cells.select("_cid").distinct().collect()]
+    cells = read_versioned_pruned(spark, os.path.join(index_dir, "cells"), keys=probed)
+    cand = q_cells.join(cells, "_cid").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cvv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
+    )
