@@ -519,6 +519,21 @@ def decode_media(payload: bytes) -> dict:
         img = decode_jpeg(payload)  # baseline or progressive
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         img = decode_gif(payload)  # first frame
+    elif payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        samples, rate = decode_flac(payload)
+        x = samples.astype(np.float64)
+        return {
+            "width": int(samples.shape[0]),
+            "height": int(samples.shape[1]),
+            "feature": [
+                float(np.sqrt(np.mean(x**2))),
+                float(x.mean()),
+                float(len(samples)),
+                float(rate),
+            ],
+        }
     else:
         raise NotImplementedError(f"unknown media container (magic {payload[:4]!r})")
     x = img.astype(np.float64)

@@ -1,0 +1,405 @@
+"""FLAC codec in pure numpy + stdlib, from the public format spec
+(RFC 9639 / xiph.org FLAC format): LOSSLESS audio — unlike the G.711 /
+ADPCM paths, decode(encode(x)) == x exactly, so the whole codec chain is
+certified by bitwise round-trips and a closed-form oracle needs no
+quantizer replay.
+
+Implemented:
+- container: "fLaC" magic + STREAMINFO metadata block (+ skipping any
+  other metadata blocks on read),
+- frames: sync code, blocking strategy, block-size/sample-rate codes
+  (incl. end-of-header 8/16-bit block-size escapes), UTF-8-coded frame
+  number, CRC-8 header check and CRC-16 frame check (both verified on
+  decode),
+- subframes: CONSTANT, VERBATIM, FIXED orders 0-4, and LPC (quantized
+  coefficients + shift) — the full decode surface; the encoder emits
+  CONSTANT / FIXED with per-frame order search, which is what a real
+  encoder uses for most material,
+- residuals: 4-bit (method 0) and 5-bit (method 1) Rice partitions,
+  partition orders 0-15, zigzag signed mapping, and the all-raw escape
+  parameter.
+
+Channel assignments: independent channels only (mono/stereo); the
+stereo-decorrelation assignments (left/side, right/side, mid/side)
+raise NotImplementedError with the assignment id — an honest gate, not
+a silent wrong answer.
+
+Scale note: like the other codecs this runs inside Arrow-batched
+``mapInPandas`` stages (``multimodal.media_features``): per-payload
+work, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8+x^2+x+1 (0x07), init 0 (FLAC header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 with polynomial 0x8005, init 0 (FLAC frame CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        while bits:
+            avail = 8 - self.bit
+            take = min(bits, avail)
+            cur = self.data[self.byte]
+            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            bits -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    return np.where(res >= 0, res << 1, (-res << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (extended to 36 bits).
+    A k-byte form carries (7-k) + 6*(k-1) = 5k+1 payload bits."""
+    if n < 0x80:
+        return bytes([n])
+    k = next(k for k in range(2, 8) if n < (1 << (5 * k + 1)))
+    out = [((0xFF << (8 - k)) & 0xFF) | (n >> (6 * (k - 1)))]
+    for i in range(k - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    n = first & (mask - 1)
+    for _ in range(nbytes - 1):
+        n = (n << 6) | (br.read(8) & 0x3F)
+    return n
+
+
+def _rice_encode(bw: _BitWriter, res: np.ndarray, param: int) -> None:
+    for u in _zigzag(res.astype(np.int64)):
+        u = int(u)
+        bw.write_unary(u >> param)
+        if param:
+            bw.write(u & ((1 << param) - 1), param)
+
+
+def _best_rice_param(res: np.ndarray, max_param: int = 14) -> int:
+    u = _zigzag(res.astype(np.int64))
+    best, best_bits = 0, None
+    for p in range(max_param + 1):
+        bits = int(np.sum(u >> p)) + len(u) * (p + 1)
+        if best_bits is None or bits < best_bits:
+            best, best_bits = p, bits
+    return best
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int = 16000, block_size: int = 4096) -> bytes:
+    """int16 mono/stereo PCM -> FLAC bytes (independent channels,
+    CONSTANT/FIXED subframes with order search, one Rice partition)."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    bps = 16
+
+    info = _BitWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(ch - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(n, 36)
+    streaminfo = info.bytes() + b"\x00" * 16  # md5 unset (all-zero = unknown)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo  # last block
+
+    for frame_i, off in enumerate(range(0, n, block_size)):
+        blk = s[off : off + block_size]
+        bs = blk.shape[0]
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocksize strategy
+        bw.write(0b0111, 4)  # block size: 16-bit at end of header
+        bw.write(0b0000, 4)  # sample rate: from STREAMINFO
+        bw.write(ch - 1, 4)  # independent channels
+        bw.write(0b100, 3)  # 16 bps
+        bw.write(0, 1)  # reserved
+        for b in _utf8_number(frame_i):
+            bw.write(b, 8)
+        bw.write(bs - 1, 16)
+        bw.align()
+        header = bw.bytes()
+        bw = _BitWriter()
+        for b in header:
+            bw.write(b, 8)
+        bw.write(_crc8(header), 8)
+
+        for c in range(ch):
+            x = blk[:, c]
+            if np.all(x == x[0]):
+                bw.write(0, 1)
+                bw.write(0b000000, 6)  # CONSTANT
+                bw.write(0, 1)  # no wasted bits
+                bw.write(int(x[0]) & 0xFFFF, bps)
+                continue
+            # fixed-predictor order search (0-2 is where the mass is)
+            best_o, best_res, best_cost = 0, x, None
+            for o in range(0, 3):
+                if bs <= o:
+                    break
+                res = x.copy()
+                for _ in range(o):
+                    res = np.diff(res)
+                cost = int(np.sum(np.abs(res)))
+                if best_cost is None or cost < best_cost:
+                    best_o, best_res, best_cost = o, res, cost
+            o, res = best_o, best_res
+            bw.write(0, 1)
+            bw.write(0b001000 | o, 6)  # FIXED, order o
+            bw.write(0, 1)
+            for w in x[:o]:
+                bw.write(int(w) & 0xFFFF, bps)
+            bw.write(0b00, 2)  # rice method 0 (4-bit params)
+            bw.write(0, 4)  # partition order 0
+            p = _best_rice_param(res)
+            bw.write(p, 4)
+            _rice_encode(bw, res, p)
+        bw.align()
+        body = bw.bytes()
+        out += body + struct.pack(">H", _crc16(body))
+    return bytes(out)
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> (samples[n, channels] int32, sample_rate).  Verifies
+    header CRC-8 and frame CRC-16."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = data[pos]
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if hdr & 0x7F == 0:
+            streaminfo = data[pos + 4 : pos + 4 + length]
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    br = _BitReader(streaminfo)
+    br.read(16)
+    br.read(16)
+    br.read(24)
+    br.read(24)
+    sample_rate = br.read(20)
+    ch = br.read(3) + 1
+    bps = br.read(5) + 1
+    total = br.read(36)
+
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    while pos < len(data) and (total == 0 or len(chans[0]) < total):
+        frame_start = pos
+        br = _BitReader(data, pos)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError(f"bad frame sync at {pos}")
+        br.read(1)
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_asgn = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)
+        _read_utf8_number(br)
+        if bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 0b0010)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 0b1000)
+        else:
+            raise ValueError(f"reserved block-size code {bs_code}")
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        br.align()
+        hdr_len = br.byte - frame_start
+        if _crc8(data[frame_start : frame_start + hdr_len]) != data[br.byte]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        br.read(8)  # the CRC byte
+
+        if ch_asgn >= 0b1000:
+            raise NotImplementedError(
+                f"FLAC stereo-decorrelation channel assignment {ch_asgn} unsupported"
+            )
+        n_sub = ch_asgn + 1
+        frame_bps = {
+            0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32,
+        }.get(ss_code, bps)
+
+        for c in range(n_sub):
+            if br.read(1) != 0:
+                raise ValueError("subframe pad bit set")
+            stype = br.read(6)
+            wasted = 0
+            if br.read(1):
+                wasted = 1 + br.read_unary()
+            sbps = frame_bps - wasted
+            if stype == 0:
+                v = br.read_signed(sbps)
+                vals = [v] * bs
+            elif stype == 1:
+                vals = [br.read_signed(sbps) for _ in range(bs)]
+            elif 8 <= stype <= 12 or stype >= 32:
+                if stype >= 32:
+                    order = (stype & 31) + 1
+                    warm = [br.read_signed(sbps) for _ in range(order)]
+                    prec = br.read(4) + 1
+                    shift = br.read_signed(5)
+                    coefs = [br.read_signed(prec) for _ in range(order)]
+                else:
+                    order = stype - 8
+                    warm = [br.read_signed(sbps) for _ in range(order)]
+                    coefs, shift = _FIXED_COEFS[order], 0
+                res = _read_residual(br, bs, order)
+                vals = list(warm)
+                for i in range(order, bs):
+                    pred = sum(coefs[j] * vals[i - 1 - j] for j in range(order))
+                    vals.append(res[i - order] + (pred >> shift))
+            else:
+                raise ValueError(f"reserved subframe type {stype}")
+            if wasted:
+                vals = [v << wasted for v in vals]
+            chans[c].extend(vals)
+        br.align()
+        body_len = br.byte - frame_start
+        (crc,) = struct.unpack_from(">H", data, br.byte)
+        if _crc16(data[frame_start : frame_start + body_len]) != crc:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.byte + 2
+
+    arr = np.array(chans, dtype=np.int64).T
+    if total:
+        arr = arr[:total]
+    return arr.astype(np.int32), sample_rate
+
+
+def _read_residual(br: _BitReader, bs: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    out: list[int] = []
+    nparts = 1 << po
+    for part in range(nparts):
+        count = (bs >> po) - (order if part == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            out.extend(br.read_signed(raw) if raw else 0 for _ in range(count))
+        else:
+            for _ in range(count):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                out.append(_unzigzag(u))
+    return out

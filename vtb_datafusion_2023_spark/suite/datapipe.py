@@ -2524,3 +2524,60 @@ def agg_incremental_cms(spark, sf_dir):
     merged = merge_cms_partials([s1, s2], [])
     probes = ev.select("event_type").distinct()
     return cms_estimate(merged, probes, "event_type")
+
+
+@register(
+    "mm_audio_flac",
+    oracle=f"""
+select d.doc_id,
+       cast({_WAV_N} as bigint) as n_samples,
+       cast(sum((d.doc_id*13 + g.i*17) % 65536 - 32768) as bigint) as amp_sum,
+       cast(sum(abs((d.doc_id*13 + g.i*17) % 65536 - 32768)) as bigint) as abs_sum
+from documents d
+cross join (select i.range as i from range({_WAV_N}) i) g
+group by d.doc_id
+""",
+    survey_ref="multimodal-decode",
+    doc="REAL FLAC decode (operators/flac.py: rice-coded fixed/LPC "
+    "subframes, CRC-8/16 verified): per-doc int16 waveform encoded to a "
+    "valid FLAC stream and decoded back.  FLAC is LOSSLESS, so the "
+    "oracle is the ORIGINAL closed-form sample sums — any coding error "
+    "anywhere in the chain breaks the hash.",
+)
+def mm_audio_flac(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    from ..operators.flac import decode_flac, encode_flac
+
+    n = _WAV_N
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType(), False),
+            T_.StructField("n_samples", T_.LongType(), True),
+            T_.StructField("amp_sum", T_.LongType(), True),
+            T_.StructField("abs_sum", T_.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                samples = ((int(doc_id) * 13 + idx * 17) % 65536 - 32768).astype(np.int16)
+                back, _ = decode_flac(encode_flac(samples, 16000, block_size=32))
+                flat = back.ravel().astype(np.int64)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": int(flat.shape[0]),
+                        "amp_sum": int(flat.sum()),
+                        "abs_sum": int(np.abs(flat).sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_samples", "amp_sum", "abs_sum"])
+
+    return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
