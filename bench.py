@@ -49,6 +49,8 @@ HEADLINE = [
     "gr_triangles",
     "mm_decode_gif",
     "mm_audio_g711",
+    "mm_audio_flac",
+    "pipeline_corpus_prep",
 ]
 
 

@@ -2581,3 +2581,109 @@ def mm_audio_flac(spark, sf_dir):
             yield pd.DataFrame(out, columns=["doc_id", "n_samples", "amp_sum", "abs_sum"])
 
     return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+
+
+_PREP_W = 5
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+with corpus0 as (
+  select doc_id, text from documents where doc_id % 97 <> 0
+),
+bench as (
+  select distinct g
+  from (select unnest({_DUCK_TRIGRAMS}) as g
+        from (select string_split(text, ' ') as ws
+              from documents where doc_id % 97 = 0))
+),
+q as (
+  select doc_id, text from (
+    select doc_id, text, str_split(text, ' ') as ws from corpus0)
+  where len(ws) between 20 and 200
+    and (len(ws) - len(list_distinct(ws))) / cast(len(ws) as double) < 0.4
+),
+reps as (
+  select min(doc_id) as doc_id from q group by md5(text)
+),
+s2 as (select q.doc_id, q.text from q join reps using (doc_id)),
+toks as (
+  select doc_id, str_split(text, ' ') as t, len(str_split(text, ' ')) as n from s2
+),
+wins as (
+  select doc_id,
+         unnest(case when n >= {_PREP_W} then generate_series(1, n-{_PREP_W}+1) else [] end) as p,
+         unnest([md5(array_to_string(t[p:p+{_PREP_W}-1], ' '))
+                 for p in (case when n >= {_PREP_W} then generate_series(1, n-{_PREP_W}+1) else [] end)]) as h
+  from toks
+),
+flagged as (
+  select doc_id, p from (
+    select doc_id, p, row_number() over (partition by h order by doc_id, p) as rn
+    from wins) where rn >= 2
+),
+flags as (
+  select doc_id,
+         list_distinct(flatten([generate_series(s, s+{_PREP_W}-1) for s in list_sort(list(p))])) as cov
+  from flagged group by doc_id
+),
+sd as (
+  select t.doc_id,
+         coalesce(array_to_string([t.t[i] for i in generate_series(1, t.n)
+                          if not list_contains(coalesce(f.cov, []), i)], ' '), '') as text_final,
+         cast(len(coalesce(f.cov, [])) as bigint) as n_removed
+  from toks t left join flags f using (doc_id)
+),
+bad as (
+  select distinct doc_id
+  from (select doc_id, unnest({_DUCK_TRIGRAMS}) as g
+        from (select doc_id, string_split(text_final, ' ') as ws from sd)) grams
+  join bench using (g)
+)
+select doc_id,
+       cast(('0x' || substring(md5(cast(doc_id as varchar) || ':ep1'), 1, 8)) as bigint) % 4 as shard,
+       cast(row_number() over (
+           partition by cast(('0x' || substring(md5(cast(doc_id as varchar) || ':ep1'), 1, 8)) as bigint) % 4
+           order by md5(cast(doc_id as varchar) || ':ep1'), doc_id
+       ) as bigint) - 1 as pos,
+       n_removed, text_final
+from sd
+where doc_id not in (select doc_id from bad)
+""",
+    survey_ref="pipeline-corpus-prep",
+    doc="FLAGSHIP training-corpus prep, end-to-end in ONE certified "
+    "query: quality gate (token count + duplicate-token ratio) -> exact "
+    "dedup (min-id representative per md5) -> exact substring dedup "
+    "(5-token windows, first-site-wins) -> benchmark decontamination "
+    "(word-trigram overlap, broadcast ban set) -> deterministic epoch "
+    "shard/position assignment.  Every stage is the already-certified "
+    "operator; the oracle replays the whole chain in DuckDB, so stage "
+    "INTERACTIONS (column flow, survivor sets, order) are hash-gated "
+    "too, not just the stages in isolation.",
+)
+def pipeline_corpus_prep(spark, sf_dir):
+    from ..operators.dedup import exact_dedup, substring_dedup
+    from ..operators.filtering import shard_assign
+    from ..operators.text import decontaminate_drop
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    dup_ratio = (n - F.size(F.array_distinct(toks))) / n.cast("double")
+    q = corpus.filter((n >= 20) & (n <= 200) & (dup_ratio < 0.4))
+
+    reps = exact_dedup(q, "doc_id", ["text"]).select(F.col("keep_id").alias("doc_id"))
+    s2 = q.join(reps, "doc_id")
+
+    sd = substring_dedup(s2, window_tokens=_PREP_W).withColumnRenamed(
+        "text_dedup", "text_final"
+    )
+    s4 = decontaminate_drop(
+        sd, bench.withColumnRenamed("text", "text_final"), "doc_id", "text_final", n=3
+    )
+    out = shard_assign(s4, "doc_id", n_shards=4, salt="ep1")
+    return out.select("doc_id", "shard", "pos", "n_removed", "text_final")
