@@ -118,6 +118,10 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kt"),
     )
+    # the oriented edge set is referenced three times (both wedge sides +
+    # the closure probe); materialize it once instead of re-planning the
+    # distinct + degree join lineage per reference
+    oriented = oriented.localCheckpoint(eager=True)
     p = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_b"), F.col("kt").alias("w_kb"))
     q = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_c"), F.col("kt").alias("w_kc"))
     wedges = p.join(q, on="w_s").filter(F.col("w_kb") < F.col("w_kc"))

@@ -226,7 +226,11 @@ def bloom_semi_join(
     n = max(n, 1)
     num_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     k = num_hashes if num_hashes is not None else max(1, round(num_bits / n * math.log(2)))
-    bloom = bloom_build(dim, dim_key, num_bits, k)
+    # materialize the bitmap once: without this each of the k broadcast
+    # probes re-plans the dim scan + bitmap aggregation (k extra scans in
+    # the initial plan); the bitmap is <= num_bits/64 rows by design, so
+    # the checkpoint is tiny
+    bloom = bloom_build(dim, dim_key, num_bits, k).localCheckpoint(eager=True)
     pruned = bloom_prune(fact, bloom, fact_key, num_bits, k)
     cond = pruned[fact_key] == dim[dim_key]
     return pruned.join(dim, on=cond, how=how)
