@@ -79,3 +79,44 @@ def test_versioned_source_latest_and_time_travel(spark, tmp_path):
         f"create or replace temporary view vt using versioned options (path '{t}')"
     )
     assert spark.sql("select count(*) n from vt").collect()[0].n == 150
+
+
+def test_media_source_streams_new_files_incrementally(spark, tmp_path):
+    """format('media') as a streaming source: batch 1 sees the initial
+    files, batch 2 only the file added afterwards; restart from the
+    checkpoint re-reads nothing."""
+    import numpy as np
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    (d / "0001.png").write_bytes(encode_png(rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)))
+    (d / "0002.gif").write_bytes(encode_gif(rng.integers(0, 256, (3, 3)).astype(np.uint8)))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("media")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    first = {os.path.basename(r.path) for r in spark.read.parquet(out).collect()}
+    assert first == {"0001.png", "0002.gif"}
+
+    (d / "0003.png").write_bytes(encode_png(rng.integers(0, 256, (6, 6, 3)).astype(np.uint8)))
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    names = sorted(os.path.basename(r.path) for r in rows)
+    assert names == ["0001.png", "0002.gif", "0003.png"]  # no re-reads
+
+    run_once()  # nothing new
+    assert spark.read.parquet(out).count() == 3

@@ -29,7 +29,12 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _MEDIA_EXTS = (".png", ".bmp", ".ppm", ".pgm", ".gif", ".wav", ".jpg", ".jpeg")
 
@@ -93,6 +98,44 @@ def _sniff(payload: bytes) -> str:
     return "unknown"
 
 
+class MediaDirStreamReader(SimpleDataSourceStreamReader):
+    """Incremental (autoloader-style) media ingestion: each micro-batch
+    decodes only files that appeared since the last committed offset.
+
+    The offset is the lexicographically-greatest path already processed —
+    correct for append-only landing zones with monotonically-named files
+    (upload timestamps, ULIDs); a mtime-based offset would need a
+    monotonic clock across writers.  Structured Streaming's checkpoint
+    persists the offset, so restarts resume exactly."""
+
+    def __init__(self, options):
+        self.inner = MediaDirReader(options)
+
+    def initialOffset(self):
+        return {"last_path": ""}
+
+    def read(self, start):
+        last = start["last_path"]
+        files = sorted(
+            p
+            for p in glob.glob(os.path.join(self.inner.path, "**", "*"), recursive=True)
+            if os.path.isfile(p) and p.lower().endswith(_MEDIA_EXTS) and p > last
+        )
+        rows = list(self.inner.read(MediaFilePartition(files)))
+        end = {"last_path": files[-1] if files else last}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start, end):
+        files = sorted(
+            p
+            for p in glob.glob(os.path.join(self.inner.path, "**", "*"), recursive=True)
+            if os.path.isfile(p)
+            and p.lower().endswith(_MEDIA_EXTS)
+            and start["last_path"] < p <= end["last_path"]
+        )
+        return self.inner.read(MediaFilePartition(files))
+
+
 class MediaDirSource(DataSource):
     @classmethod
     def name(cls):
@@ -106,6 +149,9 @@ class MediaDirSource(DataSource):
 
     def reader(self, schema):
         return MediaDirReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return MediaDirStreamReader(self.options)
 
 
 class VersionedFilePartition(InputPartition):
