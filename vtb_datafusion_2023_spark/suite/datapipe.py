@@ -2687,3 +2687,74 @@ def pipeline_corpus_prep(spark, sf_dir):
     )
     out = shard_assign(s4, "doc_id", n_shards=4, salt="ep1")
     return out.select("doc_id", "shard", "pos", "n_removed", "text_final")
+
+
+def _seasonal_anomaly_oracle() -> str:
+    from ..operators.analytics import seasonal_decompose_sql
+
+    trend, phase, seasonal = seasonal_decompose_sql("user_id", "event_id", "value", 24)
+    return f"""
+with s1 as (
+  select user_id, event_id, value, {trend} as trend, {phase} as phase
+  from events
+),
+s2 as (
+  select *, {seasonal} as seasonal from s1
+),
+s3 as (
+  select user_id, event_id, value, ((value) - trend - seasonal) as residual from s2
+),
+s4 as (
+  select *,
+         count(residual) over (partition by user_id) as _n,
+         {_res_sum} as _s1,
+         {_res_sum2} as _s2
+  from s3
+)
+select user_id, event_id, value, residual,
+       (abs(residual - _s1 / _n) > 3 * sqrt(
+          case when (_s2 / _n - (_s1 / _n) * (_s1 / _n)) < 0 then 0.0
+               else (_s2 / _n - (_s1 / _n) * (_s1 / _n)) end)) as is_anomaly
+from s4
+where residual is not null
+"""
+
+
+from .. import sqlgen as _sg
+
+_res_sum = _sg.dec_to_double(f"sum(cast((residual) as {_sg.DEC})) over (partition by user_id)")
+_res_sum2 = _sg.dec_to_double(
+    f"sum(cast((residual) * (residual) as {_sg.DEC})) over (partition by user_id)"
+)
+
+
+@register(
+    "an_seasonal_anomaly",
+    oracle=_seasonal_anomaly_oracle(),
+    survey_ref="ts-anomaly",
+    doc="seasonality-aware anomaly flags: decompose (trend+seasonal), "
+    "then mark rows whose residual deviates more than 3 population "
+    "sigmas from the per-user residual mean — all moments from "
+    "decimal-exact window sums, identical SQL text both engines, "
+    "bitwise incl. the boolean.",
+)
+def an_seasonal_anomaly(spark, sf_dir):
+    from ..operators.analytics import seasonal_decompose
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    dec = seasonal_decompose(ev, key="user_id", order="event_id", value="value", period=24)
+    s3 = dec.selectExpr("user_id", "event_id", "value", "residual")
+    s4 = s3.selectExpr(
+        "*",
+        "count(residual) over (partition by user_id) as _n",
+        f"{_res_sum} as _s1",
+        f"{_res_sum2} as _s2",
+    )
+    var = "(case when (_s2 / _n - (_s1 / _n) * (_s1 / _n)) < 0 then 0.0 else (_s2 / _n - (_s1 / _n) * (_s1 / _n)) end)"
+    return s4.filter(F.col("residual").isNotNull()).selectExpr(
+        "user_id",
+        "event_id",
+        "value",
+        "residual",
+        f"(abs(residual - _s1 / _n) > 3 * sqrt({var})) as is_anomaly",
+    )
