@@ -220,10 +220,13 @@ def cms_estimate(
     probe_pos = probes.select("*", pos).select(
         *probes.columns, F.col("_dp._d").alias(f"{prefix}_d"), F.col("_dp._p").alias(f"{prefix}_p")
     )
-    joined = state.join(
-        F.broadcast(probe_pos), on=[*keys, f"{prefix}_d", f"{prefix}_p"], how="right"
+    # the state is the broadcastable side by construction (<= width*depth
+    # cells per key group); probes LEFT-join it so missing cells read as 0
+    joined = probe_pos.join(
+        F.broadcast(state), on=[*keys, f"{prefix}_d", f"{prefix}_p"], how="left"
     )
-    return (
-        joined.groupBy(*[F.col(c) for c in probes.columns], *[F.col(k) for k in keys])
-        .agg(F.min(F.coalesce(F.col(f"{prefix}_n"), F.lit(0))).alias("est"))
+    # keyed probes carry the key columns themselves — group each name once
+    group_cols = list(dict.fromkeys([*probes.columns, *keys]))
+    return joined.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.min(F.coalesce(F.col(f"{prefix}_n"), F.lit(0))).alias("est")
     )
