@@ -486,6 +486,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # dispatch + feature extraction
 
 
+def _audio_features(samples: "np.ndarray", rate: int) -> dict:
+    """Shared audio feature dict for decode_media (WAV + FLAC branches):
+    rms/mean + sample-count/rate, width = n samples, height = channels."""
+    x = samples.astype(np.float64)
+    return {
+        "width": int(samples.shape[0]),
+        "height": int(samples.shape[1]),
+        "feature": [
+            float(np.sqrt(np.mean(x**2))),
+            float(x.mean()),
+            float(len(samples)),
+            float(rate),
+        ],
+    }
+
+
 def decode_media(payload: bytes) -> dict:
     """Sniff + decode a binary payload; the REAL ``media_features`` decoder.
 
@@ -502,17 +518,7 @@ def decode_media(payload: bytes) -> dict:
         img = decode_ppm(payload)
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, rate = decode_wav(payload)
-        x = samples.astype(np.float64)
-        return {
-            "width": int(samples.shape[0]),
-            "height": int(samples.shape[1]),
-            "feature": [
-                float(np.sqrt(np.mean(x**2))),
-                float(x.mean()),
-                float(len(samples)),
-                float(rate),
-            ],
-        }
+        return _audio_features(samples, rate)
     elif payload[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg
 
@@ -523,17 +529,7 @@ def decode_media(payload: bytes) -> dict:
         from .flac import decode_flac
 
         samples, rate = decode_flac(payload)
-        x = samples.astype(np.float64)
-        return {
-            "width": int(samples.shape[0]),
-            "height": int(samples.shape[1]),
-            "feature": [
-                float(np.sqrt(np.mean(x**2))),
-                float(x.mean()),
-                float(len(samples)),
-                float(rate),
-            ],
-        }
+        return _audio_features(samples, rate)
     else:
         raise NotImplementedError(f"unknown media container (magic {payload[:4]!r})")
     x = img.astype(np.float64)
@@ -580,9 +576,9 @@ def real_resize(payload: bytes, width: int, height: int) -> bytes:
 # ---------------------------------------------------------------------------
 # GIF (GIF87a/89a): LZW-compressed indexed color, from the public GIF spec.
 # Decode handles global/local color tables, interlacing, GCE transparency
-# metadata, and multi-frame files (returns the first frame; decode_media
-# reports frame count).  Encode writes a single-frame GIF87a with a real
-# variable-width LZW compressor.
+# metadata, and multi-frame files (decode_gif returns the first frame;
+# gif_frame_count counts frames without decoding pixels).  Encode writes a
+# single-frame GIF87a with a real variable-width LZW compressor.
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:

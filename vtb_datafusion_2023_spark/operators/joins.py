@@ -219,8 +219,18 @@ def bloom_semi_join(
     Result is exactly ``fact JOIN dim`` (bloom filters have no false
     negatives); the oracle for this operator is therefore the plain SQL
     join.
+
+    Inner/semi joins only: the prune drops fact rows with no dim match
+    BEFORE the join, which is exactly wrong for left/outer/anti
+    semantics (those rows must surface null-extended or as the result).
     """
     import math
+
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_semi_join supports inner/semi joins only, got {how!r} "
+            "(pruned fact rows would be missing from outer/anti results)"
+        )
 
     n = expected_items if expected_items is not None else dim.count()
     n = max(n, 1)

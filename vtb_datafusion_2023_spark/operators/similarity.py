@@ -196,25 +196,16 @@ def ivf_topk(
             F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
         )
 
-    def assign(side: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
-        scored = side.crossJoin(broadcast(cents)).withColumn(
-            "_ccos", cosine(F.col(vecc), F.col("_cv"))
-        )
-        w = Window.partitionBy(idc).orderBy(F.col("_ccos").desc(), F.col("_cid").asc())
-        return (
-            scored.withColumn("_crk", F.row_number().over(w))
-            .filter(F.col("_crk") <= keep)
-            .select(idc, vecc, "_cid")
-        )
-
-    c_cells = assign(
+    c_cells = _assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvv")),
+        cents,
         "neighbor_id",
         "_cvv",
         1,
     )
-    q_cells = assign(
+    q_cells = _assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        cents,
         "query_id",
         "_qv",
         n_probe,

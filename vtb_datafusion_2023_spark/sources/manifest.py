@@ -89,7 +89,11 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
 
 
 def commit_versioned(
-    df: DataFrame, table_dir: str, mode: str = "overwrite", stats_cols: list[str] | None = None
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Write ``df`` as a new committed version of ``table_dir``; returns
     the new version number.  ``mode='overwrite'`` snapshots just this
@@ -133,6 +137,10 @@ def commit_versioned(
     if mode == "append" and versions:
         files = _read_manifest(table_dir, versions[-1])["files"] + files
     manifest = {"version": version, "mode": mode, "files": files}
+    if manifest_extra:
+        # caller metadata (e.g. the streaming sink's batch_id txn guard)
+        # rides the SAME atomic publish — no stamp-after-commit window
+        manifest.update(manifest_extra)
     tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -445,13 +453,20 @@ def table_changes(
 ) -> DataFrame:
     """CDC between two committed versions of a versioned table (the
     Delta-style ``table_changes``): reads both manifests and diffs the
-    snapshots with :func:`cdc_diff`.  ``keys`` defaults to the table's
-    bucketing key when committed via ``commit_versioned_bucketed``."""
+    snapshots with :func:`cdc_diff`.  ``keys`` defaults to the bucketing
+    key of the versions being DIFFED (``to_version``, falling back to
+    ``from_version`` — not the latest manifest, which a later
+    un-bucketed compaction may have written)."""
     if keys is None:
-        m = _read_manifest(table_dir, table_versions(table_dir)[-1])
-        if "bucketing" not in m:
+        key = None
+        for v in (to_version, from_version):
+            m = _read_manifest(table_dir, v)
+            if "bucketing" in m:
+                key = m["bucketing"]["key_col"]
+                break
+        if key is None:
             raise ValueError("pass keys= for tables without a bucketing key")
-        keys = [m["bucketing"]["key_col"]]
+        keys = [key]
     return cdc_diff(
         read_versioned(spark, table_dir, version=from_version),
         read_versioned(spark, table_dir, version=to_version),

@@ -78,8 +78,11 @@ class MediaDirReader(DataSourceReader):
                     [float(x) for x in feat["feature"]],
                     None,
                 )
-            except NotImplementedError as e:
-                yield (p, _sniff(payload), None, None, None, str(e))
+            except Exception as e:  # noqa: BLE001 — corrupt files become
+                # typed error rows (ValueError/zlib.error/struct.error from
+                # truncated payloads), never task failures: one bad file in
+                # a 10M-file corpus must not kill the job
+                yield (p, _sniff(payload), None, None, None, f"{type(e).__name__}: {e}")
 
 
 def _sniff(payload: bytes) -> str:

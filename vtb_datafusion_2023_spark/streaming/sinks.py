@@ -123,32 +123,32 @@ def stream_to_versioned_table(
         table_versions,
     )
 
+    # incremental committed-batch cache: scan each manifest once per
+    # process, not once per micro-batch (a 10k-batch stream would
+    # otherwise re-parse 10k JSON files before every commit)
+    seen_versions: set[int] = set()
+    committed: set[int] = set()
+
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        versions = table_versions(table_dir)
-        committed = set()
-        for v in versions:
+        for v in table_versions(table_dir):
+            if v in seen_versions:
+                continue
+            seen_versions.add(v)
             m = _read_manifest(table_dir, v)
             if "batch_id" in m:
                 committed.add(m["batch_id"])
         if batch_id in committed:
             return  # replay of an already-committed batch: exactly-once no-op
-        import json
-        import os
-
-        v = commit_versioned(df, table_dir, mode="append", stats_cols=stats_cols)
-        # stamp the batch id into the just-published manifest (single
-        # small-object rewrite; readers see either stamped or unstamped —
-        # both list the same data files)
-        from ..sources.manifest import _manifest_path
-
-        path = _manifest_path(table_dir, v)
-        with open(path) as f:
-            m = json.load(f)
-        m["batch_id"] = batch_id
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, path)
+        # the batch id rides the atomic manifest publish itself, so there
+        # is no crash window between data commit and id stamp
+        commit_versioned(
+            df,
+            table_dir,
+            mode="append",
+            stats_cols=stats_cols,
+            manifest_extra={"batch_id": batch_id},
+        )
+        committed.add(batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(write_batch)

@@ -2095,10 +2095,6 @@ def dd_substring_dedup(spark, sf_dir):
 
 # G.711 quantizer replayed in integer-exact SQL (encode+decode closed form;
 # power(2, k) is exact in doubles for k <= 10)
-_ULAW_Q = """
-case when _s < 0 then -_q0 else _q0 end
-""".strip()
-
 _G711_SQL_PRE = f"""
 with g as (select i.range as i from range({_WAV_N}) i),
 samp as (
