@@ -120,3 +120,32 @@ def test_media_source_streams_new_files_incrementally(spark, tmp_path):
 
     run_once()  # nothing new
     assert spark.read.parquet(out).count() == 3
+
+
+def test_versioned_source_pushdown_prunes_partitions(spark, tmp_path):
+    """pushFilters + manifest zone maps: a narrow range plans only the
+    overlapping file's partition; every filter is still applied exactly."""
+    from vtb_datafusion_2023_spark.sources.manifest import commit_versioned
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        t = str(tmp_path / "zt")
+        df = spark.range(0, 10000).selectExpr("id as k", "id*2 as v").repartitionByRange(10, "k")
+        commit_versioned(df, t, stats_cols=["k"])
+
+        narrow = (spark.read.format("versioned").option("pushdown", "true")
+                  .load(t).filter("k >= 2500 and k <= 2600"))
+        got = sorted(r.k for r in narrow.collect())
+        assert got == list(range(2500, 2601))
+        assert narrow.rdd.getNumPartitions() <= 2
+        assert spark.read.format("versioned").load(t).rdd.getNumPartitions() == 10
+        # equality predicate prunes too
+        one = (spark.read.format("versioned").option("pushdown", "true")
+               .load(t).filter("k = 7777"))
+        assert one.rdd.getNumPartitions() == 1 and one.collect()[0].v == 15554
+        # disjoint range: zero partitions planned, empty result
+        none = (spark.read.format("versioned").option("pushdown", "true")
+                .load(t).filter("k > 99999"))
+        assert none.count() == 0
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")

@@ -168,27 +168,101 @@ class VersionedTableReader(DataSourceReader):
         if not self.table_dir:
             raise ValueError("versioned source requires .load(<table_dir>)")
         self.version = options.get("version")
+        self._pushed: list = []
+
+    def _keep(self, entry) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        if not isinstance(entry, dict):
+            return True
+        stats = entry.get("stats", {})
+        for f in self._pushed:
+            st = stats.get(f.attribute[0])
+            if st is None:
+                continue  # no zone map for this column: conservative keep
+            lo, hi = st
+            v = f.value
+            try:
+                if isinstance(f, EqualTo) and (v < lo or v > hi):
+                    return False
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and hi < v:
+                    return False
+                if isinstance(f, GreaterThan) and hi == v:
+                    return False
+                if isinstance(f, (LessThan, LessThanOrEqual)) and lo > v:
+                    return False
+                if isinstance(f, LessThan) and lo == v:
+                    return False
+            except TypeError:
+                continue  # incomparable types: conservative keep
+        return True
 
     def _files(self):
-        from .manifest import _file_names, _read_manifest, table_versions
+        from .manifest import _read_manifest, table_versions
 
         versions = table_versions(self.table_dir)
         if not versions:
             raise FileNotFoundError(f"no committed versions in {self.table_dir}")
         v = int(self.version) if self.version is not None else versions[-1]
         data = os.path.join(self.table_dir, "data")
-        return [os.path.join(data, f) for f in _file_names(_read_manifest(self.table_dir, v))]
+        m = _read_manifest(self.table_dir, v)
+        return [
+            os.path.join(data, e["name"] if isinstance(e, dict) else e)
+            for e in m["files"]
+            if self._keep(e)
+        ]
 
     def partitions(self):
-        return [VersionedFilePartition(p) for p in self._files()]
+        files = self._files()
+        # an empty partition list is rejected by the runner: when pruning
+        # eliminates every file, plan one no-op partition
+        return [VersionedFilePartition(p) for p in files] or [VersionedFilePartition(None)]
 
     def read(self, partition):
         # Arrow-batch fast path: the Python DataSource API accepts
         # pyarrow RecordBatches directly — no per-row Python objects
         import pyarrow.parquet as pq
 
+        if partition.path is None:
+            return
         for batch in pq.ParquetFile(partition.path).iter_batches():
             yield batch
+
+
+class VersionedTablePushdownReader(VersionedTableReader):
+    """Opt-in (``.option("pushdown", "true")`` + the session conf
+    ``spark.sql.python.filterPushdown.enabled=true``): accepts simple
+    range/equality predicates on single columns for ZONE-MAP file pruning
+    against the manifest's per-file min/max (tables committed with
+    ``stats_cols=``).  Opt-in because merely implementing ``pushFilters``
+    makes Spark REJECT the source while the session conf is off.
+
+    Every filter is handed back to Spark for exact row-level evaluation —
+    pruning here only skips files that cannot contain a match, so keeping
+    the filters post-scan is correct (and required: zone maps are
+    file-granular)."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and len(f.attribute) == 1:
+                self._pushed.append(f)
+            yield f  # Spark still applies every filter exactly
 
 
 class VersionedTableSource(DataSource):
@@ -208,6 +282,8 @@ class VersionedTableSource(DataSource):
         return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
 
     def reader(self, schema):
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return VersionedTablePushdownReader(self.options)
         return VersionedTableReader(self.options)
 
 
