@@ -950,3 +950,34 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
         assert abs(r.residual) < 2.0, (i, r.residual)
     # phases cycle correctly
     assert all(out[i].phase == i % period for i in range(n))
+
+
+def test_stupid_backoff_branch_closed_forms(spark):
+    """Each backoff branch against hand-computed values: seen trigram,
+    backed-off bigram, backed-off unigram, and OOV."""
+    import math
+
+    from vtb_datafusion_2023_spark.operators.text import stupid_backoff_logprob
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b d"), (2, "b d e")], "doc_id bigint, text string"
+    )
+    # train counts: tri: abc=1, bca=1, cab=1, abd=1, bde=1
+    #               bi: ab=2, bc=1, ca=1, bd=2, de=1 ; uni: a=3,b=3,c=2,d=2,e=1 N=9
+    ev = spark.createDataFrame(
+        [
+            (10, "a b c"),   # seen trigram: S = c(abc)/c(ab) = 1/2
+            (11, "c a e"),   # unseen tri 'cae', unseen bi 'ae' -> 0.4^2*c(e)/9
+            (12, "a b e"),   # unseen tri 'abe', seen bi 'be'? no: be unseen -> uni e
+            (13, "c b d"),   # unseen tri 'cbd', seen bi 'bd' -> 0.4*c(bd)/c(b)
+            (14, "a b zz"),  # OOV w3 -> 0.4^2 * 1/9
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.n_scored, r.sb_surprisal)
+           for r in stupid_backoff_logprob(ev, train=train).collect()}
+    assert got[10] == (1, -math.log(1 / 2))
+    assert abs(got[11][1] - -(2 * math.log(0.4) + math.log(1 / 9))) < 1e-12
+    assert abs(got[12][1] - -(2 * math.log(0.4) + math.log(1 / 9))) < 1e-12
+    assert abs(got[13][1] - -(math.log(0.4) + math.log(2 / 3))) < 1e-12
+    assert abs(got[14][1] - -(2 * math.log(0.4) + math.log(1) - math.log(9))) < 1e-12

@@ -708,3 +708,128 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         "n_tokens",
         (F.col("_lnn") - F.col("_s") / F.col("n_tokens")).alias("entropy"),
     )
+
+
+def stupid_backoff_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Stupid Backoff trigram LM surprisal (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — THE distributed n-gram LM:
+    no discounting state, just count ratios with a 0.4 backoff factor,
+    which is what made it MapReduce-trainable on trillions of tokens):
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)          if the trigram occurs
+                        0.4 * c(w2w3)/c(w2)        else if the bigram does
+                        0.4^2 * c(w3)/N            otherwise
+
+    Returns ``(id_col, n_scored, sb_surprisal)`` — mean ``-ln S`` over
+    positions 3..n (docs shorter than 3 tokens produce no row).
+
+    Distributed shape: three count tables (one hash agg each), four
+    equi-joins back to the position stream, then the module's bitwise
+    contract — ``ln`` ONLY at integer arguments via a driver-side libm
+    table over the distinct count values (broadcast), ``ln(0.4)`` as a
+    python-libm literal (DuckDB's ln agrees on the same double), and a
+    position-ordered fold per document.
+    """
+    import math
+
+    toks = F.split(F.col(text_col), " ")
+    train = train if train is not None else df
+    tbase = train.select(toks.alias("_t"), F.size(toks).alias("_n"))
+    base = df.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    pos = (
+        base.filter(F.col("_n") >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(3), F.col("_n")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.element_at("_t", i - 2).alias("w1"),
+                        F.element_at("_t", i - 1).alias("w2"),
+                        F.element_at("_t", i).alias("w3"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, "_g.pos", "_g.w1", "_g.w2", "_g.w3")
+    )
+    words = train.select(F.explode(toks).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total = words.count()
+    bi = (
+        tbase.filter(F.col("_n") >= 2)  # sequence(2, 1) would DESCEND
+        .select(F.explode(F.transform(F.sequence(F.lit(2), F.col("_n")), lambda i: F.struct(
+            F.element_at("_t", i - 1).alias("w1"), F.element_at("_t", i).alias("w2")
+        ))).alias("_b"))
+        .groupBy("_b.w1", "_b.w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tri = (
+        tbase.filter(F.col("_n") >= 3)
+        .select(F.explode(F.transform(F.sequence(F.lit(3), F.col("_n")), lambda i: F.struct(
+            F.element_at("_t", i - 2).alias("w1"),
+            F.element_at("_t", i - 1).alias("w2"),
+            F.element_at("_t", i).alias("w3"),
+        ))).alias("_r"))
+        .groupBy("_r.w1", "_r.w2", "_r.w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi.select(F.col("w1"), F.col("w2"), F.col("cb").alias("cb12")), ["w1", "w2"], "left")
+        .join(
+            bi.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("cb").alias("cb23")),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), ["w2"], "left")
+        .join(uni.select(F.col("w").alias("w3"), F.col("cu").alias("cu3")), ["w3"], "left")
+    )
+    # integer-argument libm ln over every distinct count value (bounded set)
+    vals = set()
+    for frame, col in ((tri, "c3"), (bi, "cb"), (uni, "cu")):
+        vals.update(r[0] for r in frame.select(col).distinct().collect())
+    spark = df.sparkSession
+    ln_map = {int(v): math.log(v) for v in vals}
+    lnt = spark.createDataFrame(sorted(ln_map.items()), "v bigint, lnv double")
+
+    def with_ln(frame, src, dst):
+        t = lnt.select(F.col("v").alias(src), F.col("lnv").alias(dst))
+        return frame.join(F.broadcast(t), [src], "left")
+
+    for src, dst in (("c3", "ln_c3"), ("cb12", "ln_cb12"), ("cb23", "ln_cb23"),
+                     ("cu2", "ln_cu2"), ("cu3", "ln_cu3")):
+        scored = with_ln(scored, src, dst)
+    ln_backoff = math.log(0.4)
+    ln_total = math.log(total)
+    lns = (
+        F.when(F.col("c3").isNotNull(), F.col("ln_c3") - F.col("ln_cb12"))
+        .when(
+            F.col("cb23").isNotNull(),
+            F.lit(ln_backoff) + F.col("ln_cb23") - F.col("ln_cu2"),
+        )
+        .otherwise(
+            # OOV unigram (unseen in train): pseudo-count 1 => ln 1 = 0
+            F.lit(ln_backoff) + F.lit(ln_backoff)
+            + F.coalesce(F.col("ln_cu3"), F.lit(0.0)) - F.lit(ln_total)
+        )
+    )
+    per = scored.select(id_col, "pos", lns.alias("_lns"))
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "_lns")))
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (
+            -F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(pos, _lns))),"
+                " x -> x._lns), cast(0 as double), (a, b) -> a + b)"
+            )
+            / F.count(F.lit(1))
+        ).alias("sb_surprisal"),
+    )

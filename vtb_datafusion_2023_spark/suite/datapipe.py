@@ -2754,3 +2754,73 @@ def an_seasonal_anomaly(spark, sf_dir):
         "residual",
         f"(abs(residual - _s1 / _n) > 3 * sqrt({var})) as is_anomaly",
     )
+
+
+@register(
+    "text_stupid_backoff",
+    oracle="""
+with tr as (
+  select str_split(text, ' ') as t, len(str_split(text, ' ')) as n
+  from documents where doc_id % 3 <> 0
+),
+ev as (
+  select doc_id, str_split(text, ' ') as t, len(str_split(text, ' ')) as n
+  from documents where doc_id % 3 = 0
+),
+pos as (
+  select doc_id,
+         unnest(generate_series(3, n)) as pos,
+         unnest([t[i-2] for i in generate_series(3, n)]) as w1,
+         unnest([t[i-1] for i in generate_series(3, n)]) as w2,
+         unnest([t[i] for i in generate_series(3, n)]) as w3
+  from ev where n >= 3
+),
+uni as (
+  select w, cast(count(*) as bigint) as cu
+  from (select unnest(t) as w from tr) group by w
+),
+tot as (select cast(sum(cu) as bigint) as n from uni),
+bi as (
+  select w1, w2, cast(count(*) as bigint) as cb from (
+    select unnest([t[i-1] for i in generate_series(2, n)]) as w1,
+           unnest([t[i] for i in generate_series(2, n)]) as w2
+    from tr where n >= 2) group by w1, w2
+),
+tri as (
+  select w1, w2, w3, cast(count(*) as bigint) as c3 from (
+    select unnest([t[i-2] for i in generate_series(3, n)]) as w1,
+           unnest([t[i-1] for i in generate_series(3, n)]) as w2,
+           unnest([t[i] for i in generate_series(3, n)]) as w3
+    from tr where n >= 3) group by w1, w2, w3
+),
+scored as (
+  select p.doc_id, p.pos,
+         case when tri.c3 is not null then ln(tri.c3) - ln(b12.cb)
+              when b23.cb is not null then ln(0.4) + ln(b23.cb) - ln(u2.cu)
+              else ln(0.4) + ln(0.4) + coalesce(ln(u3.cu), 0.0) - ln((select n from tot)) end as lns
+  from pos p
+  left join tri on tri.w1 = p.w1 and tri.w2 = p.w2 and tri.w3 = p.w3
+  left join bi b12 on b12.w1 = p.w1 and b12.w2 = p.w2
+  left join bi b23 on b23.w1 = p.w2 and b23.w2 = p.w3
+  left join uni u2 on u2.w = p.w2
+  left join uni u3 on u3.w = p.w3
+)
+select doc_id, cast(count(*) as bigint) as n_scored,
+       (-list_reduce(list(lns order by pos), (a, b) -> a + b) / count(*)) as sb_surprisal
+from scored group by doc_id
+""",
+    survey_ref="text-stupid-backoff",
+    doc="Stupid Backoff trigram LM surprisal (Brants et al. 2007 — the "
+    "MapReduce-era distributed n-gram LM: count ratios with a 0.4 "
+    "backoff, no discounting state) scored on a held-out third of the "
+    "corpus against counts from the rest, so the trigram->bigram->"
+    "unigram backoff chain actually fires.  Integer-argument libm logs, "
+    "position-ordered fold => bitwise incl. the backoff branches.",
+)
+def text_stupid_backoff(spark, sf_dir):
+    from ..operators.text import stupid_backoff_logprob
+
+    docs = T(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    ev = docs.filter(F.col("doc_id") % 3 == 0)
+    return stupid_backoff_logprob(ev, train=train)
