@@ -581,3 +581,25 @@ def test_cms_overestimate_and_merge_properties(spark):
     est_w = {r.v: r.est for r in cms_estimate(
         merge_cms_partials(parts_w, []), probes, "v").collect()}
     assert est_w == exact
+
+
+def test_write_parquet_bloom_embeds_filters(spark, tmp_path):
+    """The bloom-enabled writer embeds a split-block bloom per row group:
+    verified by the deterministic size delta (~1.2 bytes/ndv) vs an
+    identical plain write, and the data reads back identically."""
+    import glob
+    import os
+
+    from vtb_datafusion_2023_spark.sources.writers import write_parquet_bloom
+
+    df = spark.range(0, 50000).selectExpr("id as k", "id % 100 as v").coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.write.mode("overwrite").parquet(plain)
+    write_parquet_bloom(df, bloomed, ["k"], expected_ndv=50000)
+
+    size = lambda d: sum(os.path.getsize(p) for p in glob.glob(d + "/part-*.parquet"))
+    delta = size(bloomed) - size(plain)
+    assert delta > 20_000, delta  # ~50k-ndv filter is tens of KB
+    got = spark.read.parquet(bloomed).orderBy("k").collect()
+    want = spark.read.parquet(plain).orderBy("k").collect()
+    assert got == want

@@ -148,3 +148,26 @@ def compact_parquet(
     n = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
     spark.read.parquet(path).repartition(int(n)).write.mode("overwrite").parquet(out_path)
     return int(n)
+
+
+def write_parquet_bloom(
+    df: DataFrame, path: str, bloom_cols: list[str], expected_ndv: int = 100_000
+) -> None:
+    """Write parquet with PARQUET-LEVEL BLOOM FILTERS on ``bloom_cols``
+    (split-block bloom, parquet-format >= 2.9): point-lookup readers
+    (Spark, Trino, Impala...) skip whole row groups whose filter proves
+    the key absent — the storage-side sibling of the engine's
+    ``bloom_semi_join``, and the difference between opening every row
+    group of a 100 TB table and touching only candidates for an
+    equality probe.
+
+    Size the filter with ``expected_ndv`` ~ the column's per-file
+    distinct count: too low inflates false positives (reads anyway), too
+    high wastes footer bytes (~1.2 bytes/ndv).
+    """
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    w.parquet(path)

@@ -2824,3 +2824,26 @@ def text_stupid_backoff(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 3 != 0)
     ev = docs.filter(F.col("doc_id") % 3 == 0)
     return stupid_backoff_logprob(ev, train=train)
+
+
+@register(
+    "dp_pseudonymize",
+    oracle="""
+select event_id,
+       case when user_id is not null
+            then md5('s3cr3t' || ':' || cast(user_id as varchar)) end as user_id,
+       case when event_type is not null
+            then md5('s3cr3t' || ':' || event_type) end as event_type,
+       value
+from events
+""",
+    survey_ref="dp-pseudonymize",
+    doc="keyed pseudonymization (cleaning.pseudonymize): md5(secret:value) "
+    "tokens — deterministic so cross-table joins survive, irreversible "
+    "without the secret, NULLs preserved; pure codegen projection.",
+)
+def dp_pseudonymize(spark, sf_dir):
+    from ..operators.cleaning import pseudonymize
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    return pseudonymize(ev, ["user_id", "event_type"], secret="s3cr3t")
