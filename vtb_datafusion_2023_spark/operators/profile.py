@@ -243,3 +243,23 @@ def psi_from_counts(ca: DataFrame, cb: DataFrame, edges: list[float]) -> DataFra
     return detailed.crossJoin(F.broadcast(psi)).select(
         "bin", "n_a", "n_b", "p_a", "p_b", "term", "psi"
     )
+
+
+def k_anonymity(df, quasi_cols: list[str], k: int = 5):
+    """k-anonymity audit over a quasi-identifier combination: every row's
+    equivalence class (identical quasi-identifier tuple) and whether it
+    meets the ``k`` threshold.  Returns one row per class:
+    ``(quasi_cols..., class_size, at_risk)`` — ``at_risk`` classes are
+    re-identifiable cohorts a release must generalize or suppress.
+
+    One hash aggregate; with :func:`~..operators.cleaning.pseudonymize`
+    this is the engine's release-safety pair: tokenize direct
+    identifiers, then PROVE the quasi-identifiers don't single anyone
+    out.
+    """
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.count(F.lit(1)) < k).alias("at_risk"),
+    )

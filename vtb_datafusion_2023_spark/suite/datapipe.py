@@ -2847,3 +2847,28 @@ def dp_pseudonymize(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     return pseudonymize(ev, ["user_id", "event_type"], secret="s3cr3t")
+
+
+@register(
+    "dp_k_anonymity",
+    oracle="""
+select event_type, cast(value % 10 as bigint) as value_band,
+       cast(count(*) as bigint) as class_size,
+       (count(*) < 50) as at_risk
+from (select event_type, cast(floor(value) as bigint) as value from events)
+group by event_type, cast(value % 10 as bigint)
+""",
+    survey_ref="dp-k-anonymity",
+    doc="k-anonymity audit (profile.k_anonymity): equivalence-class sizes "
+    "over a quasi-identifier combo with an at-risk flag — the release-"
+    "safety check paired with pseudonymize.  One hash aggregate.",
+)
+def dp_k_anonymity(spark, sf_dir):
+    from ..operators.profile import k_anonymity
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value")).cast("bigint").alias("value"))
+        .select("event_type", (F.col("value") % 10).cast("bigint").alias("value_band"))
+    )
+    return k_anonymity(ev, ["event_type", "value_band"], k=50)
