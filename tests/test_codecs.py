@@ -349,3 +349,78 @@ def test_gif_media_features_dispatch():
     x = np.stack([g] * 3, -1).astype(np.float64)
     assert f["width"] == 20 and f["height"] == 12
     assert abs(f["feature"][0] - x.mean()) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+
+
+def test_tiff_roundtrip_matrix():
+    """Gray + RGB x none/LZW/PackBits x both byte orders; LZW uses the
+    horizontal-differencing predictor (the spec pairing)."""
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, (33, 47)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (21, 17, 3)).astype(np.uint8)
+    for img, want in ((g, g[:, :, None]), (rgb, rgb)):
+        for comp in (1, 5, 32773):
+            for be in (False, True):
+                pred = 2 if comp == 5 else 1
+                enc = C.encode_tiff(img, compression=comp, predictor=pred, big_endian=be)
+                assert enc[:2] == (b"MM" if be else b"II")
+                assert np.array_equal(C.decode_tiff(enc), want), (comp, be)
+
+
+def test_tiff_lzw_early_change_and_reclear():
+    """60k random bytes drive the code width through 9->10->11->12 and a
+    mid-stream re-clear; smooth runs exercise long matches."""
+    rng = np.random.default_rng(22)
+    data = bytes(rng.integers(0, 256, 60000).astype(np.uint8))
+    assert C._tiff_lzw_decode(C._tiff_lzw_encode(data), len(data)) == data
+    runs = bytes(np.repeat(rng.integers(0, 5, 3000), rng.integers(1, 50, 3000)).astype(np.uint8))
+    assert C._tiff_lzw_decode(C._tiff_lzw_encode(runs), len(runs)) == runs
+
+
+def test_tiff_multi_strip_decode():
+    """Hand-built 2-strip uncompressed file (RowsPerStrip < height): the
+    decoder must reassemble strips in order."""
+    import struct
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (8, 10)).astype(np.uint8)
+    top, bottom = img[:5].tobytes(), img[5:].tobytes()
+    e = "<"
+    n_tags = 10
+
+    def tag(t, typ, cnt, val):
+        head = struct.pack(f"{e}HHI", t, typ, cnt)
+        if typ == 3 and cnt == 1:
+            return head + struct.pack(f"{e}H", val) + b"\x00\x00"
+        return head + struct.pack(f"{e}I", val)
+
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + n_tags * 12 + 4
+    strip_off_arr = arrays_off          # 2 LONGs
+    strip_cnt_arr = arrays_off + 8      # 2 LONGs
+    data_off = arrays_off + 16
+    entries = b"".join([
+        tag(256, 3, 1, 10), tag(257, 3, 1, 8), tag(258, 3, 1, 8),
+        tag(259, 3, 1, 1), tag(262, 3, 1, 1),
+        tag(273, 4, 2, strip_off_arr), tag(277, 3, 1, 1),
+        tag(278, 3, 1, 5), tag(279, 4, 2, strip_cnt_arr), tag(284, 3, 1, 1),
+    ])
+    blob = (
+        struct.pack(f"{e}2sHI", b"II", 42, ifd_off)
+        + struct.pack(f"{e}H", n_tags) + entries + struct.pack(f"{e}I", 0)
+        + struct.pack(f"{e}2I", data_off, data_off + len(top))
+        + struct.pack(f"{e}2I", len(top), len(bottom))
+        + top + bottom
+    )
+    assert np.array_equal(C.decode_tiff(blob), img[:, :, None])
+
+
+def test_tiff_media_features_dispatch():
+    rng = np.random.default_rng(24)
+    g = rng.integers(0, 256, (9, 12)).astype(np.uint8)
+    f = C.decode_media(C.encode_tiff(g, compression=5, predictor=2))
+    assert f["width"] == 12 and f["height"] == 9
+    assert abs(f["feature"][0] - g.astype(float).mean()) < 1e-12

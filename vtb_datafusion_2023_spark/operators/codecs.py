@@ -525,6 +525,8 @@ def decode_media(payload: bytes) -> dict:
         img = decode_jpeg(payload)  # baseline or progressive
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         img = decode_gif(payload)  # first frame
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        img = decode_tiff(payload)
     elif payload[:4] == b"fLaC":
         from .flac import decode_flac
 
@@ -805,3 +807,278 @@ def encode_gif(img: np.ndarray) -> bytes:
         blocks += chunk
     blocks.append(0)
     return head + desc + bytes(blocks) + b"\x3b"
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline TIFF 6.0 from the public spec): both byte orders, strip
+# organization, Compression 1 (none) / 32773 (PackBits) / 5 (TIFF-LZW with
+# MSB-first bit packing, 9->12-bit codes, "early change" width bumps) and
+# Predictor 2 (horizontal differencing).  Gray and RGB, 8 bits/sample.
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out.append(257 - run & 0xFF)  # -(run-1) as signed byte
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal stretch: until a 3-run starts (2-runs are cheaper literal)
+        j = i
+        while j + 1 < n and j - i < 127:
+            if j + 2 < n and data[j + 1] == data[j + 2] and (
+                j + 3 >= n or data[j + 3] == data[j + 1]
+            ):
+                break
+            j += 1
+        out.append(j - i)
+        out.extend(data[i : j + 1])
+        i = j + 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out.extend(data[i : i + n + 1])
+            i += n + 1
+        elif n > 128:
+            out.extend(bytes([data[i]]) * (257 - n))
+            i += 1
+        # n == 128: noop
+    if len(out) < expected:
+        raise ValueError(f"PackBits underrun: {len(out)}/{expected}")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW: MSB-first bits, clear=256/EOI=257, table grows
+    from 9-bit codes with the EARLY-CHANGE width bump (at 2^w - 1)."""
+    out = bytearray()
+    bits = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bits, nbits
+        bits = (bits << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bits >> nbits) & 0xFF)
+
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256, width)
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        elif next_code >= 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(257, width)
+    if nbits:
+        out.append((bits << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    bits = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(f"TIFF LZW underrun: {len(out)}/{expected}")
+            bits = (bits << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (bits >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"bad TIFF LZW code {code}")
+        out.extend(entry)
+        prev = entry
+        # early change, decoder side: the decoder's table trails the
+        # encoder's by ONE deferred entry, so it must widen one entry
+        # earlier than its own fill level suggests
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError(f"TIFF LZW underrun: {len(out)}/{expected}")
+    return bytes(out[:expected])
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: int = 1,
+    predictor: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Gray [h,w] or RGB [h,w,3] uint8 -> single-strip TIFF.
+    ``compression``: 1 none, 5 LZW, 32773 PackBits; ``predictor`` 2 =
+    horizontal differencing (LZW only, per the spec)."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    if predictor == 2:
+        raw = np.concatenate([a[:, :1, :], np.diff(a.astype(np.int16), axis=1)], axis=1)
+        raw = (raw % 256).astype(np.uint8).tobytes()
+    else:
+        raw = a.tobytes()
+    if compression == 1:
+        strip = raw
+    elif compression == 5:
+        strip = _tiff_lzw_encode(raw)
+    elif compression == 32773:
+        strip = _packbits_encode(raw)
+    else:
+        raise ValueError(f"unsupported compression {compression}")
+
+    e = ">" if big_endian else "<"
+    n_tags = 11
+    ifd_off = 8
+    strip_off = ifd_off + 2 + n_tags * 12 + 4 + 2 * spp  # after IFD + BitsPerSample array
+
+    def tag(t: int, typ: int, cnt: int, val: int) -> bytes:
+        head_ = struct.pack(f"{e}HHI", t, typ, cnt)
+        if typ == 3 and cnt == 1:
+            # inline values are LEFT-justified in the 4-byte slot: a
+            # count-1 SHORT occupies the first two bytes in EITHER order
+            return head_ + struct.pack(f"{e}H", val) + b"\x00\x00"
+        return head_ + struct.pack(f"{e}I", val)
+
+    bps_off = ifd_off + 2 + n_tags * 12 + 4
+    bps_val = bps_off if spp == 3 else 8  # inline when it fits (SHORT count 1)
+    entries = b"".join(
+        [
+            tag(256, 3, 1, w),
+            tag(257, 3, 1, h),
+            tag(258, 3, spp, bps_val),
+            tag(259, 3, 1, compression),
+            tag(262, 3, 1, 1 if spp == 1 else 2),  # BlackIsZero / RGB
+            tag(273, 4, 1, strip_off),
+            tag(277, 3, 1, spp),
+            tag(278, 3, 1, h),
+            tag(279, 4, 1, len(strip)),
+            tag(284, 3, 1, 1),  # chunky
+            tag(317, 3, 1, predictor),
+        ]
+    )
+    head = struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
+    ifd = struct.pack(f"{e}H", n_tags) + entries + struct.pack(f"{e}I", 0)
+    bps_arr = struct.pack(f"{e}3H", 8, 8, 8) if spp == 3 else b"\x00\x00"
+    return head + ifd + bps_arr + strip
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF -> [h, w, channels] uint8 (8-bit gray/RGB, strips, compression
+    none/LZW/PackBits, predictor 1/2, either byte order)."""
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(f"{e}I", data, 4)
+    (n_tags,) = struct.unpack_from(f"{e}H", data, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + i * 12
+        t, typ, cnt = struct.unpack_from(f"{e}HHI", data, off)
+        (val,) = struct.unpack_from(f"{e}I", data, off + 8)
+        if typ == 3 and cnt == 1:  # SHORT packs in the first 2 bytes
+            (val,) = struct.unpack_from(f"{e}H", data, off + 8)
+        tags[t] = (typ, cnt, val)
+
+    def arr(t: int, default=None) -> list[int]:
+        if t not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing tag {t}")
+            return default
+        typ, cnt, val = tags[t]
+        size, fmt = (2, "H") if typ == 3 else (4, "I")
+        if cnt * size <= 4:
+            out = [val]
+            if cnt == 2 and typ == 3:
+                out = list(struct.unpack_from(f"{e}2H", data, _tag_value_off(ifd_off, t, tags)))
+            return out[:cnt]
+        return list(struct.unpack_from(f"{e}{cnt}{fmt}", data, val))
+
+    def _tag_value_off(ifd_off: int, t: int, tags) -> int:
+        idx = sorted(tags).index(t)  # tags are written sorted per spec
+        return ifd_off + 2 + idx * 12 + 8
+
+    w = tags[256][2]
+    h = tags[257][2]
+    spp = tags.get(277, (3, 1, 1))[2]
+    comp = tags.get(259, (3, 1, 1))[2]
+    predictor = tags.get(317, (3, 1, 1))[2]
+    bps = arr(258, default=[8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"TIFF bits-per-sample {bps} unsupported (8 only)")
+    rows_per_strip = tags.get(278, (3, 1, h))[2]
+    offs = arr(273)
+    counts = arr(279)
+    raw = bytearray()
+    for i, (o, c) in enumerate(zip(offs, counts)):
+        rows = min(rows_per_strip, h - i * rows_per_strip)
+        expected = rows * w * spp
+        chunk = data[o : o + c]
+        if comp == 1:
+            raw.extend(chunk[:expected])
+        elif comp == 5:
+            raw.extend(_tiff_lzw_decode(chunk, expected))
+        elif comp == 32773:
+            raw.extend(_packbits_decode(chunk, expected))
+        else:
+            raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    a = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * w * spp).reshape(h, w, spp)
+    if predictor == 2:
+        a = np.cumsum(a.astype(np.int64), axis=1).astype(np.uint8).copy()
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    return a

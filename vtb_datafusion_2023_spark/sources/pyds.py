@@ -36,7 +36,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-_MEDIA_EXTS = (".png", ".bmp", ".ppm", ".pgm", ".gif", ".wav", ".jpg", ".jpeg")
+_MEDIA_EXTS = (".png", ".bmp", ".ppm", ".pgm", ".gif", ".wav", ".jpg", ".jpeg", ".tif", ".tiff")
 
 
 class MediaFilePartition(InputPartition):
@@ -98,6 +98,8 @@ def _sniff(payload: bytes) -> str:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 

@@ -2872,3 +2872,60 @@ def dp_k_anonymity(spark, sf_dir):
         .select("event_type", (F.col("value") % 10).cast("bigint").alias("value_band"))
     )
     return k_anonymity(ev, ["event_type", "value_band"], k=50)
+
+
+@register(
+    "mm_decode_tiff",
+    oracle=f"""
+select d.doc_id,
+       cast({_MM_W} as int) as width,
+       cast({_MM_H} as int) as height,
+       cast(sum((d.doc_id*5 + g.y*11 + g.x*3) % 256) as bigint) as pix_sum
+from documents d
+cross join (select y.range as y, x.range as x
+            from range({_MM_H}) y, range({_MM_W}) x) g
+group by d.doc_id
+""",
+    survey_ref="multimodal-decode",
+    doc="REAL TIFF decode (TIFF 6.0, operators/codecs.py): per-doc gray "
+    "pattern encoded with TIFF-LZW (MSB-first, early-change widths) + "
+    "horizontal-differencing predictor, decoded back; pixel sums "
+    "oracle-derived from the closed form.",
+)
+def mm_decode_tiff(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    from ..operators.codecs import decode_tiff, encode_tiff
+
+    w, h = _MM_W, _MM_H
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType(), False),
+            T_.StructField("width", T_.IntegerType(), True),
+            T_.StructField("height", T_.IntegerType(), True),
+            T_.StructField("pix_sum", T_.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = yy * 11 + xx * 3
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                img = ((int(doc_id) * 5 + base) % 256).astype(np.uint8)
+                back = decode_tiff(encode_tiff(img, compression=5, predictor=2))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": back.shape[1],
+                        "height": back.shape[0],
+                        "pix_sum": int(back.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "pix_sum"])
+
+    return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
