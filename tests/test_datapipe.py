@@ -981,3 +981,27 @@ def test_stupid_backoff_branch_closed_forms(spark):
     assert abs(got[12][1] - -(2 * math.log(0.4) + math.log(1 / 9))) < 1e-12
     assert abs(got[13][1] - -(math.log(0.4) + math.log(2 / 3))) < 1e-12
     assert abs(got[14][1] - -(2 * math.log(0.4) + math.log(1) - math.log(9))) < 1e-12
+
+
+def test_pattern_spans_skip_till_next_match_semantics(spark):
+    from vtb_datafusion_2023_spark.operators.analytics import pattern_spans
+
+    rows = [
+        # uid 1: a@1 .. b@3 c@4 | a@5 b@6 (extra b@7) c@8 -> (1,4), (5,8)
+        (1, 1, "a"), (1, 2, "x"), (1, 3, "b"), (1, 4, "c"),
+        (1, 5, "a"), (1, 6, "b"), (1, 7, "b"), (1, 8, "c"),
+        (2, 1, "b"), (2, 2, "c"),                 # no 'a': no match
+        (3, 1, "a"), (3, 2, "c"), (3, 3, "b"), (3, 4, "c"),  # c before b skipped
+        (4, 1, "a"), (4, 2, "b"),                 # incomplete: no match
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, ord bigint, typ string")
+    got = sorted(
+        (r.uid, r.match_id, r.start_ord, r.end_ord)
+        for r in pattern_spans(df, "uid", "ord", "typ", ["a", "b", "c"]).collect()
+    )
+    assert got == [(1, 1, 1, 4), (1, 2, 5, 8), (3, 1, 1, 4)]
+    # max_matches truncates deterministically
+    many = [(9, i, "abc"[i % 3]) for i in range(30)]
+    df2 = spark.createDataFrame(many, "uid bigint, ord bigint, typ string")
+    caps = pattern_spans(df2, "uid", "ord", "typ", ["a", "b", "c"], max_matches=2).collect()
+    assert len(caps) == 2 and {r.match_id for r in caps} == {1, 2}

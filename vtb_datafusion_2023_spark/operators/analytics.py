@@ -220,3 +220,66 @@ def seasonal_decompose(
     s1 = df.selectExpr("*", f"{trend} as trend", f"{phase} as phase")
     s2 = s1.selectExpr("*", f"{seasonal} as seasonal")
     return s2.selectExpr("*", f"(({value}) - trend - seasonal) as residual")
+
+
+def pattern_spans(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    type_col: str,
+    steps: list[str],
+    max_matches: int = 8,
+) -> DataFrame:
+    """Sequential event-pattern matching (MATCH_RECOGNIZE-lite) with
+    SKIP-TILL-NEXT-MATCH semantics: per key, find earliest-first,
+    NON-OVERLAPPING occurrences of the literal step sequence ``steps``
+    (steps need not be adjacent; intervening events are skipped).
+    Returns one row per match: ``(key, match_id, start_ord, end_ord)``,
+    ``match_id`` 1-based in temporal order.
+
+    Greedy non-overlap is inherently sequential per key, so the plan is
+    a bounded driver loop (the engine's iterative-dataflow template,
+    like ``graph.pagerank``): each round advances every key's frontier
+    past its previous match with one min-aggregation join per step —
+    len(steps) joins per round, rounds = matches found, early exit when
+    a round matches nothing.  ``max_matches`` bounds the loop for hot
+    keys (at 100 TB, keys with unbounded match counts belong in an
+    ``applyInPandas`` automaton instead — same results, one pass).
+    """
+    ev = df.select(
+        F.col(key), F.col(ord_col).alias("_o"), F.col(type_col).alias("_t")
+    )
+    frontier = ev.select(key).distinct().withColumn("_prev", F.lit(None).cast("bigint"))
+    out = None
+    for match_id in range(1, max_matches + 1):
+        cur = frontier
+        start = None
+        for i, s in enumerate(steps):
+            nxt = (
+                ev.filter(F.col("_t") == s)
+                .join(cur.select(key, "_prev"), key)
+                .filter(F.col("_o") > F.coalesce(F.col("_prev"), F.lit(-(1 << 62))))
+                .groupBy(key)
+                .agg(F.min("_o").alias("_next"))
+            )
+            cur = nxt.withColumnRenamed("_next", "_prev")
+            if i == 0:
+                start = nxt.withColumnRenamed("_next", "_start")
+        matches = (
+            start.join(cur.withColumnRenamed("_prev", "_end"), key)
+            .select(
+                key,
+                F.lit(match_id).alias("match_id"),
+                F.col("_start").alias("start_ord"),
+                F.col("_end").alias("end_ord"),
+            )
+        )
+        matches = matches.localCheckpoint(eager=True)
+        if matches.limit(1).count() == 0:
+            break
+        out = matches if out is None else out.unionByName(matches)
+        frontier = matches.select(key, F.col("end_ord").alias("_prev"))
+    if out is None:
+        schema = f"{key} bigint, match_id int, start_ord bigint, end_ord bigint"
+        return df.sparkSession.createDataFrame([], schema)
+    return out

@@ -2929,3 +2929,52 @@ def mm_decode_tiff(spark, sf_dir):
             yield pd.DataFrame(out, columns=["doc_id", "width", "height", "pix_sum"])
 
     return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+
+
+def _pattern_oracle(steps: list[str], rounds: int) -> str:
+    # AS MATERIALIZED: DuckDB inlines single-reference CTEs, which makes
+    # this chain re-evaluate exponentially (match10 re-derives every
+    # earlier round); materialization keeps it linear
+    ctes = [
+        "f0 as materialized (select distinct user_id, cast(-4611686018427387904 as bigint) as prev from events)"
+    ]
+    unions = []
+    for r in range(1, rounds + 1):
+        for i, s in enumerate(steps):
+            prev_rel = f"f{r-1}" if i == 0 else f"m{r}_{i-1}"
+            prev_col = "prev" if i == 0 else "o"
+            ctes.append(
+                f"m{r}_{i} as materialized (select e.user_id, min(e.event_id) as o from events e "
+                f"join {prev_rel} p on e.user_id = p.user_id and e.event_id > p.{prev_col} "
+                f"where e.event_type = '{s}' group by e.user_id)"
+            )
+        last = len(steps) - 1
+        ctes.append(
+            f"match{r} as materialized (select m0.user_id, cast({r} as int) as match_id, "
+            f"m0.o as start_ord, ml.o as end_ord "
+            f"from m{r}_0 m0 join m{r}_{last} ml using (user_id))"
+        )
+        ctes.append(f"f{r} as materialized (select user_id, end_ord as prev from match{r})")
+        unions.append(f"select * from match{r}")
+    return "with " + ",\n".join(ctes) + "\n" + "\nunion all\n".join(unions)
+
+
+@register(
+    "an_pattern_spans",
+    oracle=_pattern_oracle(["view", "click", "purchase"], 10),
+    survey_ref="event-pattern-match",
+    doc="sequential pattern matching, MATCH_RECOGNIZE-lite "
+    "(analytics.pattern_spans): earliest-first NON-OVERLAPPING "
+    "view->click->purchase spans per user under skip-till-next-match "
+    "semantics — a bounded driver loop of min-aggregation joins (the "
+    "iterative-dataflow template), matched by a 10-round unrolled "
+    "oracle with the identical bound.",
+)
+def an_pattern_spans(spark, sf_dir):
+    from ..operators.analytics import pattern_spans
+
+    ev = T(spark, sf_dir, "events")
+    return pattern_spans(
+        ev, "user_id", "event_id", "event_type",
+        ["view", "click", "purchase"], max_matches=10,
+    )
