@@ -51,6 +51,8 @@ HEADLINE = [
     "mm_audio_g711",
     "mm_audio_flac",
     "pipeline_corpus_prep",
+    "mm_decode_tiff",
+    "an_pattern_spans",
 ]
 
 

@@ -11,13 +11,24 @@ their PUBLIC specifications with nothing beyond ``zlib``/``struct``:
 - **BMP** (Windows BITMAPINFOHEADER): 24-bit uncompressed bottom-up
   rows padded to 4 bytes.  Encoder + decoder.
 - **PPM/PGM** (netpbm P6/P5): trivial header + raw samples.
-- **WAV** (RIFF PCM): 8/16-bit integer PCM chunks.  Encoder + decoder.
+- **GIF** (87a/89a): variable-width LZW (growth to 12 bits +
+  re-clear), 4-pass interlacing, GCE transparency, multi-frame.
+  Encoder + decoder.
+- **TIFF** (6.0): both byte orders, strips, Compression
+  none/PackBits/LZW (MSB-first, early-change widths), Predictor 2.
+  Encoder + decoder.
+- **WAV** (RIFF): integer PCM 8/16-bit PLUS G.711 u-law/A-law (ITU-T
+  companding, tags 7/6) and IMA/DVI ADPCM (tag 0x11).  Encoders +
+  decoders.
+- **FLAC** (``operators/flac.py``): LOSSLESS — rice-coded
+  fixed/LPC subframes, CRC-8/16 verified.  Encoder + decoder.
 
 **JPEG** decodes too — baseline AND progressive (``operators/jpeg.py``:
 T.81 huffman + spectral-selection/successive-approximation scans +
 dequant + matrix IDCT, differentially validated against the JVM's
 ImageIO decode of real photographs to <=0.5 mean level error).
-MP3 / H.264 / hierarchical-lossless JPEG remain honestly out of scope;
+MP3 / H.264 / arithmetic-coded & hierarchical JPEG remain honestly out
+of scope;
 ``decode_media`` raises NotImplementedError with the detected container
 so the gap is explicit, and ``operators.multimodal`` keeps the
 deterministic ``fake_decode`` for plumbing tests.
