@@ -424,3 +424,26 @@ def test_tiff_media_features_dispatch():
     f = C.decode_media(C.encode_tiff(g, compression=5, predictor=2))
     assert f["width"] == 12 and f["height"] == 9
     assert abs(f["feature"][0] - g.astype(float).mean()) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# AIFF
+
+
+def test_aiff_roundtrip_and_f80_rates():
+    rng = np.random.default_rng(31)
+    s = rng.integers(-32768, 32768, 999).astype(np.int16)
+    for rate in (8000, 22050, 44100, 96000):
+        back, got_rate = C.decode_aiff(C.encode_aiff(s, rate))
+        assert got_rate == rate  # 80-bit extended float parsed exactly
+        assert np.array_equal(back.ravel(), s)
+    st = np.stack([s, -s], axis=1)
+    b2, _ = C.decode_aiff(C.encode_aiff(st, 22050))
+    assert np.array_equal(b2, st)
+
+
+def test_aiff_media_features_dispatch():
+    rng = np.random.default_rng(32)
+    s = rng.integers(-1000, 1000, 128).astype(np.int16)
+    f = C.decode_media(C.encode_aiff(s, 8000))
+    assert f["width"] == 128 and f["height"] == 1 and f["feature"][3] == 8000.0

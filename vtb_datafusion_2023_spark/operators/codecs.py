@@ -538,6 +538,9 @@ def decode_media(payload: bytes) -> dict:
         img = decode_gif(payload)  # first frame
     elif payload[:4] in (b"II*\x00", b"MM\x00*"):
         img = decode_tiff(payload)
+    elif payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        samples, rate = decode_aiff(payload)
+        return _audio_features(samples, rate)
     elif payload[:4] == b"fLaC":
         from .flac import decode_flac
 
@@ -1093,3 +1096,78 @@ def decode_tiff(data: bytes) -> np.ndarray:
     elif predictor != 1:
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     return a
+
+
+# ---------------------------------------------------------------------------
+# AIFF (Apple/EA IFF-85): big-endian PCM in FORM/COMM/SSND chunks; the
+# sample rate is an IEEE 754 80-bit extended float — parsed for real.
+
+
+def _f80_encode(x: float) -> bytes:
+    """float -> 80-bit extended (1 sign, 15 exp bias 16383, 64-bit
+    mantissa with EXPLICIT integer bit)."""
+    if x == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if x < 0 else 0
+    x = abs(x)
+    e = 0
+    while x >= 2.0:
+        x /= 2.0
+        e += 1
+    while x < 1.0:
+        x *= 2.0
+        e -= 1
+    mant = int(x * (1 << 63))
+    return struct.pack(">HQ", sign | (e + 16383), mant)
+
+
+def _f80_decode(b: bytes) -> float:
+    se, mant = struct.unpack(">HQ", b[:10])
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = (se & 0x7FFF) - 16383
+    return sign * (mant / float(1 << 63)) * (2.0**exp)
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono/stereo int16 PCM -> AIFF bytes (big-endian samples)."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    comm = struct.pack(">hIh", ch, n, 16) + _f80_encode(float(sample_rate))
+    body = s.astype(">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + body  # offset, block size
+    payload = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(payload)) + payload
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF bytes -> (samples[n, ch] int16, sample_rate)."""
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    pos, comm, body = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", data, pos + 4)
+        chunk = data[pos + 8 : pos + 8 + size]
+        if tag == b"COMM":
+            ch, n, bits = struct.unpack_from(">hIh", chunk, 0)
+            rate = int(round(_f80_decode(chunk[8:18])))
+            comm = (ch, n, bits, rate)
+        elif tag == b"SSND":
+            off, _blk = struct.unpack_from(">II", chunk, 0)
+            body = chunk[8 + off :]
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if comm is None or body is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    ch, n, bits, rate = comm
+    if bits != 16:
+        raise NotImplementedError(f"AIFF {bits}-bit unsupported (16 only)")
+    arr = np.frombuffer(body, dtype=">i2", count=n * ch).astype(np.int16)
+    return arr.reshape(-1, ch), rate

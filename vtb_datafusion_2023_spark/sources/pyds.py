@@ -36,7 +36,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-_MEDIA_EXTS = (".png", ".bmp", ".ppm", ".pgm", ".gif", ".wav", ".jpg", ".jpeg", ".tif", ".tiff")
+_MEDIA_EXTS = (".png", ".bmp", ".ppm", ".pgm", ".gif", ".wav", ".jpg", ".jpeg", ".tif", ".tiff", ".aif", ".aiff")
 
 
 class MediaFilePartition(InputPartition):
@@ -100,6 +100,8 @@ def _sniff(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return "aiff"
     return "unknown"
 
 
