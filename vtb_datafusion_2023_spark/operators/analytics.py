@@ -229,6 +229,7 @@ def pattern_spans(
     type_col: str,
     steps: list[str],
     max_matches: int = 8,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Sequential event-pattern matching (MATCH_RECOGNIZE-lite) with
     SKIP-TILL-NEXT-MATCH semantics: per key, find earliest-first,
@@ -255,9 +256,20 @@ def pattern_spans(
         cur = frontier
         start = None
         for i, s in enumerate(steps):
+            # broadcast_frontier=True keeps the event table un-shuffled
+            # per step (one row per active key broadcasts) — worth it
+            # when the event table dwarfs the frontier at cluster scale;
+            # measured SLOWER on local[32] at sf0.1 (30 blocking
+            # broadcast builds beat cheap shuffles of a cached table),
+            # so shuffle joins are the default and AQE picks per-round
+            side = cur.select(key, "_prev")
+            if broadcast_frontier:
+                from pyspark.sql.functions import broadcast as _bc
+
+                side = _bc(side)
             nxt = (
                 ev.filter(F.col("_t") == s)
-                .join(cur.select(key, "_prev"), key)
+                .join(side, key)
                 .filter(F.col("_o") > F.coalesce(F.col("_prev"), F.lit(-(1 << 62))))
                 .groupBy(key)
                 .agg(F.min("_o").alias("_next"))
