@@ -149,3 +149,41 @@ def test_versioned_source_pushdown_prunes_partitions(spark, tmp_path):
         assert none.count() == 0
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_versioned_source_streams_appends(spark, tmp_path):
+    """readStream on a versioned table emits each append exactly once:
+    batch 1 = v1's rows, after an append only the delta arrives, and an
+    up-to-date re-run emits nothing."""
+    from vtb_datafusion_2023_spark.sources.manifest import commit_versioned
+
+    t = str(tmp_path / "vt")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    commit_versioned(spark.range(0, 100).selectExpr("id as k", "id*2 as v"), t)
+
+    def run_once():
+        q = (
+            spark.readStream.format("versioned")
+            .load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 100
+
+    commit_versioned(
+        spark.range(100, 130).selectExpr("id as k", "id*2 as v"), t, mode="append"
+    )
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 130  # only the 30-row delta was appended
+    assert got.select("k").distinct().count() == 130
+
+    run_once()  # nothing new
+    assert spark.read.parquet(out).count() == 130

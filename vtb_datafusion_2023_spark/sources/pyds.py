@@ -290,9 +290,62 @@ class VersionedTableSource(DataSource):
             return VersionedTablePushdownReader(self.options)
         return VersionedTableReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return VersionedTableStreamReader(self.options)
+
 
 def register_datasources(spark) -> list[str]:
     """Register both sources on the session; returns the format names."""
     spark.dataSource.register(MediaDirSource)
     spark.dataSource.register(VersionedTableSource)
     return [MediaDirSource.name(), VersionedTableSource.name()]
+
+
+class VersionedTableStreamReader(SimpleDataSourceStreamReader):
+    """Stream a versioned table's APPENDS: the offset is the last
+    processed table version; each micro-batch emits rows from data files
+    that newer versions added (append/merge commits list carried files by
+    name, so set difference identifies exactly the new files).  Paired
+    with ``stream_to_versioned_table`` this closes the loop: one job
+    streams into a manifest table, another streams its change feed out —
+    both exactly-once via their checkpoints."""
+
+    def __init__(self, options):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("versioned source requires .load(<table_dir>)")
+
+    def _version_files(self, v: int) -> set[str]:
+        from .manifest import _file_names, _read_manifest
+
+        return set(_file_names(_read_manifest(self.table_dir, v)))
+
+    def initialOffset(self):
+        return {"version": 0}
+
+    def read(self, start):
+        import pyarrow.parquet as pq
+
+        from .manifest import table_versions
+
+        versions = table_versions(self.table_dir)
+        latest = versions[-1] if versions else 0
+        prev_v = start["version"]
+        if latest <= prev_v:
+            return iter([]), {"version": prev_v}
+        old = self._version_files(prev_v) if prev_v in versions else set()
+        new_files = sorted(self._version_files(latest) - old)
+        data = os.path.join(self.table_dir, "data")
+        batches = []
+        for f in new_files:
+            batches.extend(pq.ParquetFile(os.path.join(data, f)).iter_batches())
+        return iter(batches), {"version": latest}
+
+    def readBetweenOffsets(self, start, end):
+        import pyarrow.parquet as pq
+
+        old = self._version_files(start["version"]) if start["version"] > 0 else set()
+        new_files = sorted(self._version_files(end["version"]) - old)
+        data = os.path.join(self.table_dir, "data")
+        for f in new_files:
+            yield from pq.ParquetFile(os.path.join(data, f)).iter_batches()
