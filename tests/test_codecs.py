@@ -447,3 +447,19 @@ def test_aiff_media_features_dispatch():
     s = rng.integers(-1000, 1000, 128).astype(np.int16)
     f = C.decode_media(C.encode_aiff(s, 8000))
     assert f["width"] == 128 and f["height"] == 1 and f["feature"][3] == 8000.0
+
+
+def test_au_roundtrip_and_g711_encodings():
+    import struct
+
+    rng = np.random.default_rng(41)
+    s = rng.integers(-32768, 32768, 500).astype(np.int16)
+    back, rate = C.decode_au(C.encode_au(s, 8000))
+    assert rate == 8000 and np.array_equal(back.ravel(), s)
+    # hand-built u-law AU: header encoding 1 + companded bytes
+    codes = C.ulaw_encode(s)
+    au = struct.pack(">4s5I", b".snd", 24, len(codes), 1, 8000, 1) + codes.tobytes()
+    got, _ = C.decode_au(au)
+    assert np.array_equal(got.ravel(), C.ulaw_decode(codes))
+    f = C.decode_media(C.encode_au(s, 8000))
+    assert f["width"] == 500 and f["feature"][3] == 8000.0

@@ -47,3 +47,9 @@ def test_ima_adpcm_never_overflows_and_tracks(samples):
     assert back.dtype == np.int16 and len(back) == len(sig)
     # first sample is stored verbatim in the block header
     assert back[0] == sig[0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=1, max_size=2000))
+def test_tiff_lzw_roundtrip_property(data):
+    assert C._tiff_lzw_decode(C._tiff_lzw_encode(data), len(data)) == data

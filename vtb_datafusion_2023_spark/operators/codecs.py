@@ -541,6 +541,9 @@ def decode_media(payload: bytes) -> dict:
     elif payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
         samples, rate = decode_aiff(payload)
         return _audio_features(samples, rate)
+    elif payload[:4] == b".snd":
+        samples, rate = decode_au(payload)
+        return _audio_features(samples, rate)
     elif payload[:4] == b"fLaC":
         from .flac import decode_flac
 
@@ -1170,4 +1173,36 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
     if bits != 16:
         raise NotImplementedError(f"AIFF {bits}-bit unsupported (16 only)")
     arr = np.frombuffer(body, dtype=">i2", count=n * ch).astype(np.int16)
+    return arr.reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# AU (Sun/NeXT ".snd"): the simplest real audio container — big-endian
+# header (magic, data offset, data size, encoding, rate, channels).
+
+
+def encode_au(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono/stereo int16 PCM -> AU bytes (encoding 3 = 16-bit linear)."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    body = s.astype(">i2").tobytes()
+    return struct.pack(">4s5I", b".snd", 24, len(body), 3, sample_rate, s.shape[1]) + body
+
+
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """AU bytes -> (samples[n, ch] int16, sample_rate); G.711 encodings
+    1 (u-law) and 27 (A-law) decode through the companding tables."""
+    magic, off, size, enc, rate, ch = struct.unpack_from(">4s5I", data, 0)
+    if magic != b".snd":
+        raise ValueError("not an AU file")
+    body = data[off : off + size] if size != 0xFFFFFFFF else data[off:]
+    if enc == 3:
+        arr = np.frombuffer(body, dtype=">i2").astype(np.int16)
+    elif enc == 1:
+        arr = ulaw_decode(np.frombuffer(body, dtype=np.uint8))
+    elif enc == 27:
+        arr = alaw_decode(np.frombuffer(body, dtype=np.uint8))
+    else:
+        raise NotImplementedError(f"AU encoding {enc} unsupported (1/3/27)")
     return arr.reshape(-1, ch), rate

@@ -36,7 +36,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-_MEDIA_EXTS = (".png", ".bmp", ".ppm", ".pgm", ".gif", ".wav", ".jpg", ".jpeg", ".tif", ".tiff", ".aif", ".aiff")
+_MEDIA_EXTS = (".png", ".bmp", ".ppm", ".pgm", ".gif", ".wav", ".jpg", ".jpeg", ".tif", ".tiff", ".aif", ".aiff", ".au", ".snd")
 
 
 class MediaFilePartition(InputPartition):
@@ -102,6 +102,8 @@ def _sniff(payload: bytes) -> str:
         return "tiff"
     if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
         return "aiff"
+    if payload[:4] == b".snd":
+        return "au"
     return "unknown"
 
 
