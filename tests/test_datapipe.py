@@ -870,6 +870,67 @@ def test_token_entropy_closed_forms(spark):
     assert got[3][0] == 3 and abs(got[3][1] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-15
 
 
+def test_lm_family_exact_and_inplan_log_agree(spark):
+    """The exact (driver-side libm table, bitwise-oracle) and in-plan
+    (executor-side JVM F.log, the 100 TB scale path) variants of the LM
+    scoring family agree to float tolerance — the guarantee that lets
+    the cardinality guard auto-switch without changing results."""
+    import random
+
+    from vtb_datafusion_2023_spark.operators.text import (
+        bigram_logprob,
+        stupid_backoff_logprob,
+        token_entropy,
+        unigram_logprob,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def cmp(fn, val_col):
+        exact = {r.doc_id: r[val_col] for r in fn(df, exact_log=True).collect()}
+        inplan = {r.doc_id: r[val_col] for r in fn(df, exact_log=False).collect()}
+        assert exact.keys() == inplan.keys()
+        for k in exact:
+            assert abs(exact[k] - inplan[k]) <= 1e-9 * max(1.0, abs(exact[k])), (
+                fn.__name__, k, exact[k], inplan[k]
+            )
+
+    cmp(unigram_logprob, "surprisal")
+    cmp(bigram_logprob, "bi_surprisal")
+    cmp(token_entropy, "entropy")
+    cmp(stupid_backoff_logprob, "sb_surprisal")
+
+
+def test_lm_family_guard_switches_to_inplan(spark):
+    """Dropping EXACT_LN_GUARD below the corpus cardinality must flip the
+    auto path to in-plan log (no driver ln tables) with tolerant-equal
+    results, and the in-plan plan must contain a LOG expression."""
+    from vtb_datafusion_2023_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b c d d d d"), (3, "a c e")],
+        "doc_id bigint, text string",
+    )
+    exact = {r.doc_id: r.surprisal for r in T.unigram_logprob(df, exact_log=True).collect()}
+    old = T.EXACT_LN_GUARD
+    T.EXACT_LN_GUARD = 1
+    try:
+        auto = T.unigram_logprob(df)  # cardinality > 1 -> in-plan
+        plan = auto._jdf.queryExecution().optimizedPlan().toString()
+        assert "LOG" in plan.upper()
+        got = {r.doc_id: r.surprisal for r in auto.collect()}
+    finally:
+        T.EXACT_LN_GUARD = old
+    for k in exact:
+        assert abs(exact[k] - got[k]) <= 1e-9 * max(1.0, abs(exact[k]))
+
+
 def test_chunk_overlap_coverage_and_reconstruction(spark):
     """Strided chunking: every window starts at chunk_id*stride, shares
     chunk-stride tokens with its predecessor, covers the doc exactly, and
@@ -1005,3 +1066,61 @@ def test_pattern_spans_skip_till_next_match_semantics(spark):
     df2 = spark.createDataFrame(many, "uid bigint, ord bigint, typ string")
     caps = pattern_spans(df2, "uid", "ord", "typ", ["a", "b", "c"], max_matches=2).collect()
     assert len(caps) == 2 and {r.match_id for r in caps} == {1, 2}
+
+
+def test_pattern_spans_automaton_matches_joins(spark):
+    """The one-pass applyInPandas automaton (default) and the relational
+    frontier-join loop are row-identical — including on a skewed key
+    (one key holding most of the events) and interleaved false starts."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    # hot key 1: 3000 events; keys 2..40: ~20 events each
+    for uid, n in [(1, 3000)] + [(u, 20) for u in range(2, 41)]:
+        for i in range(n):
+            rows.append((uid, i, rng.choice(["a", "b", "c", "x", "y"])))
+    df = spark.createDataFrame(rows, "uid bigint, ord bigint, typ string").repartition(8)
+
+    def norm(res):
+        return sorted((r.uid, r.match_id, r.start_ord, r.end_ord) for r in res.collect())
+
+    from vtb_datafusion_2023_spark.operators.analytics import pattern_spans
+
+    sql, pandas_, joins = (
+        norm(
+            pattern_spans(
+                df, "uid", "ord", "typ", ["a", "b", "c"], max_matches=12, strategy=st
+            )
+        )
+        for st in ("sql", "pandas", "joins")
+    )
+    assert sql == pandas_ == joins
+    assert len(sql) > 0
+
+
+def test_pattern_spans_zero_match_schema_derived(spark):
+    """Zero-match results must carry the SAME schema as non-empty ones
+    for a string key and timestamp ord (previously hardcoded bigint)."""
+    from vtb_datafusion_2023_spark.operators.analytics import pattern_spans
+
+    df = spark.sql(
+        "select 'u1' as uid, timestamp'2023-01-01 00:00:00' as ts, 'b' as typ"
+    )
+    for strategy in ("sql", "pandas", "joins"):
+        out = pattern_spans(df, "uid", "ts", "typ", ["a", "b"], strategy=strategy)
+        assert out.count() == 0
+        types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert types == {
+            "uid": "string",
+            "match_id": "int",
+            "start_ord": "timestamp",
+            "end_ord": "timestamp",
+        }
+        # non-empty result for the same shapes: schema must union cleanly
+        df2 = spark.sql(
+            "select * from values ('u1', timestamp'2023-01-01 00:00:00', 'a'),"
+            " ('u1', timestamp'2023-01-01 01:00:00', 'b') as t(uid, ts, typ)"
+        )
+        out2 = pattern_spans(df2, "uid", "ts", "typ", ["a", "b"], strategy=strategy)
+        assert out.unionByName(out2).count() == 1

@@ -255,3 +255,49 @@ def test_zone_map_range_read_prunes_files(spark, tmp_path):
     r2 = read_versioned_range(spark, t2, "k", lo=2500, hi=2600)
     assert len(set(r2.inputFiles())) == 10
     assert r2.count() == 101
+
+
+def test_zone_map_timestamp_probes_normalized(spark, tmp_path):
+    """Timestamp stats are persisted as isoformat ('T'-separated) strings;
+    a caller probing with a datetime object or a Spark-style
+    'YYYY-MM-DD HH:MM:SS' string must get EXACTLY the full-scan-filter
+    rows (previously: datetime raised TypeError, space-separated strings
+    silently pruned matching files)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        read_versioned_range,
+    )
+
+    t = str(tmp_path / "zmts")
+    df = (
+        spark.range(0, 240)
+        .select(
+            F.col("id").alias("k"),
+            (F.to_timestamp(F.lit("2023-01-01 00:00:00")) + F.make_interval(hours=F.col("id"))).alias("ts"),
+        )
+        .repartitionByRange(8, "ts")
+    )
+    commit_versioned(df, t, stats_cols=["ts"])
+
+    lo_dt = dt.datetime(2023, 1, 3, 0, 0, 0)
+    hi_dt = dt.datetime(2023, 1, 3, 23, 0, 0)
+    expect = 24
+    got_dt = read_versioned_range(spark, t, "ts", lo=lo_dt, hi=hi_dt)
+    assert got_dt.count() == expect
+    assert len(set(got_dt.inputFiles())) < 8  # pruning actually happened
+
+    got_str = read_versioned_range(
+        spark, t, "ts", lo="2023-01-03 00:00:00", hi="2023-01-03 23:00:00"
+    )
+    assert got_str.count() == expect
+
+    # incomparable probe type (int vs str stats): conservative keep, exact
+    # post-filter still never loses rows
+    got_iso = read_versioned_range(
+        spark, t, "ts", lo="2023-01-03T00:00:00", hi="2023-01-03T23:00:00"
+    )
+    assert got_iso.count() == expect

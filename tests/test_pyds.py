@@ -187,3 +187,27 @@ def test_versioned_source_streams_appends(spark, tmp_path):
 
     run_once()  # nothing new
     assert spark.read.parquet(out).count() == 130
+
+
+def test_versioned_stream_rejects_overwrite_between_offsets(spark, tmp_path):
+    """An overwrite commit renames every data file, so a file-name diff
+    would re-emit the whole snapshot as 'new' rows.  The change feed must
+    raise instead of silently duplicating (exactly-once contract)."""
+    from vtb_datafusion_2023_spark.sources.manifest import commit_versioned
+    from vtb_datafusion_2023_spark.sources.pyds import VersionedTableStreamReader
+
+    t = str(tmp_path / "vt2")
+    commit_versioned(spark.range(0, 50).selectExpr("id as k"), t)  # v1
+    commit_versioned(spark.range(50, 60).selectExpr("id as k"), t, mode="append")  # v2
+    commit_versioned(spark.range(0, 9).selectExpr("id as k"), t, mode="overwrite")  # v3
+
+    r = VersionedTableStreamReader({"path": t})
+    # append-only range is fine
+    assert r._check_append_only(1, 2) is None
+    # crossing the overwrite raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overwrite"):
+        r._check_append_only(2, 3)
+    # initial batch (start=0) legitimately emits the current snapshot
+    assert r._check_append_only(0, 3) is None

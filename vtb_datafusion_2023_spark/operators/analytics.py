@@ -222,6 +222,25 @@ def seasonal_decompose(
     return s2.selectExpr("*", f"(({value}) - trend - seasonal) as residual")
 
 
+def _pattern_out_schema(df: DataFrame, key: str, ord_col: str):
+    """Output schema for pattern matching, with the key and ord types
+    DERIVED from the input schema (a string key or timestamp/double ord
+    column must produce the same schema whether or not any match exists —
+    zero-match results previously hardcoded bigint)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    kf = df.schema[key]
+    of = df.schema[ord_col]
+    return StructType(
+        [
+            StructField(key, kf.dataType, True),
+            StructField("match_id", IntegerType(), True),
+            StructField("start_ord", of.dataType, True),
+            StructField("end_ord", of.dataType, True),
+        ]
+    )
+
+
 def pattern_spans(
     df: DataFrame,
     key: str,
@@ -229,6 +248,7 @@ def pattern_spans(
     type_col: str,
     steps: list[str],
     max_matches: int = 8,
+    strategy: str = "sql",
     broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Sequential event-pattern matching (MATCH_RECOGNIZE-lite) with
@@ -238,19 +258,169 @@ def pattern_spans(
     Returns one row per match: ``(key, match_id, start_ord, end_ord)``,
     ``match_id`` 1-based in temporal order.
 
-    Greedy non-overlap is inherently sequential per key, so the plan is
-    a bounded driver loop (the engine's iterative-dataflow template,
-    like ``graph.pagerank``): each round advances every key's frontier
-    past its previous match with one min-aggregation join per step —
-    len(steps) joins per round, rounds = matches found, early exit when
-    a round matches nothing.  ``max_matches`` bounds the loop for hot
-    keys (at 100 TB, keys with unbounded match counts belong in an
-    ``applyInPandas`` automaton instead — same results, one pass).
+    Three strategies, pinned row-identical by pytest:
+
+    - ``'sql'`` (default, the 100 TB shape): ONE shuffle on ``key``,
+      then the greedy automaton runs entirely JVM-side as an
+      ``aggregate`` higher-order function over the per-key
+      ``sort_array(collect_list(...))`` event array — a linear scan with
+      a (state, start, last, matches) accumulator, no Python workers, no
+      driver coordination.  Same per-key-fits-in-memory contract as
+      every ordered per-user sequence op in the engine.
+    - ``'pandas'``: the same automaton in ``applyInPandas`` (per-step
+      sorted ord arrays + binary search, O(len(steps)*log n) per match)
+      — for pipelines already paying the Python boundary; measurably
+      slower than 'sql' on many small keys (per-group Arrow dispatch).
+    - ``'joins'``: the relational frontier-join loop
+      (:func:`pattern_spans_joins`) — the differential oracle; len(steps)
+      joins + a driver action per match round, so at cluster scale it
+      makes ~rounds*steps passes over the fact table.
+    """
+    if strategy == "joins":
+        return pattern_spans_joins(
+            df, key, ord_col, type_col, steps, max_matches, broadcast_frontier
+        )
+    if strategy == "sql":
+        return _pattern_spans_sql(df, key, ord_col, type_col, steps, max_matches)
+    if strategy != "pandas":
+        raise ValueError(f"strategy must be sql|pandas|joins, got {strategy!r}")
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = _pattern_out_schema(df, key, ord_col)
+    n_steps = len(steps)
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-step sorted ord arrays; greedy leftmost match by binary
+        # search — identical semantics to the min-aggregation join loop
+        # (first step strictly after the previous match's end, each
+        # subsequent step strictly after the previous step's ord).
+        by_step = []
+        for s in steps:
+            o = pdf.loc[pdf["_t"] == s, "_o"].to_numpy()
+            o.sort(kind="stable")
+            by_step.append(o)
+        def empty():
+            # dtype-preserving empty frame (a float64-default empty frame
+            # fails the Arrow cast for timestamp/string columns)
+            return pd.DataFrame(
+                {
+                    key: pdf[key].iloc[:0],
+                    "match_id": pd.Series([], dtype="int32"),
+                    "start_ord": pdf["_o"].iloc[:0],
+                    "end_ord": pdf["_o"].iloc[:0],
+                }
+            )
+
+        if any(len(o) == 0 for o in by_step):
+            return empty()
+        kv = pdf[key].iloc[0]
+        rows = []
+        prev = None
+        for match_id in range(1, max_matches + 1):
+            cur = prev
+            start = None
+            for i in range(n_steps):
+                arr = by_step[i]
+                j = 0 if cur is None else int(np.searchsorted(arr, cur, side="right"))
+                if j >= len(arr):
+                    cur = None
+                    break
+                cur = arr[j]
+                if i == 0:
+                    start = cur
+            if cur is None:
+                break
+            rows.append((kv, match_id, start, cur))
+            prev = cur
+        if not rows:
+            return empty()
+        return pd.DataFrame(rows, columns=[key, "match_id", "start_ord", "end_ord"])
+
+    ev = df.select(
+        F.col(key), F.col(ord_col).alias("_o"), F.col(type_col).alias("_t")
+    ).filter(F.col("_o").isNotNull())
+    return ev.groupBy(key).applyInPandas(match_group, schema=out_schema)
+
+
+def _pattern_spans_sql(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    type_col: str,
+    steps: list[str],
+    max_matches: int,
+) -> DataFrame:
+    """JVM-side greedy automaton: one hash shuffle on ``key``, then an
+    ``aggregate`` HOF linear scan over the per-key time-sorted event
+    array.  Accumulator = (state, start, last, matches); an event is
+    consumed iff it is the current step's type and strictly after the
+    last consumed event (skip-till-next-match + non-overlap), exactly
+    the min-aggregation join semantics.  Null-safe: a NULL type never
+    equals a step (``<=>``), NULL ords are filtered like the join
+    formulation's ``_o > _prev`` predicate would.
+    """
+    ot = df.schema[ord_col].dataType.simpleString()
+    n = len(steps)
+    steps_sql = "array(" + ",".join("'" + s.replace("'", "''") + "'" for s in steps) + ")"
+    ms_t = f"array<struct<match_id:int,start_ord:{ot},end_ord:{ot}>>"
+    scan = f"""
+    aggregate(
+      sort_array(collect_list(struct(_o, _t))),
+      struct(0 as state, cast(null as {ot}) as start,
+             cast(null as {ot}) as last, cast(array() as {ms_t}) as ms),
+      (acc, e) -> if(
+         size(acc.ms) >= {max_matches}
+         or not (e._t <=> element_at({steps_sql}, acc.state + 1))
+         or (acc.last is not null and e._o <= acc.last),
+         acc,
+         named_struct(
+           'state', if(acc.state + 1 = {n}, 0, acc.state + 1),
+           'start', if(acc.state = 0, e._o, acc.start),
+           'last', e._o,
+           'ms', if(acc.state + 1 = {n},
+              array_append(acc.ms, named_struct(
+                 'match_id', cast(size(acc.ms) + 1 as int),
+                 'start_ord', if(acc.state = 0, e._o, acc.start),
+                 'end_ord', e._o)),
+              acc.ms))),
+      acc -> acc.ms)
+    """
+    ev = df.select(
+        F.col(key), F.col(ord_col).alias("_o"), F.col(type_col).alias("_t")
+    ).filter(F.col("_o").isNotNull())
+    return (
+        ev.groupBy(key)
+        .agg(F.expr(scan).alias("_ms"))
+        .select(key, F.explode("_ms").alias("_m"))
+        .select(key, "_m.match_id", "_m.start_ord", "_m.end_ord")
+    )
+
+
+def pattern_spans_joins(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    type_col: str,
+    steps: list[str],
+    max_matches: int = 8,
+    broadcast_frontier: bool = False,
+) -> DataFrame:
+    """Relational frontier-join formulation of :func:`pattern_spans` —
+    the differential oracle for the automaton, and the shape a pure-SQL
+    engine would run: each round advances every key's frontier past its
+    previous match with one min-aggregation join per step — len(steps)
+    joins per round, rounds = matches found, early exit when a round
+    matches nothing.  Driver-coordinated (one action per round), so at
+    100 TB prefer the automaton; this variant exists for cross-checking
+    and for engines without Python workers.
     """
     ev = df.select(
         F.col(key), F.col(ord_col).alias("_o"), F.col(type_col).alias("_t")
     )
-    frontier = ev.select(key).distinct().withColumn("_prev", F.lit(None).cast("bigint"))
+    ord_type = df.schema[ord_col].dataType
+    frontier = ev.select(key).distinct().withColumn("_prev", F.lit(None).cast(ord_type))
     out = None
     for match_id in range(1, max_matches + 1):
         cur = frontier
@@ -270,7 +440,7 @@ def pattern_spans(
             nxt = (
                 ev.filter(F.col("_t") == s)
                 .join(side, key)
-                .filter(F.col("_o") > F.coalesce(F.col("_prev"), F.lit(-(1 << 62))))
+                .filter(F.col("_prev").isNull() | (F.col("_o") > F.col("_prev")))
                 .groupBy(key)
                 .agg(F.min("_o").alias("_next"))
             )
@@ -292,6 +462,5 @@ def pattern_spans(
         out = matches if out is None else out.unionByName(matches)
         frontier = matches.select(key, F.col("end_ord").alias("_prev"))
     if out is None:
-        schema = f"{key} bigint, match_id int, start_ord bigint, end_ord bigint"
-        return df.sparkSession.createDataFrame([], schema)
+        return df.sparkSession.createDataFrame([], _pattern_out_schema(df, key, ord_col))
     return out

@@ -354,6 +354,9 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
                     warm = [br.read_signed(sbps) for _ in range(order)]
                     prec = br.read(4) + 1
                     shift = br.read_signed(5)
+                    if shift < 0:
+                        # spec reserves negative shifts (RFC 9639 §9.2.6.2)
+                        raise ValueError(f"negative LPC shift {shift}")
                     coefs = [br.read_signed(prec) for _ in range(order)]
                 else:
                     order = stype - 8

@@ -29,6 +29,31 @@ def tokens(text: Column | str, sep: str = " ") -> Column:
     return F.split(c, sep)
 
 
+# Cardinality guard for the exact-log (bitwise-oracle) path of the LM
+# scoring family: the exact path materializes a driver-side libm ``ln``
+# table over the DISTINCT integer count values (which grow ~O(sqrt(total
+# tokens)) — ~3M values at 10^13 tokens).  Above this many distinct
+# values the functions auto-switch to fully in-plan JVM ``F.log`` (1-ulp
+# engine variance, zero driver materialization, no extra jobs) — the
+# same escape hatch :func:`tfidf` has always had via ``exact_idf``.
+EXACT_LN_GUARD = 100_000
+
+# "exact_log=True" sentinel: effectively-unbounded guard that still fits
+# DataFrame.limit's 32-bit argument.
+_NO_GUARD = (1 << 31) - 2
+
+
+def _distinct_ints_under_guard(frame: DataFrame, col: str, guard: int) -> list[int] | None:
+    """Distinct integer values of ``frame[col]``, or None if there are
+    more than ``guard`` of them (bounding the driver materialization to
+    ``guard + 1`` rows — the deciding collect IS the value collect, so
+    the exact path costs one job, not two)."""
+    rows = frame.select(col).distinct().limit(guard + 1).collect()
+    if len(rows) > guard:
+        return None
+    return sorted(int(r[0]) for r in rows if r[0] is not None)
+
+
 def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: token count, average token length,
     stopword ratio, punctuation ratio, uppercase ratio.
@@ -470,6 +495,7 @@ def unigram_logprob(
     text_col: str = "text",
     min_count: int = 2,
     oov_weight: float = 0.5,
+    exact_log: bool | None = None,
 ) -> DataFrame:
     """Unigram language-model surprisal per document: mean
     ``-ln p(token)`` under the corpus's own unigram distribution, with
@@ -486,6 +512,13 @@ def unigram_logprob(
     position-sorted array, so it is bitwise-deterministic across
     partitionings and engines.
 
+    ``exact_log``: True = always the driver-side libm ``ln`` table
+    (bitwise oracle parity); False = always in-plan JVM ``F.log`` (no
+    driver materialization, no extra jobs — the 100 TB path); None
+    (default) = exact while the distinct count values stay under
+    :data:`EXACT_LN_GUARD`, in-plan beyond it.  Both paths agree to
+    float tolerance (property-tested).
+
     Returns ``(id_col, n_tokens, surprisal)``.
     """
     import math
@@ -497,20 +530,22 @@ def unigram_logprob(
     counts = pos.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = counts.filter(F.col("cnt") >= min_count)
     total = int(counts.agg(F.sum("cnt").alias("t")).collect()[0]["t"])
-    cnt_values = sorted(r[0] for r in vocab.select("cnt").distinct().collect())
-    ln_map = df.sparkSession.createDataFrame(
-        [(c, math.log(c / total)) for c in cnt_values], "cnt bigint, _lnp double"
-    )
-    ln_oov = math.log(oov_weight / total)
-    scored = (
-        pos.join(vocab, "term", "left")
-        .join(F.broadcast(ln_map), "cnt", "left")
-        .select(
-            id_col,
-            "pos",
-            F.coalesce(F.col("_lnp"), F.lit(ln_oov)).alias("_lnp"),
+    cnt_values = None
+    if exact_log is None or exact_log:
+        cnt_values = _distinct_ints_under_guard(
+            vocab, "cnt", EXACT_LN_GUARD if exact_log is None else _NO_GUARD
         )
-    )
+    ln_oov = math.log(oov_weight / total)
+    scored = pos.join(vocab, "term", "left")
+    if cnt_values is not None:
+        ln_map = df.sparkSession.createDataFrame(
+            [(c, math.log(c / total)) for c in cnt_values], "cnt bigint, _lnp double"
+        )
+        scored = scored.join(F.broadcast(ln_map), "cnt", "left")
+        lnp = F.coalesce(F.col("_lnp"), F.lit(ln_oov))
+    else:
+        lnp = F.coalesce(F.log(F.col("cnt") / F.lit(float(total))), F.lit(ln_oov))
+    scored = scored.select(id_col, "pos", lnp.alias("_lnp"))
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.transform(
@@ -583,6 +618,7 @@ def bigram_logprob(
     text_col: str = "text",
     min_count: int = 2,
     oov_weight: float = 0.5,
+    exact_log: bool | None = None,
 ) -> DataFrame:
     """Bigram language-model surprisal per document: mean
     ``-ln p(w2 | w1)`` under the corpus's own bigram distribution
@@ -597,6 +633,10 @@ def bigram_logprob(
     position-sorted array.  Bigram assembly is a shuffle-free array
     transform (no window/lead pass over the corpus); the two count
     aggregations are the only shuffles.
+
+    ``exact_log`` as in :func:`unigram_logprob`: None (default) keeps
+    the bitwise libm tables under :data:`EXACT_LN_GUARD` distinct count
+    values and switches to in-plan JVM ``F.log`` beyond it.
 
     Returns ``(id_col, n_bigrams, bi_surprisal)`` for docs with >= 1
     bigram.
@@ -623,25 +663,31 @@ def bigram_logprob(
     total = int(cb.agg(F.sum("cnt")).collect()[0][0])
     ln_oov = math.log(oov_weight) - math.log(total)
     spark = df.sparkSession
-    ln_cnt = spark.createDataFrame(
-        [(c, math.log(c)) for c in sorted({r[0] for r in vocab.select("cnt").distinct().collect()})],
-        "cnt bigint, _lncnt double",
-    )
-    ln_ctx = spark.createDataFrame(
-        [(c, math.log(c)) for c in sorted({r[0] for r in cw.select("ctx").distinct().collect()})],
-        "ctx bigint, _lnctx double",
-    )
-    scored = (
-        big.join(cw, "w1")
-        .join(vocab, ["w1", "w2"], "left")
-        .join(F.broadcast(ln_cnt), "cnt", "left")
-        .join(F.broadcast(ln_ctx), "ctx", "left")
-        .select(
-            id_col,
-            "pos",
-            F.coalesce(F.col("_lncnt") - F.col("_lnctx"), F.lit(ln_oov)).alias("_lnp"),
+    cnt_vals = ctx_vals = None
+    if exact_log is None or exact_log:
+        guard = EXACT_LN_GUARD if exact_log is None else _NO_GUARD
+        cnt_vals = _distinct_ints_under_guard(vocab, "cnt", guard)
+        ctx_vals = _distinct_ints_under_guard(cw, "ctx", guard) if cnt_vals is not None else None
+    scored = big.join(cw, "w1").join(vocab, ["w1", "w2"], "left")
+    if cnt_vals is not None and ctx_vals is not None:
+        ln_cnt = spark.createDataFrame(
+            [(c, math.log(c)) for c in cnt_vals], "cnt bigint, _lncnt double"
         )
-    )
+        ln_ctx = spark.createDataFrame(
+            [(c, math.log(c)) for c in ctx_vals], "ctx bigint, _lnctx double"
+        )
+        scored = (
+            scored.join(F.broadcast(ln_cnt), "cnt", "left")
+            .join(F.broadcast(ln_ctx), "ctx", "left")
+        )
+        lnp = F.coalesce(F.col("_lncnt") - F.col("_lnctx"), F.lit(ln_oov))
+    else:
+        # in-plan JVM log (the 100 TB path — no driver ln tables)
+        lnp = F.coalesce(
+            F.log(F.col("cnt").cast("double")) - F.log(F.col("ctx").cast("double")),
+            F.lit(ln_oov),
+        )
+    scored = scored.select(id_col, "pos", lnp.alias("_lnp"))
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.transform(
@@ -660,7 +706,12 @@ def bigram_logprob(
     )
 
 
-def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_log: bool | None = None,
+) -> DataFrame:
     """Shannon entropy of each document's token distribution:
     ``H = ln(n) - (1/n) * sum_c c*ln(c)`` over per-doc term counts ``c``
     (nats).  Low entropy = repetitive/templated text, high = diverse
@@ -673,6 +724,10 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     per-doc sum folds in term order over a sorted array.  One shuffle on
     ``(doc, term)``, one on ``doc``.
 
+    ``exact_log`` as in :func:`unigram_logprob`: None (default) keeps
+    the bitwise libm tables under :data:`EXACT_LN_GUARD` distinct
+    values, switching to in-plan JVM ``F.log`` beyond it.
+
     Returns ``(id_col, n_tokens, entropy)``.
     """
     import math
@@ -683,30 +738,42 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    c_values = sorted(r[0] for r in tc.select("c").distinct().collect())
     spark = df.sparkSession
-    ln_c = spark.createDataFrame(
-        [(c, float(c) * math.log(c)) for c in c_values], "c bigint, _cl double"
-    )
-    per_doc = (
-        tc.join(F.broadcast(ln_c), "c")
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(term, _cl))),"
-                " x -> x._cl), cast(0 as double), (a, b) -> a + b)"
-            ).alias("_s"),
+    c_values = None
+    if exact_log is None or exact_log:
+        guard = EXACT_LN_GUARD if exact_log is None else _NO_GUARD
+        c_values = _distinct_ints_under_guard(tc, "c", guard)
+    if c_values is not None:
+        ln_c = spark.createDataFrame(
+            [(c, float(c) * math.log(c)) for c in c_values], "c bigint, _cl double"
         )
+        tc = tc.join(F.broadcast(ln_c), "c")
+    else:
+        tc = tc.withColumn("_cl", F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    per_doc = tc.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(term, _cl))),"
+            " x -> x._cl), cast(0 as double), (a, b) -> a + b)"
+        ).alias("_s"),
     )
-    n_values = sorted(r[0] for r in per_doc.select("n_tokens").distinct().collect())
-    ln_n = spark.createDataFrame(
-        [(n, math.log(n)) for n in n_values], "n_tokens bigint, _lnn double"
-    )
-    return per_doc.join(F.broadcast(ln_n), "n_tokens").select(
+    n_values = None
+    if c_values is not None:
+        n_values = _distinct_ints_under_guard(
+            per_doc, "n_tokens", EXACT_LN_GUARD if exact_log is None else _NO_GUARD
+        )
+    if n_values is not None:
+        ln_n = spark.createDataFrame(
+            [(n, math.log(n)) for n in n_values], "n_tokens bigint, _lnn double"
+        )
+        per_doc = per_doc.join(F.broadcast(ln_n), "n_tokens")
+        lnn = F.col("_lnn")
+    else:
+        lnn = F.log(F.col("n_tokens").cast("double"))
+    return per_doc.select(
         id_col,
         "n_tokens",
-        (F.col("_lnn") - F.col("_s") / F.col("n_tokens")).alias("entropy"),
+        (lnn - F.col("_s") / F.col("n_tokens")).alias("entropy"),
     )
 
 
@@ -715,6 +782,7 @@ def stupid_backoff_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     train: DataFrame | None = None,
+    exact_log: bool | None = None,
 ) -> DataFrame:
     """Stupid Backoff trigram LM surprisal (Brants et al. 2007, "Large
     Language Models in Machine Translation" — THE distributed n-gram LM:
@@ -733,7 +801,9 @@ def stupid_backoff_logprob(
     contract — ``ln`` ONLY at integer arguments via a driver-side libm
     table over the distinct count values (broadcast), ``ln(0.4)`` as a
     python-libm literal (DuckDB's ln agrees on the same double), and a
-    position-ordered fold per document.
+    position-ordered fold per document.  ``exact_log`` as in
+    :func:`unigram_logprob` — None auto-switches to in-plan JVM log past
+    :data:`EXACT_LN_GUARD` distinct count values.
     """
     import math
 
@@ -792,17 +862,34 @@ def stupid_backoff_logprob(
         .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), ["w2"], "left")
         .join(uni.select(F.col("w").alias("w3"), F.col("cu").alias("cu3")), ["w3"], "left")
     )
-    # integer-argument libm ln over every distinct count value (bounded set)
-    vals = set()
-    for frame, col in ((tri, "c3"), (bi, "cb"), (uni, "cu")):
-        vals.update(r[0] for r in frame.select(col).distinct().collect())
+    # integer-argument libm ln over every distinct count value (bounded
+    # set) — or, past the EXACT_LN_GUARD cardinality (exact_log as in
+    # :func:`unigram_logprob`), fully in-plan JVM log with no driver
+    # materialization.
     spark = df.sparkSession
-    ln_map = {int(v): math.log(v) for v in vals}
-    lnt = spark.createDataFrame(sorted(ln_map.items()), "v bigint, lnv double")
+    vals: set[int] | None = set()
+    if exact_log is False:
+        vals = None
+    else:
+        guard = EXACT_LN_GUARD if exact_log is None else _NO_GUARD
+        for frame, col in ((tri, "c3"), (bi, "cb"), (uni, "cu")):
+            got = _distinct_ints_under_guard(frame, col, guard)
+            if got is None or len(vals) + len(got) > guard:
+                vals = None
+                break
+            vals.update(got)
+    if vals is not None:
+        ln_map = {int(v): math.log(v) for v in vals}
+        lnt = spark.createDataFrame(sorted(ln_map.items()), "v bigint, lnv double")
 
-    def with_ln(frame, src, dst):
-        t = lnt.select(F.col("v").alias(src), F.col("lnv").alias(dst))
-        return frame.join(F.broadcast(t), [src], "left")
+        def with_ln(frame, src, dst):
+            t = lnt.select(F.col("v").alias(src), F.col("lnv").alias(dst))
+            return frame.join(F.broadcast(t), [src], "left")
+
+    else:
+
+        def with_ln(frame, src, dst):
+            return frame.withColumn(dst, F.log(F.col(src).cast("double")))
 
     for src, dst in (("c3", "ln_c3"), ("cb12", "ln_cb12"), ("cb23", "ln_cb23"),
                      ("cu2", "ln_cu2"), ("cu3", "ln_cu3")):

@@ -59,6 +59,33 @@ def _file_names(manifest: dict) -> list[str]:
     return [e["name"] if isinstance(e, dict) else e for e in manifest["files"]]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _micros_timestamps(df: DataFrame):
+    """Force TIMESTAMP_MICROS for the staging write even on a vanilla
+    (externally-owned) session: legacy INT96 timestamp columns carry NO
+    parquet footer min/max stats, which silently disables the zone-map
+    pruning this storage layer exists to provide."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    try:
+        old = conf.get(key)
+    except Exception:
+        old = None
+    try:
+        conf.set(key, "TIMESTAMP_MICROS")
+    except Exception:
+        pass
+    try:
+        yield
+    finally:
+        if old is not None:
+            with contextlib.suppress(Exception):
+                conf.set(key, old)
+
+
 def _footer_stats(path: str, cols: list[str]) -> dict:
     """Per-file zone map: column min/max read from the parquet FOOTER
     row-group statistics (no data scan — pyarrow metadata only).
@@ -119,7 +146,8 @@ def commit_versioned(
     version = (versions[-1] + 1) if versions else 1
 
     stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    with _micros_timestamps(df):
+        df.write.mode("overwrite").parquet(stage)
     tag = uuid.uuid4().hex[:8]
     files = []
     for i, part in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
@@ -206,13 +234,14 @@ def _stage_bucketed(
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
-    (
-        df.withColumn("_bucket", _bucket_expr(key_col, n_buckets))
-        .repartition("_bucket")
-        .write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(stage)
-    )
+    with _micros_timestamps(df):
+        (
+            df.withColumn("_bucket", _bucket_expr(key_col, n_buckets))
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(stage)
+        )
     tag = uuid.uuid4().hex[:8]
     entries: list[dict] = []
     i = 0
@@ -474,6 +503,29 @@ def table_changes(
     )
 
 
+def _norm_probe(v):
+    """Normalize a zone-map range probe for comparison with JSON stats.
+
+    Stats for timestamp/date columns are persisted as ``.isoformat()``
+    strings ('T' separator).  Accept ``datetime``/``date`` objects and
+    Spark-style ``'YYYY-MM-DD HH:MM:SS'`` strings; anything else passes
+    through unchanged (numeric/string columns compare natively).
+    """
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if (
+        isinstance(v, str)
+        and len(v) >= 11
+        and v[4] == "-"
+        and v[7] == "-"
+        and v[10] == " "
+    ):
+        return v[:10] + "T" + v[11:]
+    return v
+
+
 def read_versioned_range(
     spark: SparkSession,
     table_dir: str,
@@ -500,6 +552,11 @@ def read_versioned_range(
         raise FileNotFoundError(f"no committed versions in {table_dir}")
     v = versions[-1] if version is None else version
     m = _read_manifest(table_dir, v)
+    # Manifest stats store timestamps as datetime.isoformat() strings
+    # ('T' separator).  Normalize caller probes so a datetime object or a
+    # Spark-style 'YYYY-MM-DD HH:MM:SS' string compares correctly instead
+    # of silently pruning files that contain matching rows.
+    plo, phi = _norm_probe(lo), _norm_probe(hi)
 
     def keep(entry) -> bool:
         if not isinstance(entry, dict):
@@ -508,10 +565,16 @@ def read_versioned_range(
         if st is None:
             return True
         fmin, fmax = st
-        if lo is not None and fmax < lo:
-            return False
-        if hi is not None and fmin > hi:
-            return False
+        try:
+            if plo is not None and fmax < plo:
+                return False
+            if phi is not None and fmin > phi:
+                return False
+        except TypeError:
+            # incomparable probe/stat types: conservative keep (exact
+            # post-filter below still applies) — pruning must never be
+            # the reason a matching row goes missing.
+            return True
         return True
 
     data_dir = os.path.join(table_dir, "data")

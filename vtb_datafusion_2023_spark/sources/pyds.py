@@ -322,6 +322,28 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
 
         return set(_file_names(_read_manifest(self.table_dir, v)))
 
+    def _check_append_only(self, start_v: int, end_v: int) -> None:
+        """Append-diff validity guard: an ``overwrite`` (or compaction)
+        commit in ``(start_v, end_v]`` renames every data file, so a
+        file-name set difference would re-emit the whole snapshot as
+        "new" rows.  Exactly-once is only defined over append/merge
+        history — raise loudly instead of silently duplicating.
+        """
+        from .manifest import _read_manifest, table_versions
+
+        if start_v <= 0:
+            return  # initial batch: whole-snapshot emission is correct
+        for v in table_versions(self.table_dir):
+            if start_v < v <= end_v:
+                mode = _read_manifest(self.table_dir, v).get("mode", "append")
+                if mode == "overwrite":
+                    raise ValueError(
+                        f"version {v} of {self.table_dir} is an "
+                        "'overwrite' commit: the change feed cannot "
+                        "diff across snapshot rewrites (restart the "
+                        "stream from the rewritten version instead)"
+                    )
+
     def initialOffset(self):
         return {"version": 0}
 
@@ -335,6 +357,7 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         prev_v = start["version"]
         if latest <= prev_v:
             return iter([]), {"version": prev_v}
+        self._check_append_only(prev_v, latest)
         old = self._version_files(prev_v) if prev_v in versions else set()
         new_files = sorted(self._version_files(latest) - old)
         data = os.path.join(self.table_dir, "data")
@@ -346,6 +369,7 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start, end):
         import pyarrow.parquet as pq
 
+        self._check_append_only(start["version"], end["version"])
         old = self._version_files(start["version"]) if start["version"] > 0 else set()
         new_files = sorted(self._version_files(end["version"]) - old)
         data = os.path.join(self.table_dir, "data")

@@ -2966,9 +2966,11 @@ def _pattern_oracle(steps: list[str], rounds: int) -> str:
     doc="sequential pattern matching, MATCH_RECOGNIZE-lite "
     "(analytics.pattern_spans): earliest-first NON-OVERLAPPING "
     "view->click->purchase spans per user under skip-till-next-match "
-    "semantics — a bounded driver loop of min-aggregation joins (the "
-    "iterative-dataflow template), matched by a 10-round unrolled "
-    "oracle with the identical bound.",
+    "semantics — ONE shuffle on user_id + a JVM-side aggregate-HOF "
+    "automaton over the per-key sorted event array (applyInPandas and "
+    "relational frontier-join variants remain as strategy='pandas'/"
+    "'joins', pinned row-identical by pytest), "
+    "matched by a 10-round unrolled oracle with the identical bound.",
 )
 def an_pattern_spans(spark, sf_dir):
     from ..operators.analytics import pattern_spans
