@@ -53,6 +53,12 @@ HEADLINE = [
     "pipeline_corpus_prep",
     "mm_decode_tiff",
     "an_pattern_spans",
+    # round-3 additions: the funnel/LM/incremental-dedup/graph heads get
+    # recorded baselines the round they ship their scale paths
+    "an_funnel",
+    "text_surprisal",
+    "dd_incremental_md5",
+    "gr_pagerank",
 ]
 
 

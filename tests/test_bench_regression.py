@@ -22,8 +22,13 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_no_query_regressed_2x_vs_r01():
+    # per-query baseline: BENCH_r01 numbers where they exist, BENCH_r02
+    # for queries added after round 1 — every headline query is gated.
     with open(os.path.join(REPO, "BENCH_r01.json")) as f:
         base = json.load(f)["parsed"]["queries"]
+    with open(os.path.join(REPO, "BENCH_r02.json")) as f:
+        for q, sec in json.load(f)["parsed"]["queries"].items():
+            base.setdefault(q, sec)
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

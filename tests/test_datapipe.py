@@ -1099,6 +1099,44 @@ def test_pattern_spans_automaton_matches_joins(spark):
     assert len(sql) > 0
 
 
+def test_funnel_scan_matches_joins(spark):
+    """The one-pass aggregate-HOF funnel (default) and the per-step
+    min-ts join formulation are row-identical — including ts ties at
+    step boundaries, users who skip step 1, and deadline expiry."""
+    import datetime as dt
+    import random
+
+    from vtb_datafusion_2023_spark.operators.analytics import funnel
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2023, 1, 1)
+    rows = []
+    for uid in range(200):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (
+                    uid,
+                    t0 + dt.timedelta(hours=rng.randint(0, 24 * 20)),
+                    rng.choice(["view", "click", "purchase", "noise"]),
+                )
+            )
+    # deliberate tie: click at exactly the first view's timestamp
+    rows += [(900, t0, "view"), (900, t0, "click"), (900, t0 + dt.timedelta(days=1), "click")]
+    # deadline expiry: click arrives 8 days after first view
+    rows += [(901, t0, "view"), (901, t0 + dt.timedelta(days=8), "click")]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+
+    def norm(res):
+        return sorted((r.step, r.step_name, r.n_users) for r in res.collect())
+
+    scan = norm(funnel(df, ["view", "click", "purchase"], within="7 days"))
+    joins = norm(funnel(df, ["view", "click", "purchase"], within="7 days", strategy="joins"))
+    assert scan == joins
+    # tie rejected (strict >), expiry rejected (<= deadline): user 900
+    # reaches click via the next-day event, 901 stops at view
+    assert scan[0][2] > 0
+
+
 def test_pattern_spans_zero_match_schema_derived(spark):
     """Zero-match results must carry the SAME schema as non-empty ones
     for a string key and timestamp ord (previously hardcoded bigint)."""

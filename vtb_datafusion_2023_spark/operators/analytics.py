@@ -22,16 +22,27 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    strategy: str = "scan",
 ) -> DataFrame:
     """Ordered-funnel completion counts: users whose first ``steps[0]``
     is followed by the other steps IN ORDER, each strictly later than the
     previous step's completion time and all within ``within`` of step 1.
+    Returns (step, step_name, n_users).
 
-    Returns (step, step_name, n_users).  Each step is a per-user min-ts
-    aggregation joined back on ``user_col`` — all stages share one
-    partitioning; at 100 TB this is len(steps) co-partitioned hash aggs,
-    no wide state.
+    ``strategy='scan'`` (default, the 100 TB shape): pre-filter to the
+    step types, ONE shuffle on ``user_col``, then the greedy state
+    machine runs JVM-side as an ``aggregate`` HOF over each user's
+    time-sorted event array (the earliest valid event per step IS the
+    per-step min the join formulation computes), followed by one global
+    conditional aggregation for the per-step counts.  ``'joins'`` keeps
+    the per-step min-ts aggregation joins — len(steps) co-partitioned
+    hash aggs over the event table, the differential cross-check
+    (pinned row-identical by pytest).
     """
+    if strategy == "scan":
+        return _funnel_scan(events, steps, within, user_col, ts_col, type_col)
+    if strategy != "joins":
+        raise ValueError(f"strategy must be scan|joins, got {strategy!r}")
     spark = events.sparkSession
     cur = (
         events.filter(F.col(type_col) == steps[0])
@@ -60,6 +71,66 @@ def funnel(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def _funnel_scan(
+    events: DataFrame,
+    steps: list[str],
+    within: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """One-pass funnel: per-user greedy state machine as a JVM
+    ``aggregate`` HOF over the sorted (ts, type) array.  An event
+    advances the state iff it is the next step's type, strictly after
+    the previous step's time, and within the step-1 deadline.  The scan
+    consumes the EARLIEST such event — exactly the per-step ``min(ts)``
+    of the join formulation.  Two shuffles total (user group + global
+    count), independent of len(steps)."""
+    ts_t = events.schema[ts_col].dataType.simpleString()
+    n = len(steps)
+    steps_sql = "array(" + ",".join("'" + s.replace("'", "''") + "'" for s in steps) + ")"
+    scan = f"""
+    aggregate(
+      sort_array(collect_list(struct(_o, _t))),
+      struct(0 as state, cast(null as {ts_t}) as last, cast(null as {ts_t}) as deadline),
+      (acc, e) -> if(
+         acc.state >= {n}
+         or not (e._t <=> element_at({steps_sql}, acc.state + 1))
+         or (acc.state > 0 and (e._o <= acc.last or e._o > acc.deadline)),
+         acc,
+         named_struct(
+           'state', acc.state + 1,
+           'last', e._o,
+           'deadline', if(acc.state = 0, e._o + interval {within}, acc.deadline))),
+      acc -> acc.state)
+    """
+    ev = events.select(
+        F.col(user_col), F.col(ts_col).alias("_o"), F.col(type_col).alias("_t")
+    ).filter(F.col("_t").isin(steps) & F.col("_o").isNotNull())
+    reached = ev.groupBy(user_col).agg(F.expr(scan).alias("_reached"))
+    wide = reached.agg(
+        *[
+            F.sum(F.when(F.col("_reached") >= i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_n{i}")
+            for i in range(1, n + 1)
+        ]
+    )
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.coalesce(F.col(f"_n{i}"), F.lit(0).cast("bigint")).alias("n_users"),
+            )
+            for i, name in enumerate(steps, start=1)
+        ]
+    )
+    return wide.select(F.explode(tiers).alias("_t")).select(
+        "_t.step", "_t.step_name", "_t.n_users"
+    )
 
 
 def retention_cohorts(

@@ -377,9 +377,15 @@ def incremental_minhash_pairs(
     jaccard_threshold: float = 0.5,
     shingle_strategy: str = "window",
     max_bucket_size: int = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Dedup an incoming batch against an already-banded corpus WITHOUT
     recomputing (or rescanning) history.
+
+    ``hash_family``: 'xxhash64' (default, the fast scale path) or 'md5'
+    (both engines share md5's hex output, so the incremental pipeline is
+    oracle-replayable bitwise — the index must have been built with
+    ``minhash_md5_band_table``).  The family must match the index's.
 
     ``index`` is the historical ``minhash_band_table`` (live frame or the
     ``write_minhash_index`` bucketed table).  Candidates are
@@ -400,9 +406,16 @@ def incremental_minhash_pairs(
     # batch).  localCheckpoint materializes it once — it is small
     # (bands x ids longs), and the batch (not the corpus) is the unit of
     # incremental work.
-    new_banded = minhash_band_table(
-        new_docs, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy
-    ).localCheckpoint(eager=False)
+    if hash_family == "md5":
+        new_banded = minhash_md5_band_table(
+            new_docs, id_col, text_col, num_perm, bands, shingle_n
+        ).localCheckpoint(eager=False)
+    elif hash_family == "xxhash64":
+        new_banded = minhash_band_table(
+            new_docs, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy
+        ).localCheckpoint(eager=False)
+    else:
+        raise ValueError(f"hash_family must be xxhash64|md5, got {hash_family!r}")
     new_new = _bucket_candidate_pairs(new_banded, max_bucket_size)
     old_side = index.select(
         F.col(_index_id_column(index)).alias("_old_id"), "band", "bucket"

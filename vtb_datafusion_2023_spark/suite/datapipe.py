@@ -1629,6 +1629,74 @@ def dd_incremental_minhash(spark, sf_dir):
 
 
 @register(
+    "dd_incremental_md5",
+    oracle=_minhash_md5_oracle() + "\nand (id_a % 5 = 0 or id_b % 5 = 0)",
+    survey_ref="dedup-incremental",
+    doc="md5-family twin of dd_incremental_minhash, hash-gated: the "
+    "batch (doc_id%5==0) dedups against history's persisted md5 band "
+    "index; because signatures are deterministic, the result is exactly "
+    "the full-corpus md5 rerun filtered to pairs touching a batch doc — "
+    "which is precisely what the oracle replays, certifying the "
+    "batch-vs-index equivalence bitwise.",
+)
+def dd_incremental_md5(spark, sf_dir):
+    from ..operators.dedup import incremental_minhash_pairs, minhash_md5_band_table
+
+    d = T(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    index = minhash_md5_band_table(old, "doc_id", "text", num_perm=16, bands=4, shingle_n=3)
+    return incremental_minhash_pairs(
+        new, index, old, "doc_id", "text",
+        num_perm=16, bands=4, shingle_n=3, jaccard_threshold=0.2,
+        hash_family="md5",
+    )
+
+
+@register(
+    "sink_roundtrip",
+    oracle=f"""
+select l_returnflag,
+       count(*) as n,
+       {sqlgen.dsum("l_quantity", "sum_qty")},
+       {sqlgen.dsum("l_extendedprice", "sum_price")}
+from lineitem
+group by l_returnflag
+""",
+    survey_ref="S3,S4",
+    doc="sink certification (S3 CSV sink + S4 materialized "
+    "intermediate): project lineitem -> write multi-part CSV -> "
+    "schema-pinned re-read -> checkpoint to parquet -> re-read -> "
+    "decimal-exact aggregate.  The oracle computes the same aggregate "
+    "from the ORIGINAL table, so any row lost/duplicated/corrupted in "
+    "either sink round-trip (including double formatting: Spark writes "
+    "shortest-round-trip decimal text) breaks the value hash.",
+)
+def sink_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..sources.writers import checkpoint_parquet, write_csv
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="sink-roundtrip-")
+    write_csv(li, os.path.join(tmp, "csv"), single_file=False)
+    back = (
+        spark.read.schema("l_returnflag string, l_quantity double, l_extendedprice double")
+        .option("header", True)
+        .csv(os.path.join(tmp, "csv"))
+    )
+    mat = checkpoint_parquet(back, os.path.join(tmp, "pq"))
+    return mat.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(sqlgen.dsum("l_quantity", "sum_qty")),
+        F.expr(sqlgen.dsum("l_extendedprice", "sum_price")),
+    )
+
+
+@register(
     "dp_cluster_safe_split",
     oracle=f"""
 with recursive jp as ({_JACCARD_PAIRS_SQL}),
