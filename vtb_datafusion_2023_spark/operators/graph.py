@@ -23,6 +23,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int | None = None,
+    materialize_aux: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list; returns ``(node, r)``
     with ranks in the mean-1 formulation (``r`` averages 1.0; divide by
@@ -48,12 +49,33 @@ def pagerank(
     d_lit = f"cast('{damping!r}' as double)"
     omd_lit = f"cast('{1.0 - damping!r}' as double)"
 
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # nodes and out-degrees come from ONE role-exploded aggregation
+    # (node set = every id in either role, od = src-role count) — one
+    # shuffle with map-side partials instead of a distinct-union plus a
+    # separate degree agg.  The result is |nodes|-cardinality (tiny next
+    # to |edges|) but carries a full edge-scan lineage, and EVERY
+    # iteration of the final plan re-derives whatever auxiliary frames
+    # it references (audited: 14 scans for 3 iterations without
+    # pinning; 3 with).  One materialization is the cluster-scale shape
+    # too: per-iteration cost should be the edge shuffle, not
+    # re-aggregating degrees.
+    aux = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("node"), F.lit(1).alias("is_src")),
+                    F.struct(F.col(dst).alias("node"), F.lit(0).alias("is_src")),
+                )
+            ).alias("x")
+        )
+        .select("x.node", "x.is_src")
+        .groupBy("node")
+        .agg(F.sum("is_src").alias("od"))
     )
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("od"))
+    if materialize_aux:
+        aux = aux.localCheckpoint(eager=True)
+    nodes = aux.select("node")
+    deg = aux.filter(F.col("od") > 0).select(F.col("node").alias(src), "od")
     ranks = nodes.selectExpr("node", "cast(1 as double) as r")
     for i in range(iterations):
         contrib = (
