@@ -43,7 +43,18 @@ from ..operators.dedup import (
     _bucket_candidate_pairs,
     _verify_jaccard,
     minhash_band_table,
+    minhash_md5_band_table,
 )
+
+
+def _band(df, id_col, text_col, num_perm, bands, shingle_n, hash_family):
+    if hash_family == "md5":
+        return minhash_md5_band_table(df, id_col, text_col, num_perm, bands, shingle_n)
+    if hash_family == "xxhash64":
+        return minhash_band_table(
+            df, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy="array"
+        )
+    raise ValueError(f"hash_family must be xxhash64|md5, got {hash_family!r}")
 from ..sources.manifest import commit_versioned, read_versioned, table_versions
 
 
@@ -59,11 +70,17 @@ def _dedup_one_batch(
     shingle_n: int,
     jaccard_threshold: float,
     max_bucket_size: int,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Return the batch rows that survive dedup vs (corpus + batch)."""
+    """Return the batch rows that survive dedup vs (corpus + batch).
+
+    ``hash_family='md5'`` uses the oracle-replayable md5 banding family
+    (both engines share md5's hex output) — the certification twin of
+    the xxhash64 scale path, exactly as in batch ``minhash_md5_pairs``.
+    """
     batch = batch.select(id_col, text_col).dropDuplicates([id_col])
-    banded = minhash_band_table(
-        batch, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy="array"
+    banded = _band(
+        batch, id_col, text_col, num_perm, bands, shingle_n, hash_family
     ).localCheckpoint(eager=False)  # feeds both candidate branches once
     cand = _bucket_candidate_pairs(banded, max_bucket_size)
     # history presence is decided by the CORPUS (the verify text source);
@@ -76,9 +93,8 @@ def _dedup_one_batch(
         if table_versions(index_dir):
             index = read_versioned(spark, index_dir)
         else:
-            index = minhash_band_table(
-                old, id_col, text_col, num_perm, bands, shingle_n,
-                shingle_strategy="array",
+            index = _band(
+                old, id_col, text_col, num_perm, bands, shingle_n, hash_family
             ).withColumnRenamed("_id", id_col)
         vs_old = (
             banded.join(
@@ -131,6 +147,7 @@ def streaming_dedup_ingest(
     max_bucket_size: int = 1000,
     timeout_sec: int = 600,
     compact_every: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> None:
     """Run the (finite-source) document stream to completion, growing the
     versioned clean corpus at ``corpus_dir`` and its band index at
@@ -161,6 +178,7 @@ def streaming_dedup_ingest(
             shingle_n,
             jaccard_threshold,
             max_bucket_size,
+            hash_family,
         ).localCheckpoint()  # pin: two commits below must see one answer
         if table_versions(corpus_dir):
             # row-level idempotency across the crash window: docs already
@@ -170,9 +188,8 @@ def streaming_dedup_ingest(
                 read_versioned(spark, corpus_dir).select(id_col), id_col, "left_anti"
             )
         if accepted.limit(1).count() > 0:
-            accepted_bands = minhash_band_table(
-                accepted, id_col, text_col, num_perm, bands, shingle_n,
-                shingle_strategy="array",
+            accepted_bands = _band(
+                accepted, id_col, text_col, num_perm, bands, shingle_n, hash_family
             ).withColumnRenamed("_id", id_col)
             # index FIRST: a crash between the commits then leaves an
             # index entry whose corpus row arrives on replay — harmless

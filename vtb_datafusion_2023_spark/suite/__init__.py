@@ -71,7 +71,7 @@ _FRONT_R3 = [
     "st_windowed_counts", "st_windowed_spend", "st_stream_dedup",
     "st_stream_dedup_wm", "sw_session_window", "st_attribution_join",
     "st_static_enrich", "st_attribution_outer", "st_attribution_full",
-    "st_dedup_ingest", "st_drift_psi",
+    "st_dedup_ingest", "st_dedup_ingest_md5", "st_drift_psi",
     "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -82,12 +82,13 @@ _FRONT_R3 = [
     "q21_waiting_supplier", "q22_idle_customers",
     "gr_pagerank", "gr_triangles", "sql_surface", "sql_udtf_chunking",
     "an_drift_psi", "an_pair_affinity", "an_seasonal_decompose",
-    "an_seasonal_anomaly", "agg_incremental_distinct",
+    "an_seasonal_anomaly",
 ]
 
 # Remaining queries with no driver row (r1∪r2), after the front block —
 # the r4 candidates if the r3 budget stops at ~50.
 _UNCHECKED_TAIL = [
+    "agg_incremental_distinct",
     "text_repetition", "dp_corpus_mix", "text_normalize", "text_tfidf",
     "dp_modulo_split", "text_pack_sequences", "text_scrub_pii",
     "text_strip_html", "text_top_ngrams", "emb_l2_normalize",

@@ -309,6 +309,153 @@ def st_dedup_ingest(spark, sf_dir):
     return read_versioned(spark, f"{root}/corpus").select("doc_id")
 
 
+def _stream_dedup_md5_oracle(
+    num_perm: int = 16, bands: int = 4, shingle_n: int = 3, t: float = 0.5
+) -> str:
+    """DuckDB replay of the ENTIRE two-batch md5 streaming ingest-dedup:
+    shingle -> md5-permutation mins -> band buckets (deterministic, so
+    the stream's persisted index equals re-banding), then the exact
+    admit rule per batch — batch 0 (even doc_ids) self-dedups, batch 1
+    (odd ids) dedups against itself AND the accepted batch-0 corpus:
+    drop the new side of every verified pair, keep-first (lower id)
+    within the batch.  Mirrors ``streaming.dedup._dedup_one_batch``
+    clause for clause."""
+    r = num_perm // bands
+    n1 = shingle_n - 1
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len(tk) - {n1}, 1) + 1), "
+        f"i -> array_to_string(tk[i:i+{n1}], ' ')))"
+    )
+    mins = ", ".join(f"min(md5('{p}:' || _s)) as m{p}" for p in range(num_perm))
+    band_rows = "\n  union all\n  ".join(
+        f"select _id, {b} as band, md5(concat_ws('|', "
+        + ", ".join(f"m{b * r + j}" for j in range(r))
+        + ")) as bucket from sigs"
+        for b in range(bands)
+    )
+    return f"""
+with sh as (
+  select doc_id as _id, unnest({shingles}) as _s
+  from (select doc_id, string_split(text, ' ') as tk from documents)
+),
+sigs as (select _id, {mins} from sh group by _id),
+banded as (
+  {band_rows}
+),
+sizes as (select _id, count(*) as _sz from sh group by _id),
+cand0 as (
+  select distinct l._id as id_a, r._id as id_b
+  from banded l join banded r on l.band = r.band and l.bucket = r.bucket
+                             and l._id < r._id
+  where l._id % 2 = 0 and r._id % 2 = 0
+),
+inter0 as (
+  select c.id_a, c.id_b, count(*) as _i
+  from cand0 c
+  join sh a on a._id = c.id_a
+  join sh b on b._id = c.id_b and a._s = b._s
+  group by 1, 2
+),
+pairs0 as (
+  select id_a, id_b from inter0
+  join sizes sa on inter0.id_a = sa._id
+  join sizes sb on inter0.id_b = sb._id
+  where (_i / (sa._sz + sb._sz - _i)) >= {t}
+),
+acc0 as (
+  select doc_id as _id from documents where doc_id % 2 = 0
+  except
+  select id_b from pairs0
+),
+cand1 as (
+  select distinct least(l._id, r._id) as id_a, greatest(l._id, r._id) as id_b
+  from banded l join banded r on l.band = r.band and l.bucket = r.bucket
+                             and l._id <> r._id
+  where l._id % 2 = 1
+    and (r._id % 2 = 1 or r._id in (select _id from acc0))
+),
+inter1 as (
+  select c.id_a, c.id_b, count(*) as _i
+  from cand1 c
+  join sh a on a._id = c.id_a
+  join sh b on b._id = c.id_b and a._s = b._s
+  group by 1, 2
+),
+pairs1 as (
+  select id_a, id_b from inter1
+  join sizes sa on inter1.id_a = sa._id
+  join sizes sb on inter1.id_b = sb._id
+  where (_i / (sa._sz + sb._sz - _i)) >= {t}
+),
+drops1 as (
+  select id_b as _id from pairs1 where id_b % 2 = 1
+  union
+  select id_a from pairs1 where id_a % 2 = 1 and id_b % 2 = 0
+),
+acc1 as (
+  select doc_id as _id from documents where doc_id % 2 = 1
+  except
+  select _id from drops1
+)
+select _id as doc_id from acc0
+union all
+select _id as doc_id from acc1
+"""
+
+
+@register(
+    "st_dedup_ingest_md5",
+    oracle=_stream_dedup_md5_oracle(),
+    survey_ref="stream-dedup-ingest",
+    doc="md5-family twin of st_dedup_ingest, HASH-GATED: the same "
+    "foreachBatch ingest-dedup pipeline (band -> probe accumulated "
+    "index -> verify -> append survivors) with the oracle-replayable "
+    "md5 banding, so the final clean corpus after two micro-batches is "
+    "certified bitwise against a two-stage SQL replay of the admit "
+    "rule.  File mtimes are pinned so micro-batch order (evens then "
+    "odds) is deterministic.",
+)
+def st_dedup_ingest_md5(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.manifest import read_versioned
+    from ..streaming.dedup import streaming_dedup_ingest
+
+    root = tempfile.mkdtemp(prefix=f"spark_graft_stdedupmd5_{_uuid.uuid4().hex[:6]}_")
+    src = f"{root}/src"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        # the file source orders batches by (mtime, path); pin mtimes so
+        # batch 0 = evens, batch 1 = odds deterministically
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                full = os.path.join(src, f)
+                if os.stat(full).st_mtime < 1_000_000_000 + (i + 1) * 100:
+                    continue
+                os.utime(full, (1_000_000_000 + (i + 1) * 100,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_dedup_ingest(
+        stream,
+        f"{root}/corpus",
+        f"{root}/index",
+        f"{root}/ckpt",
+        jaccard_threshold=0.5,
+        num_perm=16,
+        bands=4,
+        hash_family="md5",
+    )
+    return read_versioned(spark, f"{root}/corpus").select("doc_id")
+
+
 @register(
     "st_drift_psi",
     oracle=None,  # set below: identical formula to an_drift_psi
