@@ -431,10 +431,21 @@ def incremental_minhash_pairs(
         )
         .distinct()
     )
-    cand = new_new.unionByName(new_old).distinct()
-    docs_all = old_docs.select(F.col(id_col), F.col(text_col)).unionByName(
-        new_docs.select(F.col(id_col), F.col(text_col))
-    ).distinct()
+    # cand feeds three consumers in the verify (the pruning id set and
+    # both pair-join sides) — pin it like minhash_md5_pairs does, or each
+    # consumer replays the bucket grouping + index join
+    cand = new_new.unionByName(new_old).distinct().localCheckpoint(eager=False)
+    # one text per id for the verify: the batch's text wins on re-ingest.
+    # This was a full-corpus distinct — a history-wide shuffle just to
+    # dedup (id, text) rows; the batch is small by contract, so a
+    # BROADCAST anti-join removes overlapping ids from the historical
+    # side without shuffling it at all (the verify join then prunes
+    # history to candidate ids).
+    new_sel = new_docs.select(F.col(id_col), F.col(text_col))
+    old_sel = old_docs.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(new_sel.select(id_col)), id_col, "left_anti"
+    )
+    docs_all = new_sel.unionByName(old_sel)
     return _verify_jaccard(cand, docs_all, id_col, text_col, shingle_n, jaccard_threshold)
 
 
