@@ -1697,6 +1697,47 @@ def sink_roundtrip(spark, sf_dir):
 
 
 @register(
+    "tbl_maintenance_roundtrip",
+    oracle=f"""
+select l_returnflag,
+       count(*) as n,
+       {sqlgen.dsum("l_quantity", "sum_qty")}
+from lineitem
+group by l_returnflag
+""",
+    survey_ref="versioned-storage",
+    doc="storage-maintenance certification: split lineitem into two "
+    "append commits of a manifest-versioned table, COMPACT it (atomic "
+    "overwrite commit, fewer files), vacuum the superseded versions, "
+    "read the survivor back, decimal-exact aggregate.  The oracle "
+    "aggregates the ORIGINAL table, so any row lost or duplicated by "
+    "append / compact / vacuum breaks the value hash — and the vacuum "
+    "proves readers only ever trusted the manifest.",
+)
+def tbl_maintenance_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_versioned,
+        compact_versioned,
+        read_versioned,
+        vacuum_versioned,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    t = tempfile.mkdtemp(prefix="tbl-maint-") + "/t"
+    commit_versioned(li.filter(F.col("l_orderkey") % 2 == 0), t, mode="overwrite")
+    commit_versioned(li.filter(F.col("l_orderkey") % 2 != 0), t, mode="append")
+    compact_versioned(spark, t, target_files=4)
+    vacuum_versioned(t, keep=1)  # drop the pre-compaction versions
+    back = read_versioned(spark, t)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(sqlgen.dsum("l_quantity", "sum_qty")),
+    )
+
+
+@register(
     "dp_cluster_safe_split",
     oracle=f"""
 with recursive jp as ({_JACCARD_PAIRS_SQL}),
