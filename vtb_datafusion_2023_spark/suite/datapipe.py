@@ -1738,6 +1738,56 @@ def tbl_maintenance_roundtrip(spark, sf_dir):
 
 
 @register(
+    "tbl_merge_time_travel",
+    oracle="""
+select 'merged' as snapshot, c_custkey, c_acctbal + 100 as c_acctbal
+from customer where c_custkey % 2 = 0
+union all
+select 'merged', c_custkey, c_acctbal
+from customer where c_custkey % 3 != 0 and c_custkey % 2 != 0
+  and c_custkey % 5 != 1
+union all
+select 'v1', c_custkey, c_acctbal
+from customer where c_custkey % 3 != 0
+""",
+    survey_ref="merge-into,time-travel",
+    doc="MERGE INTO + time travel certification on a bucketed versioned "
+    "table: v1 = customers with key%3!=0; merge upserts key%2==0 rows "
+    "(acctbal+100: overlaps update, rest insert) and deletes key%5==1 "
+    "non-updated rows; the result unions the post-merge snapshot with a "
+    "TIME-TRAVEL read of v1 — so the oracle certifies the upsert set "
+    "algebra, the delete, AND that the old version is untouched, "
+    "bitwise.  Only buckets containing a changed key are rewritten "
+    "(delta-cost maintenance; plan/pytest cover the carry-by-name).",
+)
+def tbl_merge_time_travel(spark, sf_dir):
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_versioned_bucketed,
+        merge_into,
+        read_versioned,
+    )
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = tempfile.mkdtemp(prefix="tbl-merge-") + "/t"
+    base = cust.filter(F.col("c_custkey") % 3 != 0)
+    commit_versioned_bucketed(base, t, key_col="c_custkey", n_buckets=8)
+    updates = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    # deletes: non-updated keys with key%5==1 (delete wins only where no
+    # upsert targets the key — merge_into applies updates over deletes)
+    deletes = base.filter(
+        (F.col("c_custkey") % 5 == 1) & (F.col("c_custkey") % 2 != 0)
+    ).select("c_custkey")
+    merge_into(spark, t, updates, delete_keys=deletes)
+    merged = read_versioned(spark, t).withColumn("snapshot", F.lit("merged"))
+    v1 = read_versioned(spark, t, version=1).withColumn("snapshot", F.lit("v1"))
+    return merged.unionByName(v1).select("snapshot", "c_custkey", "c_acctbal")
+
+
+@register(
     "dp_cluster_safe_split",
     oracle=f"""
 with recursive jp as ({_JACCARD_PAIRS_SQL}),
