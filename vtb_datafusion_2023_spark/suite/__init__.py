@@ -66,7 +66,7 @@ _LOADED = False
 _FRONT_R3 = [
     "tbl_key_skew",
     "dd_incremental_md5", "sink_roundtrip", "tbl_maintenance_roundtrip",
-    "tbl_merge_time_travel", "an_pattern_spans",
+    "tbl_merge_time_travel", "tbl_zone_map_range", "an_pattern_spans",
     "text_surprisal", "text_bigram_surprisal", "text_entropy",
     "text_stupid_backoff", "dd_simhash_md5",
     "st_windowed_counts", "st_windowed_spend", "st_stream_dedup",
@@ -82,13 +82,14 @@ _FRONT_R3 = [
     "q19_disjunctive_revenue", "q20_promo_suppliers",
     "q21_waiting_supplier", "q22_idle_customers",
     "gr_pagerank", "gr_triangles", "sql_surface", "sql_udtf_chunking",
-    "an_drift_psi", "an_pair_affinity",
+    "an_drift_psi",
 ]
 
 # Remaining queries with no driver row (r1∪r2), after the front block —
 # the r4 candidates if the r3 budget stops at ~50.
 _UNCHECKED_TAIL = [
-    "an_seasonal_decompose", "an_seasonal_anomaly", "agg_incremental_distinct",
+    "an_pair_affinity", "an_seasonal_decompose", "an_seasonal_anomaly",
+    "agg_incremental_distinct",
     "text_repetition", "dp_corpus_mix", "text_normalize", "text_tfidf",
     "dp_modulo_split", "text_pack_sequences", "text_scrub_pii",
     "text_strip_html", "text_top_ngrams", "emb_l2_normalize",

@@ -1788,6 +1788,48 @@ def tbl_merge_time_travel(spark, sf_dir):
 
 
 @register(
+    "tbl_zone_map_range",
+    oracle=f"""
+select count(*) as n,
+       {sqlgen.dsum("l_quantity", "sum_qty")},
+       cast(min(l_orderkey) as bigint) as min_ok,
+       cast(max(l_orderkey) as bigint) as max_ok
+from lineitem
+where l_shipdate >= timestamp '1995-01-01 00:00:00'
+  and l_shipdate <= timestamp '1995-12-31 23:59:59'
+""",
+    survey_ref="zone-map-skip",
+    doc="zone-map file-skipping certification on a TIMESTAMP column: "
+    "commit lineitem range-partitioned by l_shipdate with per-file "
+    "min/max stats lifted from the parquet footers (TIMESTAMP_MICROS — "
+    "legacy INT96 would carry no stats), then range-read one year with "
+    "a Spark-style 'YYYY-MM-DD HH:MM:SS' probe (normalized against the "
+    "isoformat stats) and aggregate.  The oracle filters the ORIGINAL "
+    "table, so a file wrongly pruned (or wrongly kept rows) breaks the "
+    "hash; pruning itself is plan/pytest-asserted.",
+)
+def tbl_zone_map_range(spark, sf_dir):
+    import tempfile
+
+    from ..sources.manifest import commit_versioned, read_versioned_range
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    ).repartitionByRange(8, "l_shipdate")
+    t = tempfile.mkdtemp(prefix="tbl-zm-") + "/t"
+    commit_versioned(li, t, stats_cols=["l_shipdate"])
+    r = read_versioned_range(
+        spark, t, "l_shipdate", lo="1995-01-01 00:00:00", hi="1995-12-31 23:59:59"
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(sqlgen.dsum("l_quantity", "sum_qty")),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+
+
+@register(
     "dp_cluster_safe_split",
     oracle=f"""
 with recursive jp as ({_JACCARD_PAIRS_SQL}),
