@@ -2874,7 +2874,12 @@ def pipeline_corpus_prep(spark, sf_dir):
     q = corpus.filter((n >= 20) & (n <= 200) & (dup_ratio < 0.4))
 
     reps = exact_dedup(q, "doc_id", ["text"]).select(F.col("keep_id").alias("doc_id"))
-    s2 = q.join(reps, "doc_id")
+    # S4 checkpoint at the pipeline's fan-out point (the reference's own
+    # write-then-reread of its cleaned intermediate, run.py:84-90): the
+    # exact-dedup survivors feed substring-dedup's window AND reassembly
+    # branches plus decontamination — unpinned, each branch replays
+    # scan -> quality filter -> dedup agg -> join (9 scans audited).
+    s2 = q.join(reps, "doc_id").localCheckpoint(eager=False)
 
     sd = substring_dedup(s2, window_tokens=_PREP_W).withColumnRenamed(
         "text_dedup", "text_final"
