@@ -257,6 +257,21 @@ def test_zone_map_range_read_prunes_files(spark, tmp_path):
     assert r2.count() == 101
 
 
+def test_norm_probe_unit():
+    import datetime as dt
+
+    from vtb_datafusion_2023_spark.sources.manifest import _norm_probe
+
+    assert _norm_probe(dt.datetime(2023, 1, 3, 12, 30, 45, 123456)) == "2023-01-03T12:30:45.123456"
+    assert _norm_probe(dt.date(2023, 1, 3)) == "2023-01-03"
+    assert _norm_probe("2023-01-03 12:30:45") == "2023-01-03T12:30:45"
+    assert _norm_probe("2023-01-03T12:30:45") == "2023-01-03T12:30:45"  # already iso
+    assert _norm_probe("2023-01-03") == "2023-01-03"  # date string untouched
+    assert _norm_probe(42) == 42
+    assert _norm_probe(None) is None
+    assert _norm_probe("not a timestamp") == "not a timestamp"
+
+
 def test_zone_map_timestamp_probes_normalized(spark, tmp_path):
     """Timestamp stats are persisted as isoformat ('T'-separated) strings;
     a caller probing with a datetime object or a Spark-style
