@@ -657,8 +657,16 @@ def bigram_logprob(
         .select(F.col(id_col), F.explode(pairs).alias("_p"))
         .select(id_col, F.col("_p.pos").alias("pos"), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
-    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    cw = big.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    # ONE corpus aggregation: cw (occurrences per w1) and the corpus
+    # total both derive from the pinned (w1, w2) counts by exact integer
+    # sums — without the pin, each count table, distinct-collect, and
+    # the final join replayed the full bigram explode independently.
+    cb = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cw = cb.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("ctx"))
     vocab = cb.filter(F.col("cnt") >= min_count)
     total = int(cb.agg(F.sum("cnt")).collect()[0][0])
     ln_oov = math.log(oov_weight) - math.log(total)
@@ -829,9 +837,16 @@ def stupid_backoff_logprob(
         )
         .select(id_col, "_g.pos", "_g.w1", "_g.w2", "_g.w3")
     )
+    # each count table is referenced twice (ln-value collect + scoring
+    # join) and would replay its corpus explode per reference; pin them
+    # (vocab-scale) and derive the token total from uni by integer sum
     words = train.select(F.explode(toks).alias("w"))
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    total = words.count()
+    uni = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=False)
+    )
+    total = int(uni.agg(F.sum("cu")).collect()[0][0])
     bi = (
         tbase.filter(F.col("_n") >= 2)  # sequence(2, 1) would DESCEND
         .select(F.explode(F.transform(F.sequence(F.lit(2), F.col("_n")), lambda i: F.struct(
@@ -839,6 +854,7 @@ def stupid_backoff_logprob(
         ))).alias("_b"))
         .groupBy("_b.w1", "_b.w2")
         .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)
     )
     tri = (
         tbase.filter(F.col("_n") >= 3)
@@ -849,6 +865,7 @@ def stupid_backoff_logprob(
         ))).alias("_r"))
         .groupBy("_r.w1", "_r.w2", "_r.w3")
         .agg(F.count(F.lit(1)).alias("c3"))
+        .localCheckpoint(eager=False)
     )
 
     scored = (
