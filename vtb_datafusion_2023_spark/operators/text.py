@@ -330,7 +330,13 @@ def tfidf(
     import math
 
     terms = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the document-frequency aggregation and the scoring
+    # join — pin it once instead of replaying the corpus explode
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = float(df.count())
     joined = tf.join(df_t, "term")
@@ -527,7 +533,14 @@ def unigram_logprob(
     pos = df.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "term")
     )
-    counts = pos.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts feeds the vocab collect, the corpus-total aggregation, and
+    # the scoring join — pin once (vocab-scale) instead of replaying the
+    # posexplode per reference
+    counts = (
+        pos.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     vocab = counts.filter(F.col("cnt") >= min_count)
     total = int(counts.agg(F.sum("cnt").alias("t")).collect()[0]["t"])
     cnt_values = None
@@ -741,10 +754,14 @@ def token_entropy(
     import math
 
     toks = F.split(F.col(text_col), " ")
+    # tc feeds the distinct-count collect and the per-doc fold; the
+    # per-doc aggregate additionally feeds the n_tokens collect — pin
+    # both so the exact path's extra collects reuse, not replay
     tc = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
     c_values = None
@@ -764,7 +781,7 @@ def token_entropy(
             "aggregate(transform(array_sort(collect_list(struct(term, _cl))),"
             " x -> x._cl), cast(0 as double), (a, b) -> a + b)"
         ).alias("_s"),
-    )
+    ).localCheckpoint(eager=False)
     n_values = None
     if c_values is not None:
         n_values = _distinct_ints_under_guard(
