@@ -4,8 +4,14 @@ language-ID, quality scoring, token counting, document fingerprinting.
 These extend the reference's tabular feature engineering to the document
 domain (north-star extensions; BASELINE.json).  Everything is built from
 JVM-side ``pyspark.sql.functions`` string/array expressions — no Python
-UDFs — so the whole module stays inside whole-stage codegen and scales as
-a narrow map over the corpus (100 TB = one scan, no shuffle).
+UDFs.  The per-document features (quality, langid, fingerprint, token
+count, repetition, chunking, PII scrub, HTML strip) stay inside
+whole-stage codegen as a narrow map over the corpus (100 TB = one scan,
+no shuffle).  The corpus-statistics family (TF-IDF, BM25, the LM
+scorers) additionally pays one hash aggregation per count table — each
+pinned once at its fan-out (lazy ``localCheckpoint``) — and keeps a
+bitwise-oracle exact-log path under :data:`EXACT_LN_GUARD` with fully
+in-plan ``F.log`` beyond it.
 """
 
 from __future__ import annotations
