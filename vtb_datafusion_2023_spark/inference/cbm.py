@@ -244,16 +244,49 @@ class CbmModel:
         }
 
 
+def _score_arrays(p: dict) -> tuple[np.ndarray, list]:
+    """Derived gather arrays, computed once per payload dict.
+
+    ``_bin_gather`` composes x -> used-float -> binary-feature into one
+    column index (the comparison then runs at binary-feature granularity,
+    n x 1377 float64, instead of gathering the n x 2249 per-split float
+    matrix).  ``_levels`` lists, per oblivious-tree depth level L, which
+    trees have that level and which binary-feature column each reads —
+    so the leaf index accumulates in max_depth (<= ~6) vectorized passes
+    over n x trees int32 instead of one np.add.reduceat over the
+    n x splits matrix (reduceat is the measured hot spot: segmented sums
+    are not SIMD-vectorized).  Leaf sums stay bit-identical int64.
+    """
+    if "_bin_gather" not in p:
+        p["_bin_gather"] = p["flat_index"][p["bin_feat"]]
+        sizes, offs, ts = p["tree_sizes"], p["split_offsets"], p["tree_splits"]
+        max_d = int(sizes.max()) if len(sizes) else 0
+        full = np.arange(len(sizes))
+        levels = []
+        for lvl in range(max_d):
+            tsel = np.flatnonzero(sizes > lvl)
+            cols = ts[offs[tsel] + lvl]
+            # tsel=None marks "every tree has this level": skips the
+            # fancy-indexed += (the common case — uniform-depth forests)
+            levels.append((None if len(tsel) == len(full) else tsel, cols))
+        p["_levels"] = levels
+    return p["_bin_gather"], p["_levels"]
+
+
 def score_q_payload(p: dict, x: np.ndarray) -> np.ndarray:
     """``raw_score_q`` over a ``CbmModel.payload()`` dict (closure-safe)."""
     x = np.asarray(x, dtype=np.float64)
-    feat = x[:, p["flat_index"]]
+    bin_gather, levels = _score_arrays(p)
     with np.errstate(invalid="ignore"):
-        bins = feat[:, p["bin_feat"]] > p["bin_border"]
-    per_split = bins[:, p["tree_splits"]].astype(np.int64)
-    sizes = p["tree_sizes"]
-    per_split <<= np.concatenate([np.arange(s) for s in sizes]) if len(sizes) else np.empty(0, np.int64)
-    leaf_idx = np.add.reduceat(per_split, p["split_offsets"], axis=1)
+        bins = x[:, bin_gather] > p["bin_border"]
+    n_trees = len(p["tree_sizes"])
+    leaf_idx = np.zeros((len(x), n_trees), dtype=np.int32)
+    for lvl, (tsel, cols) in enumerate(levels):
+        bit = bins[:, cols].astype(np.int32) << lvl
+        if tsel is None:
+            leaf_idx += bit
+        else:
+            leaf_idx[:, tsel] += bit
     return p["leaf_q"][p["leaf_offsets"] + leaf_idx].sum(axis=1)
 
 

@@ -34,6 +34,23 @@ from ..operators.text import (
 from . import register
 from ._util import T
 
+
+def _spread_ids(df):
+    """Spread a tiny id frame across all cores before a heavy Python stage.
+
+    The mm_* fixtures generate their payloads from doc_id INSIDE the
+    decode UDF, so the input is a thin id column that the scan packs into
+    1-2 splits — leaving the per-payload codec work on 2 of 32 cores.  A
+    round-robin repartition of ids costs a shuffle of longs and scales
+    the Python stage with the cluster.  Real payload tables don't need
+    (or want) this: multi-KB binary columns get scan-split parallelism
+    via maxPartitionBytes, and shuffling blobs would be the anti-pattern
+    — binary columns never enter an exchange (SCALE.md, codecs.py:37).
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication.
 
@@ -808,7 +825,7 @@ def mm_decode_png(spark, sf_dir):
             yield pd.DataFrame(out, columns=["doc_id", "width", "height", "pix_sum"])
 
     return (
-        T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+        _spread_ids(T(spark, sf_dir, "documents").select("doc_id")).mapInPandas(run, schema=schema)
     )
 
 
@@ -864,7 +881,7 @@ def mm_audio_wav(spark, sf_dir):
             yield pd.DataFrame(out, columns=["doc_id", "n_samples", "sample_rate", "amp_sum"])
 
     return (
-        T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+        _spread_ids(T(spark, sf_dir, "documents").select("doc_id")).mapInPandas(run, schema=schema)
     )
 
 
@@ -2398,7 +2415,7 @@ def mm_audio_g711(spark, sf_dir):
                 )
             yield pd.DataFrame(out, columns=["doc_id", "n_samples", "ulaw_sum", "alaw_sum"])
 
-    return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+    return _spread_ids(T(spark, sf_dir, "documents").select("doc_id")).mapInPandas(run, schema=schema)
 
 
 @register(
@@ -2457,7 +2474,7 @@ def mm_decode_gif(spark, sf_dir):
             yield pd.DataFrame(out, columns=["doc_id", "width", "height", "pix_sum"])
 
     return (
-        T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+        _spread_ids(T(spark, sf_dir, "documents").select("doc_id")).mapInPandas(run, schema=schema)
     )
 
 
@@ -2777,7 +2794,7 @@ def mm_audio_flac(spark, sf_dir):
                 )
             yield pd.DataFrame(out, columns=["doc_id", "n_samples", "amp_sum", "abs_sum"])
 
-    return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+    return _spread_ids(T(spark, sf_dir, "documents").select("doc_id")).mapInPandas(run, schema=schema)
 
 
 _PREP_W = 5
@@ -3134,7 +3151,7 @@ def mm_decode_tiff(spark, sf_dir):
                 )
             yield pd.DataFrame(out, columns=["doc_id", "width", "height", "pix_sum"])
 
-    return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(run, schema=schema)
+    return _spread_ids(T(spark, sf_dir, "documents").select("doc_id")).mapInPandas(run, schema=schema)
 
 
 def _pattern_oracle(steps: list[str], rounds: int) -> str:
