@@ -35,20 +35,33 @@ from . import register
 from ._util import T
 
 
-def _spread_ids(df):
-    """Spread a tiny id frame across all cores before a heavy Python stage.
+def _spread(df):
+    """Spread a small scan across all cores before a stage whose compute
+    is PINNED at the input partitioning.
 
-    The mm_* fixtures generate their payloads from doc_id INSIDE the
-    decode UDF, so the input is a thin id column that the scan packs into
-    1-2 splits — leaving the per-payload codec work on 2 of 32 cores.  A
-    round-robin repartition of ids costs a shuffle of longs and scales
-    the Python stage with the cluster.  Real payload tables don't need
-    (or want) this: multi-KB binary columns get scan-split parallelism
-    via maxPartitionBytes, and shuffling blobs would be the anti-pattern
-    — binary columns never enter an exchange (SCALE.md, codecs.py:37).
+    The sf0.1 documents table is one 594 KB parquet file => 1-2 scan
+    splits.  For most pipelines that's fine — the first exchange
+    redistributes to shuffle.partitions anyway (A/B-measured: adding
+    this to the minhash/simhash banding fixtures made them SLOWER,
+    2.30 -> 3.46 s, so they don't use it).  Two shapes genuinely need
+    it, because their heavy work executes at scan granularity and no
+    exchange ever rebalances it: (a) per-payload Python codec stages
+    (mapInPandas runs on the scan splits — 2 of 32 cores), and (b)
+    localCheckpoint-pinned lineages (the incremental-dedup band tables
+    materialize at input partitioning; measured 4.66 -> 1.80 s).  At
+    100 TB the scan itself yields thousands of partitions and this
+    shuffle would be waste — the OPERATORS never repartition their
+    input; only these fixtures do, and only thin columns (ids, short
+    text) pass through the exchange.  Binary payload columns still
+    never shuffle (SCALE.md, codecs.py:37); AQE can only coalesce,
+    never split, a too-coarse map side.
     """
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
+
+
+# the mm_* fixtures synthesize payloads from ids inside the UDF
+_spread_ids = _spread
 
 
 # ---------------------------------------------------------------------------
@@ -1635,7 +1648,7 @@ def dp_token_budget(spark, sf_dir):
 def dd_incremental_minhash(spark, sf_dir):
     from ..operators.dedup import incremental_minhash_pairs, minhash_band_table
 
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     old = d.filter(F.col("doc_id") % 5 != 0)
     new = d.filter(F.col("doc_id") % 5 == 0)
     index = minhash_band_table(old, "doc_id", "text", num_perm=64, bands=16, shingle_n=3)
@@ -1659,7 +1672,7 @@ def dd_incremental_minhash(spark, sf_dir):
 def dd_incremental_md5(spark, sf_dir):
     from ..operators.dedup import incremental_minhash_pairs, minhash_md5_band_table
 
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     old = d.filter(F.col("doc_id") % 5 != 0)
     new = d.filter(F.col("doc_id") % 5 == 0)
     index = minhash_md5_band_table(old, "doc_id", "text", num_perm=16, bands=4, shingle_n=3)
