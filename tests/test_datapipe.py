@@ -1189,3 +1189,101 @@ def test_pattern_spans_zero_match_schema_derived(spark):
         )
         out2 = pattern_spans(df2, "uid", "ts", "typ", ["a", "b"], strategy=strategy)
         assert out.unionByName(out2).count() == 1
+
+
+def test_funnel_null_ts_step1_counted_all_strategies(spark):
+    """A user whose ONLY step-1 events carry NULL timestamps still counts
+    at step 1 (the joins formulation's groupBy+min yields a t_0=NULL row,
+    and so does the SQL oracle); NULL-ts events never advance the ordered
+    chain.  The scan strategy used to filter them out entirely."""
+    from vtb_datafusion_2023_spark.operators.analytics import funnel
+
+    df = spark.sql(
+        """
+        select * from values
+          (1L, timestamp'2023-01-01 00:00:00', 'view'),
+          (1L, timestamp'2023-01-01 01:00:00', 'click'),
+          (2L, cast(null as timestamp), 'view'),
+          (3L, cast(null as timestamp), 'view'),
+          (3L, timestamp'2023-01-02 00:00:00', 'click'),
+          (4L, cast(null as timestamp), 'click')
+        as t(user_id, ts, event_type)
+        """
+    )
+
+    def norm(res):
+        return sorted((r.step, r.step_name, r.n_users) for r in res.collect())
+
+    scan = norm(funnel(df, ["view", "click"], within="7 days"))
+    joins = norm(funnel(df, ["view", "click"], within="7 days", strategy="joins"))
+    assert scan == joins
+    # users 1, 2, 3 have a view row (null ts included); only user 1 chains
+    # to click (user 3's click cannot be compared against a NULL t_0)
+    assert scan == [(1, "view", 3), (2, "click", 1)]
+
+
+def test_steps_literal_backslash_safe(spark):
+    """Step names containing backslashes must survive the SQL-literal
+    round trip: Spark string literals interpret escape sequences, so a
+    bare backslash silently corrupted the sql/scan automaton comparisons
+    while the Column-API strategies matched the raw string."""
+    from vtb_datafusion_2023_spark.operators.analytics import funnel, pattern_spans
+
+    df = spark.sql(
+        r"""
+        select * from values
+          ('u1', timestamp'2023-01-01 00:00:00', 'a\\b'),
+          ('u1', timestamp'2023-01-01 01:00:00', 'c')
+        as t(uid, ts, typ)
+        """
+    )
+    steps = [r"a\b", "c"]
+    assert df.filter("typ = 'a\\\\b'").count() == 1  # fixture sanity
+    for strategy in ("sql", "pandas", "joins"):
+        out = pattern_spans(df, "uid", "ts", "typ", steps, strategy=strategy)
+        assert out.count() == 1, strategy
+
+    res = {r.step: r.n_users for r in funnel(
+        df, steps, within="7 days", user_col="uid", ts_col="ts", type_col="typ"
+    ).collect()}
+    assert res == {1: 1, 2: 1}
+
+
+def test_pattern_spans_broadcast_frontier_requires_joins(spark):
+    import pytest as _pytest
+
+    from vtb_datafusion_2023_spark.operators.analytics import pattern_spans
+
+    df = spark.sql("select 'u1' uid, timestamp'2023-01-01' ts, 'a' typ")
+    with _pytest.raises(ValueError, match="broadcast_frontier"):
+        pattern_spans(df, "uid", "ts", "typ", ["a"], strategy="sql", broadcast_frontier=True)
+    # positional compatibility: 7th positional arg is still broadcast_frontier
+    out = pattern_spans(df, "uid", "ts", "typ", ["a"], 8, True, strategy="joins")
+    assert out.count() == 1
+
+
+def test_incremental_minhash_duplicate_batch_rows_collapse(spark, sf_small):
+    """An at-least-once redelivery duplicates batch rows; the verify must
+    not multiply its join pairs (output row count, not just pair set,
+    stays identical to the clean batch)."""
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+    )
+
+    d = docs(spark, sf_small)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    kw = dict(num_perm=64, bands=16, shingle_n=3, jaccard_threshold=0.3)
+    index = minhash_band_table(old, "doc_id", "text", num_perm=64, bands=16, shingle_n=3)
+    clean = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_pairs(new, index, old, "doc_id", "text", **kw).collect()
+    )
+    doubled = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_pairs(
+            new.unionByName(new), index, old, "doc_id", "text", **kw
+        ).collect()
+    )
+    assert doubled == clean and len(clean) > 0

@@ -316,3 +316,38 @@ def test_zone_map_timestamp_probes_normalized(spark, tmp_path):
         spark, t, "ts", lo="2023-01-03T00:00:00", hi="2023-01-03T23:00:00"
     )
     assert got_iso.count() == expect
+
+def test_zone_map_mixed_granularity_probe_keeps_boundary_file(spark, tmp_path):
+    """A DATE-granularity probe against TIMESTAMP stats (or vice versa)
+    must compare at the COMMON granularity: full-length lexicographic
+    comparison ('2023-01-03T00:00:00' > '2023-01-03') used to prune the
+    file holding the midnight boundary row that the exact post-filter
+    keeps — silent row loss from a skipping primitive."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        read_versioned_range,
+    )
+
+    t = str(tmp_path / "zm_mixed")
+    df = spark.createDataFrame(
+        [(dt.datetime(2023, 1, d, h, 0, 0), d * 100 + h) for d in (1, 2, 3) for h in (0, 12)],
+        "ts timestamp, v int",
+    ).repartitionByRange(3, "ts")
+    commit_versioned(df, t, stats_cols=["ts"])
+
+    # hi as a DATE: post-filter ts <= date'2023-01-03' casts to midnight,
+    # so exactly the Jan-1/Jan-2 rows plus the Jan-3 00:00 row qualify
+    got = read_versioned_range(spark, t, "ts", hi=dt.date(2023, 1, 3))
+    assert sorted(r.v for r in got.collect()) == [100, 112, 200, 212, 300]
+
+    # lo as a DATE against timestamp stats: Jan-3 both rows qualify
+    got = read_versioned_range(spark, t, "ts", lo=dt.date(2023, 1, 3))
+    assert sorted(r.v for r in got.collect()) == [300, 312]
+
+    # pruning still fires when decidable at date granularity
+    narrow = read_versioned_range(spark, t, "ts", hi=dt.date(2023, 1, 1))
+    assert len(set(narrow.inputFiles())) < 3

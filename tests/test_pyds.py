@@ -211,3 +211,28 @@ def test_versioned_stream_rejects_overwrite_between_offsets(spark, tmp_path):
         r._check_append_only(2, 3)
     # initial batch (start=0) legitimately emits the current snapshot
     assert r._check_append_only(0, 3) is None
+
+
+def test_versioned_stream_rejects_merge_between_offsets(spark, tmp_path):
+    """A merge commit rewrites each touched bucket into fresh file names
+    (carried rows included), so the file-name diff would re-emit carried
+    rows as duplicates — the guard must reject merge like overwrite."""
+    import pytest as _pytest
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned_bucketed,
+        merge_into,
+    )
+    from vtb_datafusion_2023_spark.sources.pyds import VersionedTableStreamReader
+
+    t = str(tmp_path / "vt3")
+    commit_versioned_bucketed(
+        spark.range(0, 50).selectExpr("id as k", "id * 2 as v"), t, key_col="k", n_buckets=4
+    )  # v1
+    merge_into(spark, t, spark.createDataFrame([(3, 999)], "k long, v long"))  # v2
+
+    r = VersionedTableStreamReader({"path": t})
+    with _pytest.raises(ValueError, match="merge"):
+        r._check_append_only(1, 2)
+    # initial batch still emits the snapshot
+    assert r._check_append_only(0, 2) is None

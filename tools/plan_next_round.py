@@ -28,19 +28,17 @@ def main() -> None:
     from vtb_datafusion_2023_spark import suite
 
     names = list(suite.queries())
-    green: set[str] = set()
-    failed: set[str] = set()
+    # the LATEST driver row per query decides its status: a later green
+    # supersedes an old failure AND a later failure supersedes an old
+    # green (a regression must re-enter the front block)
+    status: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
-            if ok:
-                green.add(name)
-                failed.discard(name)
-            else:
-                failed.add(name)
-    failed -= green  # a later green row supersedes an old failure
+            status[name] = row.get("hash_match") is True or row.get("err") == "no_oracle"
+    green = {n for n, ok in status.items() if ok}
+    failed = {n for n, ok in status.items() if not ok}
     never = [n for n in names if n not in green and n not in failed]
     front = [n for n in names if n in failed] + never
     certified = [n for n in names if n in green and n not in failed]

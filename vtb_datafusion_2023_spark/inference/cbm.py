@@ -228,8 +228,14 @@ class CbmModel:
     # ------------------------------------------------- broadcast payload
     def payload(self) -> dict:
         """Plain-builtin/numpy dict for ``sc.broadcast`` (executor Python
-        workers can unpickle it without this package on their path)."""
-        return {
+        workers can unpickle it without this package on their path).
+        Cached per model instance so ``_score_arrays``'s derived gather
+        tables survive across ``raw_score_q`` calls (a fresh dict per
+        call would rebuild them every invocation)."""
+        cached = self.__dict__.get("_payload")
+        if cached is not None:
+            return cached
+        self.__dict__["_payload"] = p = {
             "feature_names": list(self.feature_names),
             "flat_index": self.flat_index,
             "bin_feat": self.bin_feat,
@@ -242,6 +248,7 @@ class CbmModel:
             "scale": self.scale,
             "bias": self.bias,
         }
+        return p
 
 
 def _score_arrays(p: dict) -> tuple[np.ndarray, list]:

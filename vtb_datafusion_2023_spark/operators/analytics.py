@@ -73,6 +73,18 @@ def funnel(
     return out
 
 
+
+
+def _steps_literal(steps: list[str]) -> str:
+    """Spark-SQL array literal of step names.  Backslashes must escape
+    too: Spark string literals interpret \\b etc., so a bare backslash
+    in a step name would silently corrupt the automaton's comparisons
+    while the Column-API strategies match the raw string."""
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    return "array(" + ",".join(q(s) for s in steps) + ")"
+
 def _funnel_scan(
     events: DataFrame,
     steps: list[str],
@@ -90,10 +102,17 @@ def _funnel_scan(
     count), independent of len(steps)."""
     ts_t = events.schema[ts_col].dataType.simpleString()
     n = len(steps)
-    steps_sql = "array(" + ",".join("'" + s.replace("'", "''") + "'" for s in steps) + ")"
+    steps_sql = _steps_literal(steps)
+    # NULL-timestamp events can't advance the ordered chain (the joins
+    # formulation's ts > t_prev comparison rejects them), but a user
+    # whose ONLY step-1 events are NULL-ts still counts at step 1 there
+    # (groupBy+min yields a t_0=NULL row).  The automaton scans the
+    # non-NULL-ord events (collect_list skips the NULL branch) and a
+    # second aggregate restores the step-1 membership — keeping all
+    # strategies and the SQL oracle row-identical on NULL timestamps.
     scan = f"""
     aggregate(
-      sort_array(collect_list(struct(_o, _t))),
+      sort_array(collect_list(case when _o is not null then struct(_o, _t) end)),
       struct(0 as state, cast(null as {ts_t}) as last, cast(null as {ts_t}) as deadline),
       (acc, e) -> if(
          acc.state >= {n}
@@ -108,8 +127,13 @@ def _funnel_scan(
     """
     ev = events.select(
         F.col(user_col), F.col(ts_col).alias("_o"), F.col(type_col).alias("_t")
-    ).filter(F.col("_t").isin(steps) & F.col("_o").isNotNull())
-    reached = ev.groupBy(user_col).agg(F.expr(scan).alias("_reached"))
+    ).filter(F.col("_t").isin(steps))
+    first = steps[0].replace("\\", "\\\\").replace("'", "''")
+    reached = ev.groupBy(user_col).agg(
+        F.greatest(
+            F.expr(scan), F.expr(f"max(if(_t <=> '{first}', 1, 0))")
+        ).alias("_reached")
+    )
     wide = reached.agg(
         *[
             F.sum(F.when(F.col("_reached") >= i, 1).otherwise(0))
@@ -327,8 +351,12 @@ def pattern_spans(
     type_col: str,
     steps: list[str],
     max_matches: int = 8,
+    # broadcast_frontier keeps its pre-rewrite positional slot (callers
+    # predating the strategy parameter passed it 7th); it only applies to
+    # the 'joins' strategy, and setting it with another strategy raises
+    # instead of being silently ignored.
+    broadcast_frontier: bool | None = None,
     strategy: str = "sql",
-    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Sequential event-pattern matching (MATCH_RECOGNIZE-lite) with
     SKIP-TILL-NEXT-MATCH semantics: per key, find earliest-first,
@@ -357,7 +385,12 @@ def pattern_spans(
     """
     if strategy == "joins":
         return pattern_spans_joins(
-            df, key, ord_col, type_col, steps, max_matches, broadcast_frontier
+            df, key, ord_col, type_col, steps, max_matches, bool(broadcast_frontier)
+        )
+    if broadcast_frontier is not None:
+        raise ValueError(
+            "broadcast_frontier only applies to strategy='joins' "
+            f"(got strategy={strategy!r})"
         )
     if strategy == "sql":
         return _pattern_spans_sql(df, key, ord_col, type_col, steps, max_matches)
@@ -442,7 +475,7 @@ def _pattern_spans_sql(
     """
     ot = df.schema[ord_col].dataType.simpleString()
     n = len(steps)
-    steps_sql = "array(" + ",".join("'" + s.replace("'", "''") + "'" for s in steps) + ")"
+    steps_sql = _steps_literal(steps)
     ms_t = f"array<struct<match_id:int,start_ord:{ot},end_ord:{ot}>>"
     scan = f"""
     aggregate(

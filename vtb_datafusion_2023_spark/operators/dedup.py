@@ -400,6 +400,13 @@ def incremental_minhash_pairs(
     at the cost of the batch, not the corpus.  Old-old pairs are the
     previous run's output and are not re-emitted.
     """
+    # Exact duplicate batch rows (an at-least-once redelivery) must
+    # collapse BEFORE banding: the window-lead shingle strategy
+    # interleaves a duplicated doc's tokens, corrupting its signature —
+    # not just multiplying verify pairs.  Batch-sized by contract, so
+    # the distinct is cheap; the historical side needs none (each id was
+    # banded exactly once when it entered the index).
+    new_docs = new_docs.select(F.col(id_col), F.col(text_col)).distinct()
     # The batch band table feeds BOTH candidate branches (and indirectly
     # the verify); without pinning, each consumer replays the full
     # shingle->hash->min-agg lineage (plan audit showed 19 scans of the
@@ -440,8 +447,9 @@ def incremental_minhash_pairs(
     # dedup (id, text) rows; the batch is small by contract, so a
     # BROADCAST anti-join removes overlapping ids from the historical
     # side without shuffling it at all (the verify join then prunes
-    # history to candidate ids).
-    new_sel = new_docs.select(F.col(id_col), F.col(text_col))
+    # history to candidate ids).  The batch was already deduplicated at
+    # the top of this function, before banding.
+    new_sel = new_docs
     old_sel = old_docs.select(F.col(id_col), F.col(text_col)).join(
         F.broadcast(new_sel.select(id_col)), id_col, "left_anti"
     )

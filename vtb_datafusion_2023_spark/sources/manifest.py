@@ -558,6 +558,22 @@ def read_versioned_range(
     # of silently pruning files that contain matching rows.
     plo, phi = _norm_probe(lo), _norm_probe(hi)
 
+    def iso_like(s) -> bool:
+        return isinstance(s, str) and len(s) >= 10 and s[4] == "-" and s[7] == "-"
+
+    def lt(a, b) -> bool:
+        """True iff a < b PROVABLY.  A date probe against timestamp stats
+        (or vice versa) compares at the COMMON granularity: truncating
+        ISO strings to the shorter length is order-preserving when the
+        prefixes differ, and a tie at that granularity keeps the file —
+        full-length lexicographic '2023-01-03T00:00:00' > '2023-01-03'
+        would silently prune a file whose midnight row passes the exact
+        post-filter (ts <= date casts the date to midnight)."""
+        if iso_like(a) and iso_like(b) and len(a) != len(b):
+            k = min(len(a), len(b))
+            a, b = a[:k], b[:k]
+        return a < b
+
     def keep(entry) -> bool:
         if not isinstance(entry, dict):
             return True
@@ -566,9 +582,9 @@ def read_versioned_range(
             return True
         fmin, fmax = st
         try:
-            if plo is not None and fmax < plo:
+            if plo is not None and lt(fmax, plo):
                 return False
-            if phi is not None and fmin > phi:
+            if phi is not None and lt(phi, fmin):
                 return False
         except TypeError:
             # incomparable probe/stat types: conservative keep (exact

@@ -323,11 +323,13 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         return set(_file_names(_read_manifest(self.table_dir, v)))
 
     def _check_append_only(self, start_v: int, end_v: int) -> None:
-        """Append-diff validity guard: an ``overwrite`` (or compaction)
-        commit in ``(start_v, end_v]`` renames every data file, so a
-        file-name set difference would re-emit the whole snapshot as
-        "new" rows.  Exactly-once is only defined over append/merge
-        history — raise loudly instead of silently duplicating.
+        """Append-diff validity guard: any non-append commit in
+        ``(start_v, end_v]`` renames data files — ``overwrite``/compaction
+        renames every file, and ``merge`` rewrites each touched bucket
+        (carried, unchanged rows land in fresh file names) — so a
+        file-name set difference would re-emit carried rows as "new".
+        Exactly-once is only defined over append history — raise loudly
+        instead of silently duplicating.
         """
         from .manifest import _read_manifest, table_versions
 
@@ -336,12 +338,13 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         for v in table_versions(self.table_dir):
             if start_v < v <= end_v:
                 mode = _read_manifest(self.table_dir, v).get("mode", "append")
-                if mode == "overwrite":
+                if mode != "append":
                     raise ValueError(
-                        f"version {v} of {self.table_dir} is an "
-                        "'overwrite' commit: the change feed cannot "
-                        "diff across snapshot rewrites (restart the "
-                        "stream from the rewritten version instead)"
+                        f"version {v} of {self.table_dir} is a "
+                        f"{mode!r} commit: the change feed cannot "
+                        "diff across file rewrites (restart the "
+                        "stream from the rewritten version, or use "
+                        "table_changes for keyed CDC instead)"
                     )
 
     def initialOffset(self):
