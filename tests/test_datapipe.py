@@ -1287,3 +1287,20 @@ def test_incremental_minhash_duplicate_batch_rows_collapse(spark, sf_small):
         ).collect()
     )
     assert doubled == clean and len(clean) > 0
+    # md5/array family: banding's per-id min-agg absorbs duplicates, the
+    # verify-side distinct is the only guard — must hold the same way
+    kw5 = dict(num_perm=16, bands=4, jaccard_threshold=0.2, hash_family="md5")
+    from vtb_datafusion_2023_spark.operators.dedup import minhash_md5_band_table
+
+    idx5 = minhash_md5_band_table(old, "doc_id", "text", num_perm=16, bands=4, shingle_n=3)
+    clean5 = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_pairs(new, idx5, old, "doc_id", "text", **kw5).collect()
+    )
+    doubled5 = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_pairs(
+            new.unionByName(new), idx5, old, "doc_id", "text", **kw5
+        ).collect()
+    )
+    assert doubled5 == clean5 and len(clean5) > 0

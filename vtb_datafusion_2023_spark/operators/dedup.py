@@ -401,12 +401,22 @@ def incremental_minhash_pairs(
     previous run's output and are not re-emitted.
     """
     # Exact duplicate batch rows (an at-least-once redelivery) must
-    # collapse BEFORE banding: the window-lead shingle strategy
-    # interleaves a duplicated doc's tokens, corrupting its signature —
-    # not just multiplying verify pairs.  Batch-sized by contract, so
-    # the distinct is cheap; the historical side needs none (each id was
-    # banded exactly once when it entered the index).
-    new_docs = new_docs.select(F.col(id_col), F.col(text_col)).distinct()
+    # collapse before they can do harm, but WHERE depends on the shingle
+    # strategy.  The window-lead strategy interleaves a duplicated doc's
+    # tokens inside the per-id window, corrupting its signature — there
+    # the distinct must run BEFORE banding.  The array strategies (md5
+    # family, shingle_strategy='array') build each row's shingle set
+    # independently and min-aggregate per id, so duplicates collapse in
+    # the banding groupBy for free — pre-dedup there would only insert an
+    # exchange whose small-bytes output AQE coalesces onto a few cores,
+    # serializing the CPU-heavy per-shingle hashing that otherwise runs
+    # map-side at input parallelism (measured 4x on dd_incremental_md5).
+    # Duplicates must still collapse before the VERIFY (a doc joining
+    # twice multiplies pairs) — handled at new_sel below.
+    new_docs = new_docs.select(F.col(id_col), F.col(text_col))
+    pre_dedup = hash_family == "xxhash64" and shingle_strategy == "window"
+    if pre_dedup:
+        new_docs = new_docs.distinct()
     # The batch band table feeds BOTH candidate branches (and indirectly
     # the verify); without pinning, each consumer replays the full
     # shingle->hash->min-agg lineage (plan audit showed 19 scans of the
@@ -447,9 +457,10 @@ def incremental_minhash_pairs(
     # dedup (id, text) rows; the batch is small by contract, so a
     # BROADCAST anti-join removes overlapping ids from the historical
     # side without shuffling it at all (the verify join then prunes
-    # history to candidate ids).  The batch was already deduplicated at
-    # the top of this function, before banding.
-    new_sel = new_docs
+    # history to candidate ids).  Redelivered duplicate batch rows
+    # collapse here (the verify branch only — batch-sized shuffle) when
+    # the banding didn't already require a pre-dedup.
+    new_sel = new_docs if pre_dedup else new_docs.distinct()
     old_sel = old_docs.select(F.col(id_col), F.col(text_col)).join(
         F.broadcast(new_sel.select(id_col)), id_col, "left_anti"
     )
