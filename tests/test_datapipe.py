@@ -297,6 +297,85 @@ def test_modulo_split_is_exhaustive_and_sized(spark, sf_small):
         modulo_split(docs, {"train": 0.5})
 
 
+def test_modulo_split_rounding_undershoot_has_no_null_split(spark, sf_small):
+    """Three 1/3 weights at denom=100 round to 33+33+33: the residual
+    buckets 99.. must land in the LAST split, not split=NULL."""
+    from vtb_datafusion_2023_spark.operators.filtering import modulo_split
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = modulo_split(docs, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.count() == docs.count()
+    tail = out.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 99)
+    assert tail.count() > 0 and tail.filter(F.col("split") != "c").count() == 0
+
+
+def test_blacklist_keeps_null_rows(spark):
+    """Reference pandas ~isin keeps NaN rows; a bare Spark ~isin would
+    silently drop them (NULL predicate)."""
+    from vtb_datafusion_2023_spark.operators.filtering import blacklist
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, "B")], "id int, flag string"
+    )
+    got = sorted(r.id for r in blacklist(df, "flag", "A").collect())
+    assert got == [2, 3]
+
+
+def test_ewma_all_null_leading_frame_is_null_not_error(spark):
+    """A user whose first rows are all-NULL values yields an empty
+    collect_list frame: must produce NULL ewma (pandas: NaN), not an
+    ANSI INVALID_ARRAY_INDEX crash; later rows fold only the frame's
+    non-null values (cross-checked against DuckDB's list_filter form)."""
+    from vtb_datafusion_2023_spark.operators.windows import with_ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None), (1, 3, 4.0), (1, 4, None), (1, 5, 8.0)],
+        "user_id int, event_id int, value double",
+    )
+    rows = {
+        r.event_id: r.value_ewma
+        for r in with_ewma(df, "user_id", ["event_id"], "value", alpha=0.5, n=3).collect()
+    }
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == 4.0
+    assert rows[4] == 4.0  # frame rows 2..4 -> non-nulls [4.0]
+    assert rows[5] == 4.0 * 0.5 + 8.0 * 0.5  # [4.0, 8.0] fold
+
+
+def test_group_percentiles_ignore_nulls(spark):
+    """NULL values must not shift ranks (Spark NULLS FIRST vs DuckDB
+    NULLS LAST would diverge) — percentiles are over observed values."""
+    import duckdb
+    import pandas as pd
+
+    from vtb_datafusion_2023_spark.operators.gstats import (
+        group_percentiles,
+        group_percentiles_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["x"] * 6 + ["y"] * 3,
+            "v": [None, 1.0, 2.0, 3.0, 4.0, None, None, None, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = group_percentiles(df, ["g"], "v", n_amt=1).toPandas().set_index("g")
+    # group y has no observed values -> absent entirely
+    assert list(got.index) == ["x"]
+    assert got.loc["x", "cnt"] == 4  # non-null count
+    assert got.loc["x", "p_median"] == 2.5
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute(
+        group_percentiles_sql("t", ["g"], "v", n_amt=1)
+    ).df().set_index("g")
+    for c in ("cnt", "p_lo", "p_hi", "p_median"):
+        assert float(got.loc["x", c]) == float(oracle.loc["x", c])
+
+
 def test_resize_media_plumbing(spark, sf_small):
     from vtb_datafusion_2023_spark.operators.multimodal import fake_resize, resize_media
 

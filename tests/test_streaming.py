@@ -135,6 +135,69 @@ def test_upsert_snapshot_latest_wins_across_batches(spark, sf_small, tmp_path):
     assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0
 
 
+def test_upsert_snapshot_recovers_from_crash_between_renames(spark, sf_small, tmp_path):
+    """A crash between 'snapshot -> .old' and 'staged -> snapshot' leaves
+    only .old on disk; the next run must RESTORE it before merging —
+    otherwise every key outside the replayed batch is silently lost."""
+    import os
+
+    from vtb_datafusion_2023_spark.operators.cleaning import latest_by_key
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+    from vtb_datafusion_2023_spark.streaming.sinks import upsert_snapshot
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    src = str(tmp_path / "changelog")
+    ev.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    upsert_snapshot(stream, snap, ckpt, ["user_id"], ["ts", "event_id"])
+
+    # simulate the crash window: snapshot renamed away, .old is the only copy
+    os.rename(snap, snap + ".old")
+
+    # one new (tiny) change-log file, fresh checkpoint so it replays all
+    extra = ev.limit(1)
+    extra.write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    upsert_snapshot(stream2, snap, str(tmp_path / "ckpt2"), ["user_id"], ["ts", "event_id"])
+
+    got = spark.read.parquet(snap)
+    want = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert not os.path.exists(snap + ".old")
+
+
+def test_sentinel_empty_table_and_units(spark, sf_small, tmp_path):
+    """The sentinel anchor must fail loudly on an empty events table (not
+    TypeError on None) and accept day/second units."""
+    import pytest as _pytest
+
+    from vtb_datafusion_2023_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        events_stream_with_sentinel,
+    )
+
+    empty_dir = str(tmp_path / "empty_sf")
+    spark.createDataFrame([], EVENTS_STREAM_SCHEMA).write.parquet(
+        empty_dir + "/events.parquet"
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        events_stream_with_sentinel(spark, empty_dir)
+    # day units parse; custom event types reach the sentinel rows
+    s = events_stream_with_sentinel(
+        spark, sf_small, advance="2 days", event_types=("view",)
+    )
+    assert s.isStreaming
+
+
 def test_stream_to_versioned_table_exactly_once(spark, sf_small, tmp_path):
     """Streaming sink into a manifest table: each micro-batch commits one
     append version stamped with its batch_id; replaying the SAME batches

@@ -74,3 +74,41 @@ def test_streaming_dedup_admits_only_novel_docs(spark, sf_small, tmp_path):
     )
     assert table_versions(corpus_dir) == v_before
     assert read_versioned(spark, corpus_dir).count() == n_kept
+
+
+def test_streaming_dedup_index_self_heal_is_durable(spark, sf_small, tmp_path):
+    """Deleting the band index must not lose historical dedup coverage:
+    the next batch re-bands the corpus AND COMMITS it, so a later batch
+    carrying a duplicate of a pre-deletion doc is still rejected."""
+    import shutil
+
+    corpus_dir, index_dir, ckpt, src = _run(spark, sf_small, tmp_path, "h")
+    corpus = read_versioned(spark, corpus_dir)
+    kept_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    victim_text = corpus.orderBy("doc_id").limit(1).collect()[0].text
+
+    shutil.rmtree(index_dir)  # the documented self-heal scenario
+
+    # new batch: one exact duplicate of an accepted historical doc
+    spark.createDataFrame(
+        [(999_999, victim_text)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_dedup_ingest(
+        stream, corpus_dir, index_dir, ckpt,
+        jaccard_threshold=THRESH, num_perm=32, bands=8,
+    )
+    ids_after = {r.doc_id for r in read_versioned(spark, corpus_dir).select("doc_id").collect()}
+    assert 999_999 not in ids_after  # heal worked for THIS batch
+    assert ids_after == kept_ids
+    # and the heal is durable: the committed index covers the history,
+    # so batches AFTER the healing one keep rejecting historical dups
+    idx_ids = {
+        r.doc_id
+        for r in read_versioned(spark, index_dir).select("doc_id").distinct().collect()
+    }
+    assert kept_ids <= idx_ids

@@ -36,7 +36,10 @@ def test_sessionize_emits_on_timeout(spark, tmp_path):
         )
         pdf.to_parquet(src / name)
 
-    # batch 1: two users' activity
+    # batch 1: two users' activity.  User 1's two events are 10 s apart —
+    # far beyond the 300 ms gap — so they are TWO sessions: the first
+    # closes (and emits) as soon as the batch is processed, the second
+    # flushes later by processing-time timeout.
     write_file("b1.parquet", [(0, 1, 1.0), (10, 1, 2.0), (5, 2, 7.0)])
 
     stream = (
@@ -63,13 +66,17 @@ def test_sessionize_emits_on_timeout(spark, tmp_path):
         got = []
         while time.time() < deadline:
             got = spark.sql("select * from sess").collect()
-            if len(got) >= 2:
+            if len(got) >= 3:
                 break
             time.sleep(1)
     finally:
         q.stop()
-    by_user = {r.user_id: r for r in got}
-    assert 1 in by_user and 2 in by_user
-    assert by_user[1].n_events == 2 and by_user[1].total_value == 3.0
-    assert by_user[2].n_events == 1 and by_user[2].total_value == 7.0
-    assert by_user[1].session_start < by_user[1].session_end
+    u1 = sorted(
+        ((r.session_start, r.n_events, r.total_value) for r in got if r.user_id == 1)
+    )
+    u2 = [(r.n_events, r.total_value) for r in got if r.user_id == 2]
+    # event-time gap splitting: user 1's 10s-apart events are two
+    # single-event sessions (the first emitted by the in-batch split,
+    # the second by timeout), matching session_window_agg's answer
+    assert [(n, v) for _s, n, v in u1] == [(1, 1.0), (1, 2.0)]
+    assert u2 == [(1, 7.0)]

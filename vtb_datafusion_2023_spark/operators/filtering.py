@@ -14,8 +14,13 @@ from pyspark.sql import functions as F
 
 def blacklist(df: DataFrame, col: str, *values) -> DataFrame:
     """F2: drop rows whose ``col`` is in ``values``
-    (/root/reference/run.py:201 — MCC 6012)."""
-    return df.filter(~F.col(col).isin(*values))
+    (/root/reference/run.py:201 — MCC 6012).
+
+    NULL ``col`` rows are KEPT: the reference's ``~df[col].isin(values)``
+    evaluates NaN-isin to False, so negation keeps the row — whereas a
+    bare Spark ``~isin`` yields NULL and the filter would silently drop
+    it.  Only listed values are excluded."""
+    return df.filter(F.col(col).isNull() | ~F.col(col).isin(*values))
 
 
 def frequency_filter(
@@ -115,11 +120,17 @@ def modulo_split(
     bucket = F.pmod(F.col(id_col), F.lit(denom))
     expr = None
     lo = 0
-    for name, wt in weights.items():
-        hi = lo + int(round(wt * denom))
+    names = list(weights)
+    # the LAST split is a catch-all: per-weight rounding can undershoot
+    # denom (e.g. three 1/3 weights at denom=100 -> 33+33+33), and a
+    # bucket<hi test would leave the residual range split=NULL — rows
+    # silently vanishing from every downstream split filter
+    for name in names[:-1]:
+        hi = lo + int(round(weights[name] * denom))
         cond = bucket < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(out_col, expr)
 
 

@@ -88,8 +88,13 @@ def group_percentiles(
     semantics) from rank statistics: one window ranking per group + one
     aggregate — two passes over the shuffled group, no collect.
     """
+    # NULL values must not enter the ranking: Spark's ASC default is
+    # NULLS FIRST while DuckDB's is NULLS LAST, so a NULL would shift
+    # every rank (corrupting the interpolation) differently per engine.
+    # Percentiles are statistics of the OBSERVED values (numpy/pandas
+    # quantile semantics ignore NaN), so cnt is the non-null count.
     w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
-    ranked = df.select(
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
         F.col(value_col).alias("_v"),
         (F.row_number().over(w) - 1).alias("_rk"),  # 0-based rank
@@ -166,6 +171,7 @@ with ranked as (
          row_number() over (partition by {ks} order by {value_col} asc) - 1 as _rk,
          count(*) over (partition by {ks}) as _cnt
   from {table}
+  where {value_col} is not null
 ), pos as (
   select *, {q} as _q,
          (_cnt - 1) * _q as _t_lo,

@@ -276,9 +276,14 @@ def with_ewma(
     arr = F.collect_list(F.col(value_col).cast("double")).over(w)
     a = F.lit(float(alpha))
     one_m = F.lit(1.0 - float(alpha))
+    # collect_list skips NULL values, so a frame of only-NULL rows yields
+    # an EMPTY array: the seed must be try_element_at (plain element_at
+    # throws INVALID_ARRAY_INDEX under ANSI mode, Spark 4's default) and
+    # the fold then propagates the NULL seed — such rows get NULL ewma,
+    # the same answer pandas ewm gives an all-NaN window.
     fold = F.aggregate(
         F.slice(arr, 2, n),
-        F.element_at(arr, 1),
+        F.try_element_at(arr, F.lit(1)),
         lambda acc, x: acc * one_m + x * a,
     )
     return df.withColumn(out, fold)

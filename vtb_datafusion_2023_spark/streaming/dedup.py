@@ -27,9 +27,11 @@ never appends a row twice; and the index commits BEFORE the corpus, so
 the only crash-window artifact is an index entry whose corpus row
 arrives on the replay — harmless, since verification drops candidates
 with no corpus text.  A fully missing index (manual deletion) self-heals
-by re-banding the corpus once — deterministic signatures rebuild it
-identically.  For multi-writer object stores, replace markers with a
-transactional catalog.
+by re-banding the corpus once and COMMITTING the rebuilt index before
+the batch dedups — deterministic signatures rebuild it identically, and
+the durable commit keeps historical coverage for every later batch.
+For multi-writer object stores, replace markers with a transactional
+catalog.
 """
 
 from __future__ import annotations
@@ -93,14 +95,36 @@ def _dedup_one_batch(
         if table_versions(index_dir):
             index = read_versioned(spark, index_dir)
         else:
+            # in-memory fallback only: streaming_dedup_ingest heals a
+            # missing index DURABLY (commits the re-banding) before it
+            # calls here, so this branch serves ad-hoc callers
             index = _band(
                 old, id_col, text_col, num_perm, bands, shingle_n, hash_family
             ).withColumnRenamed("_id", id_col)
+        # Cap the batch x index candidate join per (band, bucket), like
+        # the in-batch star-cap: a hot bucket accumulating m index
+        # entries would otherwise emit k*m join rows EVERY micro-batch.
+        # The index side is first pruned to the buckets this batch
+        # touches (broadcast of the batch's bucket keys — batch-sized by
+        # contract, so the index never shuffles), then each surviving
+        # bucket keeps its max_bucket_size smallest ids.  Beyond-cap
+        # members stop being candidate partners — the same recall knob
+        # (and default) as _bucket_candidate_pairs; raise it if exact
+        # admission matters more than hot-bucket cost.
+        from pyspark.sql import Window
+
+        batch_buckets = banded.select("band", "bucket").distinct()
+        pruned = index.select(
+            F.col(id_col).alias("_old_id"), "band", "bucket"
+        ).join(F.broadcast(batch_buckets), ["band", "bucket"])
+        w = Window.partitionBy("band", "bucket").orderBy("_old_id")
+        capped = (
+            pruned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
         vs_old = (
-            banded.join(
-                index.select(F.col(id_col).alias("_old_id"), "band", "bucket"),
-                ["band", "bucket"],
-            )
+            banded.join(capped, ["band", "bucket"])
             .filter(F.col("_id") != F.col("_old_id"))
             .select(
                 F.least("_id", "_old_id").alias("id_a"),
@@ -166,6 +190,19 @@ def streaming_dedup_ingest(
         marker = os.path.join(corpus_dir, f"batch-{batch_id}.done")
         if os.path.exists(marker):  # replayed batch: already committed
             return
+        if table_versions(corpus_dir) and not table_versions(index_dir):
+            # durable self-heal: a missing index (manual deletion) is
+            # rebuilt from the corpus ONCE and COMMITTED before this
+            # batch dedups.  Healing only in-memory would silently lose
+            # historical coverage from the next batch on — the next
+            # table_versions(index_dir) would see only this batch's
+            # bands.  Deterministic signatures rebuild it identically;
+            # a crash after this commit is idempotent (versions exist).
+            rebuilt = _band(
+                read_versioned(spark, corpus_dir),
+                id_col, text_col, num_perm, bands, shingle_n, hash_family,
+            ).withColumnRenamed("_id", id_col)
+            commit_versioned(rebuilt, index_dir, mode="append")
         accepted = _dedup_one_batch(
             batch_df,
             spark,
@@ -211,7 +248,6 @@ def streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    from ._util import await_or_raise
+
+    await_or_raise(q, timeout_sec, "streaming_dedup_ingest")

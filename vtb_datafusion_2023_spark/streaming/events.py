@@ -54,18 +54,24 @@ SENTINEL_USER = -1
 
 
 def events_stream_with_sentinel(
-    spark: SparkSession, sf_dir: str, advance: str = "10 hours"
+    spark: SparkSession,
+    sf_dir: str,
+    advance: str = "10 hours",
+    event_types: tuple[str, ...] = ("click", "purchase"),
 ) -> DataFrame:
     """Events file stream unioned with a far-future sentinel event pair
-    (user ``SENTINEL_USER``, one row per event type used in joins).
+    (user ``SENTINEL_USER``, one row per event type in ``event_types``).
 
     Outer streaming joins only EMIT their unmatched-with-null rows once
     the watermark passes the row's expiry; a finite replay ends at the
     corpus max event time, stranding the tail in the state store.  The
     sentinel pushes max event time ``advance`` past the real data, so the
     final (no-data) micro-batch's watermark flushes every real row.
-    Filter ``user_id != SENTINEL_USER`` downstream.  This is replay
-    harness plumbing — a live deployment's watermark advances naturally.
+    ``event_types`` must include BOTH sides of the downstream join
+    (trigger and convert types) — a sentinel row that a side's type
+    filter discards never advances that side's watermark.  Filter
+    ``user_id != SENTINEL_USER`` downstream.  This is replay harness
+    plumbing — a live deployment's watermark advances naturally.
     """
     import datetime as _dt
     import os
@@ -78,8 +84,15 @@ def events_stream_with_sentinel(
         .agg(F.expr("max(unix_micros(ts))"))
         .collect()[0][0]
     )
+    if max_us is None:
+        raise ValueError(f"events table at {sf_dir} is empty: no max event time to anchor the sentinel")
     qty, unit = advance.split()
-    unit_us = {"hours": 3600, "hour": 3600, "minutes": 60, "minute": 60}[unit] * 10**6
+    unit_us = {
+        "days": 86400, "day": 86400,
+        "hours": 3600, "hour": 3600,
+        "minutes": 60, "minute": 60,
+        "seconds": 1, "second": 1,
+    }[unit] * 10**6
     sent_us = max_us + int(qty) * unit_us
     sent_ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=sent_us)
     path = os.path.join(
@@ -87,7 +100,7 @@ def events_stream_with_sentinel(
     )
     rows = [
         (-10**12 - i, sent_ts, SENTINEL_USER, et, 0.0, "{}")
-        for i, et in enumerate(["click", "purchase"])
+        for i, et in enumerate(event_types)
     ]
     spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
         "overwrite"
@@ -171,6 +184,8 @@ def replay_to_table(
     streaming queries participate in the DuckDB oracle gate: final state
     of the replay must equal the batch aggregation over the same files.
     """
+    from ._util import await_or_raise
+
     name = "replay_" + uuid.uuid4().hex[:12]
     q = (
         sdf.writeStream.format("memory")
@@ -179,10 +194,7 @@ def replay_to_table(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    await_or_raise(q, timeout_sec, "replay_to_table")
     return spark.table(name)
 
 
@@ -210,11 +222,23 @@ def stream_dedup_within_watermark(
 
 def sessionize(events: DataFrame, gap_minutes: float = 30):
     """Custom stateful operator: per-user session assembly with an
-    inactivity gap, via ``applyInPandasWithState`` (the Structured
-    Streaming escape hatch the reference's per-user loops map onto).
+    EVENT-TIME inactivity gap, via ``applyInPandasWithState`` (the
+    Structured Streaming escape hatch the reference's per-user loops
+    map onto).
 
-    Emits (user_id, session_start, session_end, n_events, total_value)
-    when a session times out.
+    Each micro-batch's events are sorted by event time and split where
+    consecutive events are more than ``gap_minutes`` apart — matching
+    ``session_window_agg``'s gap semantics, so a whole history arriving
+    in ONE batch still yields the per-gap sessions, not one giant span.
+    Sessions CLOSED by a later event emit immediately; the trailing open
+    session stays in state and flushes on a processing-time timeout (the
+    live-stream flush — event time alone can never prove a user went
+    quiet).  An event landing within ``gap`` of the open session's end
+    merges into it (extending both ends for late data); anything earlier
+    starts a new session — replaying history strictly by event time, use
+    the declarative ``session_window_agg`` (the oracle-gated form).
+
+    Emits (user_id, session_start, session_end, n_events, total_value).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -238,32 +262,44 @@ def sessionize(events: DataFrame, gap_minutes: float = 30):
     )
     gap_us = int(gap_minutes * 60 * 1_000_000)
 
+    def _emit(key, sessions: list) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [pd.Timestamp(s[0], unit="us") for s in sessions],
+                "session_end": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "total_value": [s[3] for s in sessions],
+            }
+        )
+
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            (start_us, end_us, n, total) = state.get
+            closed = [list(state.get)]
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
-            )
+            yield _emit(key, closed)
             return
-        rows = pd.concat(list(pdfs))
+        rows = pd.concat(list(pdfs)).sort_values("ts")
         ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
-        lo, hi = int(ts_us.min()), int(ts_us.max())
-        n_new, tot_new = len(rows), float(rows["value"].sum())
-        if state.exists:
-            (start_us, end_us, n, total) = state.get
-            state.update((min(lo, start_us), max(hi, end_us), n + n_new, total + tot_new))
-        else:
-            state.update((lo, hi, n_new, tot_new))
+        vals = rows["value"].to_numpy(dtype=float)
+        cur = list(state.get) if state.exists else None
+        closed: list[list] = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if cur is None:
+                cur = [t, t, 1, float(v)]
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = [t, t, 1, float(v)]
+            else:  # within gap of the open session (incl. late arrivals)
+                cur[0] = min(cur[0], t)
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(v)
+        state.update(tuple(cur))
         state.setTimeoutDuration(gap_us // 1000)
-        return
-        yield  # generator form
+        if closed:
+            yield _emit(key, closed)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,

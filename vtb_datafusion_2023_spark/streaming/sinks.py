@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ._util import await_or_raise
+
 
 def foreach_batch_parquet(
     sdf: DataFrame, path: str, checkpoint: str, timeout_sec: int = 300
@@ -30,10 +32,7 @@ def foreach_batch_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    await_or_raise(q, timeout_sec, "foreach_batch_parquet sink")
 
 
 def upsert_snapshot(
@@ -48,16 +47,25 @@ def upsert_snapshot(
     latest-wins parquet snapshot (one row per key, greatest version).
 
     Merge = read current snapshot ∪ batch -> ``latest_by_key`` -> staged
-    write + atomic swap, so readers never observe a half-written snapshot
-    and a failure mid-write leaves the old snapshot intact.  Replaying a
-    committed batch is a no-op by construction (same keys + versions ->
-    same winners), which is what makes the sink exactly-once end-to-end
-    on top of at-least-once batch delivery.
+    write -> two-rename swap (snapshot -> ``.old``, staged -> snapshot).
+    The swap is NOT one atomic step on a local FS, so the commit protocol
+    is crash-CONSISTENT rather than atomic: a crash between the renames
+    leaves the snapshot missing with ``.old`` holding the only full copy,
+    and the next batch (the failed batch's replay) RESTORES ``.old``
+    before merging — no committed key is ever lost.  ``.old`` is deleted
+    only after the new snapshot is fully in place.  Replaying a committed
+    batch is a no-op by construction (same keys + versions -> same
+    winners), which is what makes the sink exactly-once end-to-end on
+    top of at-least-once batch delivery.  Single writer assumed (the
+    streaming query); a reader racing the swap window may observe a
+    brief ENOENT and should retry.
 
     Scale: the merge is one co-partitioned union + WindowGroupLimit pass
     over O(snapshot + batch) rows.  On an object store, swap the
     rename-based commit for a manifest/table-format commit (Delta- or
-    Iceberg-style); the merge plan is unchanged.
+    Iceberg-style, or this repo's ``sources.manifest`` versioned tables
+    whose one-object manifest publish IS atomic); the merge plan is
+    unchanged.
     """
     import shutil
 
@@ -67,6 +75,13 @@ def upsert_snapshot(
         import os
 
         spark = df.sparkSession
+        old = snapshot_path + ".old"
+        # crash recovery: a failure between the two renames below (on a
+        # prior run) leaves no snapshot but a complete .old — restore it
+        # FIRST, or this batch would rebuild the snapshot from itself
+        # alone and the rmtree below would destroy every other key
+        if not os.path.exists(snapshot_path) and os.path.exists(old):
+            os.rename(old, snapshot_path)
         if os.path.exists(snapshot_path):
             cur = spark.read.parquet(snapshot_path)
             merged = latest_by_key(
@@ -76,8 +91,7 @@ def upsert_snapshot(
             merged = latest_by_key(df, key_cols, version_cols)
         staged = snapshot_path + f".staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staged)
-        old = snapshot_path + ".old"
-        if os.path.exists(old):
+        if os.path.exists(old):  # leftover from a COMPLETED prior swap
             shutil.rmtree(old)
         if os.path.exists(snapshot_path):
             os.rename(snapshot_path, old)
@@ -91,10 +105,7 @@ def upsert_snapshot(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    await_or_raise(q, timeout_sec, "upsert_snapshot sink")
 
 
 def stream_to_versioned_table(
@@ -156,7 +167,4 @@ def stream_to_versioned_table(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    await_or_raise(q, timeout_sec, "stream_to_versioned_table sink")

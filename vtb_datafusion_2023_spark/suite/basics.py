@@ -176,7 +176,8 @@ def p7_bin_by_edges(spark, sf_dir):
     oracle=f"""
 select l_linestatus, count(*) as n
 from lineitem
-where nullif(l_discount, 0.0) is not null and l_returnflag <> 'A'
+where nullif(l_discount, 0.0) is not null
+  and (l_returnflag is null or l_returnflag <> 'A')
 group by l_linestatus
 """,
     survey_ref="F1,F2",

@@ -241,19 +241,29 @@ def w13_rolling_time_window(spark, sf_dir):
 @register(
     "w14_ewma",
     oracle=f"""
+with t as (
+  select event_id,
+         list_filter(
+           list(cast(value as double))
+             over (partition by user_id order by {_ORD}
+                   rows between 31 preceding and current row),
+           x -> x is not null
+         ) as _arr
+  from events
+)
 select event_id,
-       list_reduce(
-         list(cast(value as double))
-           over (partition by user_id order by {_ORD}
-                 rows between 31 preceding and current row),
-         (acc, x) -> acc * cast(0.9 as double) + x * cast(0.1 as double)
-       ) as value_ewma
-from events
+       case when len(_arr) = 0 then null
+            else list_reduce(
+              _arr,
+              (acc, x) -> acc * cast(0.9 as double) + x * cast(0.1 as double)
+            ) end as value_ewma
+from t
 """,
     survey_ref="w-ewma",
     doc="per-user EWMA (alpha=0.1) over the trailing 32-row frame; both "
-    "engines left-fold oldest->newest with the identical double "
-    "recurrence, so values are bitwise-reproducible.",
+    "engines left-fold oldest->newest over the frame's NON-NULL values "
+    "with the identical double recurrence (NULL when the frame has "
+    "none), so values are bitwise-reproducible.",
 )
 def w14_ewma(spark, sf_dir):
     from ..operators.windows import with_ewma
