@@ -34,16 +34,26 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, coerce comparable dtypes, sort rows."""
+    """Sort columns by name, coerce comparable dtypes, sort rows.
+
+    Integer columns stay integer (int64) — the driver's value-hash
+    distinguishes ``10000`` from ``10000.0``, and the old int->float64
+    coercion here masked exactly that divergence twice on
+    ``tbl_key_skew`` (DuckDB ``sum(BIGINT)`` returns HUGEINT, which
+    pandas materializes as float64).  ``compare`` now flags an
+    int-vs-float dtype split as a mismatch, same as the driver.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         k = df[c].dtype.kind
-        if k in "iuf":
+        if k == "f":
             df[c] = df[c].astype("float64")
+        elif k in "iu":
+            df[c] = df[c].astype("int64")
         elif k == "M":
             df[c] = df[c].astype("datetime64[us]")
         elif k == "b":
-            df[c] = df[c].astype("float64")
+            pass  # bool stays bool; a bool-vs-int split is a real mismatch
         else:
             df[c] = df[c].astype("string")
     if len(df):
@@ -67,6 +77,10 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> dict:
     bad: dict = {}
     for c in a.columns:
         av, bv = a[c], b[c]
+        if av.dtype.kind != bv.dtype.kind:
+            # Mirrors the driver's hash: int64 10000 != float64 10000.0.
+            bad[c] = {"dtype_mismatch": (str(av.dtype), str(bv.dtype))}
+            continue
         if av.dtype.kind == "f":
             x, y = av.to_numpy(), bv.to_numpy()
             exact = np.array_equal(x, y, equal_nan=True)

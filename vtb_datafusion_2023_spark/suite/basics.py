@@ -407,10 +407,11 @@ def p_json_extract(spark, sf_dir):
 @register(
     "tbl_key_skew",
     oracle="""
-select 'user_id' as "column", sum(c) as n, count(*) as n_keys, max(c) as top_n
+select 'user_id' as "column", cast(sum(c) as bigint) as n,
+       count(*) as n_keys, max(c) as top_n
 from (select count(*) as c from events group by user_id)
 union all
-select 'event_type', sum(c), count(*), max(c)
+select 'event_type', cast(sum(c) as bigint), count(*), max(c)
 from (select count(*) as c from events group by event_type)
 """,
     survey_ref="profile-skew",
