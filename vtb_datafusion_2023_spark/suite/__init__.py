@@ -56,59 +56,44 @@ _LOADED = False
 
 
 # The driver's correctness gate certifies ~50 queries per round in
-# REGISTRATION ORDER (r1 = first 50 of the old order, r2 = first 50 of
-# the reorder).  Rounds 1-2 certified 99 distinct queries; this front
-# block holds the queries with NO green driver row yet, most valuable
-# first: tbl_key_skew (the only row ever to FAIL the gate — fixed in
-# commit 9c1e8aa, needs its green), this round's new/changed queries,
-# the 11 streaming replays, TPC-H q2-q22, then graph/SQL-surface/
-# analytics/sketch heads.
-_FRONT_R3 = [
+# REGISTRATION ORDER (r1 = first 50 of the old order, rN = first ~50
+# of that round's reorder).  Rounds 1-3 certified 148 distinct queries
+# (147 green/rows-only + tbl_key_skew red); this front block holds the
+# 44 queries that still need a driver row: tbl_key_skew first (its
+# oracle HUGEINT->float64 bug is fixed in r4 — DuckDB sum(BIGINT) now
+# cast to bigint), then the 43 never-sampled queries in registration
+# order (computed by tools/plan_next_round.py from CORRECTNESS_r0{1,2,3}).
+# A green round here gives every one of the 191 registered queries a
+# driver row across r1-r4.
+_FRONT_R4 = [
     "tbl_key_skew",
-    "dd_incremental_md5", "sink_roundtrip", "tbl_maintenance_roundtrip",
-    "tbl_merge_time_travel", "tbl_zone_map_range", "an_pattern_spans",
-    "text_surprisal", "text_bigram_surprisal", "text_entropy",
-    "text_stupid_backoff", "dd_simhash_md5",
-    "st_windowed_counts", "st_windowed_spend", "st_stream_dedup",
-    "st_stream_dedup_wm", "sw_session_window", "st_attribution_join",
-    "st_static_enrich", "st_attribution_outer", "st_attribution_full",
-    "st_dedup_ingest", "st_dedup_ingest_md5", "st_drift_psi",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_parts", "q12_late_shipments", "q13_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q20_promo_suppliers",
-    "q21_waiting_supplier", "q22_idle_customers",
-    "gr_pagerank", "gr_triangles", "sql_surface", "sql_udtf_chunking",
-    "an_drift_psi",
-]
-
-# Remaining queries with no driver row (r1∪r2), after the front block —
-# the r4 candidates if the r3 budget stops at ~50.
-_UNCHECKED_TAIL = [
     "an_pair_affinity", "an_seasonal_decompose", "an_seasonal_anomaly",
-    "agg_incremental_distinct",
-    "text_repetition", "dp_corpus_mix", "text_normalize", "text_tfidf",
-    "dp_modulo_split", "text_pack_sequences", "text_scrub_pii",
-    "text_strip_html", "text_top_ngrams", "emb_l2_normalize",
-    "emb_quantize_int8", "mm_resize", "dd_fuzzy_pairs", "dp_latest_by_key",
+    "agg_incremental_distinct", "text_repetition", "dp_corpus_mix",
+    "text_normalize", "text_tfidf", "dp_modulo_split",
+    "text_pack_sequences", "text_scrub_pii", "text_strip_html",
+    "text_top_ngrams", "emb_l2_normalize", "emb_quantize_int8",
+    "mm_resize", "dd_fuzzy_pairs", "dp_latest_by_key",
     "text_decontaminate", "dp_cap_per_source", "dp_weighted_sample",
     "dp_quality_percentile", "dd_segment_dedup", "dp_shard_assign",
     "text_bm25", "dp_token_budget", "dd_incremental_minhash",
     "dp_cluster_safe_split", "dp_scd2_intervals", "text_bpe_tokens",
-    "dd_pq_dedup", "dd_substring_dedup", "mm_audio_g711", "mm_decode_gif",
-    "dp_cdc_diff", "text_chunk_overlap", "dp_feature_hash",
-    "agg_incremental_cms", "mm_audio_flac", "pipeline_corpus_prep",
-    "dp_pseudonymize", "dp_k_anonymity", "mm_decode_tiff",
+    "dd_pq_dedup", "dd_substring_dedup", "mm_audio_g711",
+    "mm_decode_gif", "dp_cdc_diff", "text_chunk_overlap",
+    "dp_feature_hash", "agg_incremental_cms", "mm_audio_flac",
+    "pipeline_corpus_prep", "dp_pseudonymize", "dp_k_anonymity",
+    "mm_decode_tiff",
 ]
+
+# Every other registered query already has a green (or documented
+# rows-only) driver row; they keep their relative registration order
+# after the front block.
+_UNCHECKED_TAIL: list[str] = []
 
 
 def _load_all() -> None:
     """Import every suite module (each registers its queries on import),
     then reorder the registry: never-driver-certified queries first
-    (``_FRONT_R3`` + ``_UNCHECKED_TAIL``), the 99 already-certified
+    (``_FRONT_R4`` + ``_UNCHECKED_TAIL``), the already-certified
     queries last in their original relative order.
     """
     global _LOADED
@@ -126,7 +111,7 @@ def _load_all() -> None:
     from . import aggregates  # noqa: F401
     from . import cleaning  # noqa: F401
 
-    head = _FRONT_R3 + _UNCHECKED_TAIL
+    head = _FRONT_R4 + _UNCHECKED_TAIL
     missing = [n for n in head if n not in REGISTRY]
     if missing:  # a rename would silently break the certification plan
         raise RuntimeError(f"priority list names unknown queries: {missing}")

@@ -2380,9 +2380,11 @@ alv as (
 select u.doc_id,
        cast({_WAV_N} as bigint) as n_samples,
        u.ulaw_sum, a.alaw_sum
-from (select doc_id, sum(case when _s < 0 then -_q0 else _q0 end) as ulaw_sum
+from (select doc_id,
+             cast(sum(case when _s < 0 then -_q0 else _q0 end) as bigint) as ulaw_sum
       from ulv group by doc_id) u
-join (select doc_id, sum(case when _x < 0 then -_t2 else _t2 end) as alaw_sum
+join (select doc_id,
+             cast(sum(case when _x < 0 then -_t2 else _t2 end) as bigint) as alaw_sum
       from alv group by doc_id) a using (doc_id)
 """,
     survey_ref="multimodal-decode",
