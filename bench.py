@@ -83,6 +83,9 @@ def main() -> None:
     # which on a real cluster amortizes across executors/queries.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # stderr marker so any Spark ERROR lines in the log are
+        # attributable to a query (stdout stays one JSON line)
+        print(f"bench: {name} @ {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -1178,6 +1178,99 @@ def test_pattern_spans_automaton_matches_joins(spark):
     assert len(sql) > 0
 
 
+def test_pattern_spans_max_events_per_key_guard(spark):
+    """The max_events_per_key memory guard: prefix-stable semantics
+    (trim == automaton over the first-N-events prefix; a no-op cap
+    changes nothing), row-identical across all three strategies, and
+    plan-pinned to add NO exchange (the trim window and the groupBy
+    share one hash shuffle on the key)."""
+    import random
+
+    from vtb_datafusion_2023_spark.operators.analytics import pattern_spans
+
+    rng = random.Random(7)
+    rows = []
+    # hot key 1: 2000 events; keys 2..20: ~20 each
+    for uid, n in [(1, 2000)] + [(u, 20) for u in range(2, 21)]:
+        for i in range(n):
+            rows.append((uid, i, rng.choice(["a", "b", "c", "x"])))
+    df = spark.createDataFrame(rows, "uid bigint, ord bigint, typ string").repartition(8)
+
+    def norm(res):
+        return sorted((r.uid, r.match_id, r.start_ord, r.end_ord) for r in res.collect())
+
+    steps = ["a", "b", "c"]
+    full = norm(pattern_spans(df, "uid", "ord", "typ", steps, max_matches=50))
+    # a cap larger than any key is a semantic no-op
+    assert norm(
+        pattern_spans(df, "uid", "ord", "typ", steps, max_matches=50, max_events_per_key=10**6)
+    ) == full
+    # a binding cap: all three strategies agree on the trimmed input
+    capped = [
+        norm(
+            pattern_spans(
+                df, "uid", "ord", "typ", steps,
+                max_matches=50, strategy=st, max_events_per_key=300,
+            )
+        )
+        for st in ("sql", "pandas", "joins")
+    ]
+    assert capped[0] == capped[1] == capped[2]
+    # prefix semantics: trimmed result == full automaton over each key's
+    # first 300 events (ord, typ) — computed independently here
+    by_key: dict = {}
+    for uid, i, t in rows:
+        by_key.setdefault(uid, []).append((i, t))
+    prefix_rows = [
+        (uid, i, t)
+        for uid, evs in by_key.items()
+        for i, t in sorted(evs)[:300]
+    ]
+    pref_df = spark.createDataFrame(prefix_rows, "uid bigint, ord bigint, typ string")
+    assert capped[0] == norm(pattern_spans(pref_df, "uid", "ord", "typ", steps, max_matches=50))
+    # the hot key (2000 events, cap 300) lost its tail matches
+    hot_full = [r for r in full if r[0] == 1]
+    hot_capped = [r for r in capped[0] if r[0] == 1]
+    assert 0 < len(hot_capped) < len(hot_full)
+    assert hot_capped == hot_full[: len(hot_capped)]
+    # memory-guard plan contract: the trim adds NO exchange — one hash
+    # shuffle on the key serves both the window sort and the groupBy
+    plan = (
+        pattern_spans(df, "uid", "ord", "typ", steps, max_events_per_key=300)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_max_events_per_key_guard(spark):
+    """funnel's max_events_per_key: no-op cap preserves results, a
+    binding cap keeps both strategies row-identical."""
+    import datetime as dt
+    import random
+
+    from vtb_datafusion_2023_spark.operators.analytics import funnel
+
+    rng = random.Random(3)
+    t0 = dt.datetime(2023, 1, 1)
+    rows = []
+    for uid in range(100):
+        for _ in range(rng.randint(0, 40)):
+            rows.append(
+                (uid, t0 + dt.timedelta(hours=rng.randint(0, 24 * 10)),
+                 rng.choice(["view", "click", "purchase", "noise"]))
+            )
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+
+    def norm(res):
+        return sorted((r.step, r.step_name, r.n_users) for r in res.collect())
+
+    steps = ["view", "click", "purchase"]
+    assert norm(funnel(df, steps, max_events_per_key=10**6)) == norm(funnel(df, steps))
+    capped_scan = norm(funnel(df, steps, max_events_per_key=5))
+    capped_joins = norm(funnel(df, steps, strategy="joins", max_events_per_key=5))
+    assert capped_scan == capped_joins
+
+
 def test_pattern_spans_nulls_and_duplicate_ords(spark):
     """NULL event types never match a step (null-safe <=>), NULL ords
     are ignored like the join formulation's strict > would, and

@@ -69,8 +69,19 @@ def test_sessionize_emits_on_timeout(spark, tmp_path):
             if len(got) >= 3:
                 break
             time.sleep(1)
+        # a LATE event far before user 3's session (t=900 vs t=1000)
+        # must land as its own earlier session — the session_window_agg
+        # split — never merge backwards into the t=1000 one
+        write_file("b3.parquet", [(900, 3, 9.0)])
+        while time.time() < deadline:
+            got = spark.sql("select * from sess").collect()
+            if sum(r.user_id == 3 for r in got) >= 2:
+                break
+            time.sleep(1)
     finally:
         q.stop()
+    u3 = sorted((r.n_events, r.total_value) for r in got if r.user_id == 3)
+    assert u3 == [(1, 5.0), (1, 9.0)]
     u1 = sorted(
         ((r.session_start, r.n_events, r.total_value) for r in got if r.user_id == 1)
     )

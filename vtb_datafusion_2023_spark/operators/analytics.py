@@ -23,6 +23,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     strategy: str = "scan",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel completion counts: users whose first ``steps[0]``
     is followed by the other steps IN ORDER, each strictly later than the
@@ -38,7 +39,24 @@ def funnel(
     the per-step min-ts aggregation joins — len(steps) co-partitioned
     hash aggs over the event table, the differential cross-check
     (pinned row-identical by pytest).
+
+    ``max_events_per_key`` (optional) bounds per-user memory: each user
+    keeps only their first N step-type events in ``(ts, type)`` order
+    (NULL ts trimmed first) before the funnel runs — see
+    :func:`_trim_per_key` for the prefix-semantics contract and why the
+    trim adds no exchange.  Applied uniformly to both strategies so the
+    differential stays row-identical.
     """
+    if max_events_per_key is not None:
+        # trim AFTER the step-type pre-filter so the budget counts only
+        # events that can participate in the funnel
+        events = _trim_per_key(
+            events.filter(F.col(type_col).isin(steps)),
+            user_col,
+            ts_col,
+            type_col,
+            max_events_per_key,
+        )
     if strategy == "scan":
         return _funnel_scan(events, steps, within, user_col, ts_col, type_col)
     if strategy != "joins":
@@ -73,6 +91,37 @@ def funnel(
     return out
 
 
+
+
+def _trim_per_key(
+    df: DataFrame, key: str, ord_col: str, type_col: str, max_events_per_key: int
+) -> DataFrame:
+    """Keep each key's first ``max_events_per_key`` events in
+    ``(ord_col, type_col)`` order (NULL ords sort LAST, so they are
+    trimmed first — a NULL ord has no position in event time).
+
+    This is the memory guard for the per-key sequence automata: the
+    window's partitioning matches the downstream ``groupBy(key)``, so
+    Catalyst reuses ONE exchange (plan-pinned by pytest), and the trim
+    happens inside the window's SPILLABLE sort — converting the
+    unbounded ``collect_list`` hash-agg buffer a hot key would otherwise
+    grow into a bounded array of at most ``max_events_per_key`` entries.
+
+    The greedy automata are prefix-stable (each match/step consumes the
+    earliest valid event, never a later one), so the trimmed result is
+    exactly the full scan's result restricted to spans completing within
+    the key's first ``max_events_per_key`` events.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.col(ord_col).asc_nulls_last(), F.col(type_col).asc_nulls_last()
+    )
+    return (
+        df.withColumn("_rn_trim", F.row_number().over(w))
+        .filter(F.col("_rn_trim") <= max_events_per_key)
+        .drop("_rn_trim")
+    )
 
 
 def _steps_literal(steps: list[str]) -> str:
@@ -357,6 +406,7 @@ def pattern_spans(
     # instead of being silently ignored.
     broadcast_frontier: bool | None = None,
     strategy: str = "sql",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Sequential event-pattern matching (MATCH_RECOGNIZE-lite) with
     SKIP-TILL-NEXT-MATCH semantics: per key, find earliest-first,
@@ -382,7 +432,16 @@ def pattern_spans(
       (:func:`pattern_spans_joins`) — the differential oracle; len(steps)
       joins + a driver action per match round, so at cluster scale it
       makes ~rounds*steps passes over the fact table.
+
+    ``max_events_per_key`` (optional) bounds per-key memory for the
+    array-building strategies: each key keeps only its first N events in
+    ``(ord, type)`` order before matching (see :func:`_trim_per_key` —
+    spillable window sort, no extra exchange, prefix-stable semantics).
+    Applied uniformly to all three strategies so the differentials stay
+    row-identical.
     """
+    if max_events_per_key is not None:
+        df = _trim_per_key(df, key, ord_col, type_col, max_events_per_key)
     if strategy == "joins":
         return pattern_spans_joins(
             df, key, ord_col, type_col, steps, max_matches, bool(broadcast_frontier)

@@ -422,15 +422,20 @@ def incremental_minhash_pairs(
     # shingle->hash->min-agg lineage (plan audit showed 19 scans of the
     # batch).  localCheckpoint materializes it once — it is small
     # (bands x ids longs), and the batch (not the corpus) is the unit of
-    # incremental work.
+    # incremental work.  Eager, not lazy: a lazy checkpoint piggybacks
+    # its materialization on the first consumer's job, and straggler
+    # tasks completing after that SQL execution unregisters its
+    # accumulators log benign-but-noisy "non-existent accumulator"
+    # DAGScheduler errors (the round-3 bench-tail anomaly attributed to
+    # this query); eager runs it as its own job, measured cost-neutral.
     if hash_family == "md5":
         new_banded = minhash_md5_band_table(
             new_docs, id_col, text_col, num_perm, bands, shingle_n
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     elif hash_family == "xxhash64":
         new_banded = minhash_band_table(
             new_docs, id_col, text_col, num_perm, bands, shingle_n, shingle_strategy
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     else:
         raise ValueError(f"hash_family must be xxhash64|md5, got {hash_family!r}")
     new_new = _bucket_candidate_pairs(new_banded, max_bucket_size)
@@ -451,7 +456,7 @@ def incremental_minhash_pairs(
     # cand feeds three consumers in the verify (the pruning id set and
     # both pair-join sides) — pin it like minhash_md5_pairs does, or each
     # consumer replays the bucket grouping + index join
-    cand = new_new.unionByName(new_old).distinct().localCheckpoint(eager=False)
+    cand = new_new.unionByName(new_old).distinct().localCheckpoint(eager=True)
     # one text per id for the verify: the batch's text wins on re-ingest.
     # This was a full-corpus distinct — a history-wide shuffle just to
     # dedup (id, text) rows; the batch is small by contract, so a

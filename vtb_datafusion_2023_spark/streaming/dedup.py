@@ -15,7 +15,13 @@ shards: each micro-batch
 4. drops batch docs that near-dup an accepted doc or a smaller-id batch
    doc (greedy keep-first; transitively conservative — a doc whose only
    match was itself dropped is still dropped, so the accepted set never
-   contains a colliding pair),
+   contains a colliding pair whose bucket stayed within
+   ``max_bucket_size``; in a hotter bucket both the in-batch star-cap
+   and the batch-vs-index cap only pair against the bucket's
+   ``max_bucket_size`` smallest ids, so a batch doc whose ONLY near-dup
+   is a beyond-cap member can slip through — the recall knob both caps
+   share; raise it if exact admission matters more than hot-bucket
+   cost),
 5. appends survivors to the corpus table and their bands to the index
    table (``commit_versioned(mode='append')`` — no data rewrite), then
    marks the batch done.
@@ -83,7 +89,13 @@ def _dedup_one_batch(
     batch = batch.select(id_col, text_col).dropDuplicates([id_col])
     banded = _band(
         batch, id_col, text_col, num_perm, bands, shingle_n, hash_family
-    ).localCheckpoint(eager=False)  # feeds both candidate branches once
+    ).localCheckpoint(eager=True)  # feeds both candidate branches once;
+    # eager so materialization runs as its own job — a LAZY checkpoint
+    # piggybacks on the first consumer's job, and its straggler tasks can
+    # complete after that SQL execution unregisters its accumulators
+    # (benign but noisy "non-existent accumulator" DAGScheduler errors,
+    # seen in the round-3 bench tail; eager removes the race, measured
+    # cost-neutral)
     cand = _bucket_candidate_pairs(banded, max_bucket_size)
     # history presence is decided by the CORPUS (the verify text source);
     # the index normally leads it by commit order, but if it is missing

@@ -86,14 +86,24 @@ def events_stream_with_sentinel(
     )
     if max_us is None:
         raise ValueError(f"events table at {sf_dir} is empty: no max event time to anchor the sentinel")
-    qty, unit = advance.split()
-    unit_us = {
+    try:
+        qty, unit = advance.split()
+    except ValueError:
+        raise ValueError(
+            f"advance must be '<quantity> <unit>', got {advance!r}"
+        ) from None
+    units = {
         "days": 86400, "day": 86400,
         "hours": 3600, "hour": 3600,
         "minutes": 60, "minute": 60,
         "seconds": 1, "second": 1,
-    }[unit] * 10**6
-    sent_us = max_us + int(qty) * unit_us
+    }
+    if unit not in units:
+        raise ValueError(
+            f"unsupported advance unit {unit!r}: use one of "
+            f"day(s)/hour(s)/minute(s)/second(s)"
+        )
+    sent_us = max_us + int(qty) * units[unit] * 10**6
     sent_ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=sent_us)
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_sentinel_{uuid.uuid4().hex[:8]}"
@@ -233,10 +243,14 @@ def sessionize(events: DataFrame, gap_minutes: float = 30):
     Sessions CLOSED by a later event emit immediately; the trailing open
     session stays in state and flushes on a processing-time timeout (the
     live-stream flush — event time alone can never prove a user went
-    quiet).  An event landing within ``gap`` of the open session's end
-    merges into it (extending both ends for late data); anything earlier
-    starts a new session — replaying history strictly by event time, use
-    the declarative ``session_window_agg`` (the oracle-gated form).
+    quiet).  Late data merges by INTERVAL: the open session in state and
+    the batch's events are treated as event-time spans and merged where
+    they come within ``gap`` of each other, so a late event inside (or
+    within ``gap`` of) the open session extends it, while an event more
+    than ``gap`` BEFORE the session's start closes as its own earlier
+    session — the same split ``session_window_agg`` would produce.
+    Replaying history strictly by event time, use the declarative
+    ``session_window_agg`` (the oracle-gated form).
 
     Emits (user_id, session_start, session_end, n_events, total_value).
     """
@@ -282,20 +296,25 @@ def sessionize(events: DataFrame, gap_minutes: float = 30):
         rows = pd.concat(list(pdfs)).sort_values("ts")
         ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
         vals = rows["value"].to_numpy(dtype=float)
-        cur = list(state.get) if state.exists else None
+        # interval merge: each event is a [t, t] span, the open session
+        # in state is a [start, end] span; sorted by start, spans within
+        # gap of the running span merge, everything but the last closes.
+        spans = [[int(t), int(t), 1, float(v)] for t, v in zip(ts_us, vals)]
+        if state.exists:
+            spans.append(list(state.get))
+        spans.sort(key=lambda s: (s[0], s[1]))
         closed: list[list] = []
-        for t, v in zip(ts_us, vals):
-            t = int(t)
+        cur: list | None = None
+        for s in spans:
             if cur is None:
-                cur = [t, t, 1, float(v)]
-            elif t - cur[1] > gap_us:
+                cur = s
+            elif s[0] - cur[1] <= gap_us:
+                cur[1] = max(cur[1], s[1])
+                cur[2] += s[2]
+                cur[3] += s[3]
+            else:
                 closed.append(cur)
-                cur = [t, t, 1, float(v)]
-            else:  # within gap of the open session (incl. late arrivals)
-                cur[0] = min(cur[0], t)
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
-                cur[3] += float(v)
+                cur = s
         state.update(tuple(cur))
         state.setTimeoutDuration(gap_us // 1000)
         if closed:

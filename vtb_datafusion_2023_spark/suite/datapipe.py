@@ -1279,17 +1279,72 @@ def emb_quantize_int8(spark, sf_dir):
 
 @register(
     "mm_resize",
-    oracle=None,  # binary output column; decode/resize certified by
-    # mm_decode_png's hash gate + tests/test_codecs.py bilinear properties
+    oracle="""
+with raw as (
+  select doc_id as media_id,
+         substr(hex(coalesce(encode(text), '' :: blob)), 1, 128) as hx
+  from documents
+),
+pix as (
+  select media_id,
+         list_transform(range(0, 64), k ->
+           case when 2*k + 2 <= len(hx)
+                then cast(('0x' || substr(hx, 2*k + 1, 2)) as int)
+                else 0 end) as p
+  from raw
+),
+consts as (
+  select
+    list_transform(range(0, 16), r ->
+      greatest(0, least(7, cast(floor(r / 2.0 - 0.25) as int)))) as i0,
+    list_transform(range(0, 16), r ->
+      least(greatest(0, least(7, cast(floor(r / 2.0 - 0.25) as int))) + 1, 7)) as i1,
+    list_transform(range(0, 16), r ->
+      greatest(0.0, least(1.0, (r / 2.0 - 0.25)
+        - greatest(0, least(7, cast(floor(r / 2.0 - 0.25) as int)))))) as w
+),
+vals as (
+  select media_id,
+         list_transform(range(0, 256), k ->
+           ( p[i0[k // 16 + 1] * 8 + i0[k % 16 + 1] + 1] * (1 - w[k % 16 + 1])
+           + p[i0[k // 16 + 1] * 8 + i1[k % 16 + 1] + 1] * w[k % 16 + 1]
+           ) * (1 - w[k // 16 + 1])
+           +
+           ( p[i1[k // 16 + 1] * 8 + i0[k % 16 + 1] + 1] * (1 - w[k % 16 + 1])
+           + p[i1[k // 16 + 1] * 8 + i1[k % 16 + 1] + 1] * w[k % 16 + 1]
+           ) * w[k // 16 + 1]
+         ) as v
+  from pix cross join consts
+),
+grid as (
+  select media_id,
+         list_transform(v, x ->
+           case when x - floor(x) > 0.5 then floor(x) + 1
+                when x - floor(x) < 0.5 then floor(x)
+                else floor(x) + cast(cast(floor(x) as bigint) % 2 as double)
+           end) as outp
+  from vals
+)
+select media_id, cast(k as int) as pos, cast(outp[k + 1] as int) as px
+from (select media_id, outp, unnest(range(0, 256)) as k from grid)
+""",
     survey_ref="multimodal-resize",
     doc="REAL image resize over binary media columns: per-doc PNG payloads "
-    "decoded (operators/codecs.py), bilinear-resampled in numpy, re-encoded "
-    "PNG — Arrow-batched mapInPandas, payloads never shuffled.",
+    "(first 64 UTF-8 bytes of text as an 8x8 grayscale image) decoded "
+    "(operators/codecs.py), bilinear-resampled 8x8->16x16 in numpy "
+    "(align_corners=False, np.rint half-to-even), re-encoded PNG — "
+    "Arrow-batched mapInPandas, payloads never shuffled.  The final "
+    "decode-and-explode makes the binary output hash-gateable: the oracle "
+    "replays UTF-8 byte extraction (hex pairs), the exact clipped-edge "
+    "bilinear weights (all exact binary fractions, so float64 arithmetic "
+    "is order-independent and bitwise reproducible), and round-half-even "
+    "in pure SQL.  One flipped bit in the PNG encoder, zlib stream, or "
+    "resampler fails the gate.",
 )
 def mm_resize(spark, sf_dir):
     import pandas as pd
 
-    from ..operators.codecs import encode_png, real_resize
+    from ..operators.codecs import decode_png, encode_png, real_resize
     from ..operators.multimodal import resize_media
 
     def _to_png(texts):
@@ -1301,12 +1356,22 @@ def mm_resize(spark, sf_dir):
             out.append(encode_png(np.frombuffer(b, dtype=np.uint8).reshape(8, 8)))
         return pd.Series(out)
 
+    def _to_pixels(payloads):
+        out = []
+        for p in payloads:
+            out.append([int(v) for v in decode_png(bytes(p)).reshape(-1)])
+        return pd.Series(out)
+
     to_png = F.pandas_udf(_to_png, "binary")
+    to_pixels = F.pandas_udf(_to_pixels, "array<int>")
 
     d = T(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), to_png("text").alias("payload")
     )
-    return resize_media(d, 16, 16, resizer=real_resize)
+    resized = resize_media(d, 16, 16, resizer=real_resize)
+    return resized.select(
+        "media_id", F.posexplode(to_pixels("payload")).alias("pos", "px")
+    )
 
 
 @register(

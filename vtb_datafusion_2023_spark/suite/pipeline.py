@@ -31,7 +31,8 @@ select user_id, event_type, value, ts from (
          row_number() over (partition by user_id order by ts asc, event_id asc) as rn_a,
          row_number() over (partition by user_id order by ts desc, event_id desc) as rn_d
   from events
-) where rn_a > 20 and rn_d > 20 and event_type <> '{BLACKLIST_TYPE}'
+) where rn_a > 20 and rn_d > 20
+  and (event_type is null or event_type <> '{BLACKLIST_TYPE}')
 """
 
 _LONG_SQL = f"select user_id, event_type, count(*) as cnt from ({_TRIMMED_SQL}) group by 1, 2"
