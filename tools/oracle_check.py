@@ -48,7 +48,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         k = df[c].dtype.kind
         if k == "f":
             df[c] = df[c].astype("float64")
-        elif k in "iu":
+        elif k == "u":
+            # uint values above int64 max would WRAP under astype("int64")
+            # (numpy doesn't raise), potentially faking a match — compare
+            # oversized unsigned columns as exact decimal strings instead.
+            if len(df) and df[c].max() > np.iinfo(np.int64).max:
+                df[c] = df[c].astype("string")
+            else:
+                df[c] = df[c].astype("int64")
+        elif k == "i":
             df[c] = df[c].astype("int64")
         elif k == "M":
             df[c] = df[c].astype("datetime64[us]")

@@ -25,7 +25,7 @@ against the exact answer instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,49 @@ def heavy_hitters(
     return shared.filter(F.col("share") >= min_share).select(
         *group_cols, value_col, "cnt", "share"
     )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct-count sketch
+    (Bar-Yossef et al. 2002), md5-hashed so the estimate is exactly
+    replayable by ANY engine — the hash-certifiable twin of the HLL++
+    ``approx_distinct`` (same pattern that certified the minhash/simhash
+    families: engine-specific sketch for production, md5 twin for the
+    oracle gate).
+
+    Estimator: hash each distinct value to a 32-bit integer via md5; with
+    ``nd`` distinct hashes the estimate is ``nd`` itself when ``nd < k``
+    (exact regime), else ``(k-1) * 2^32 / h_k`` where ``h_k`` is the k-th
+    smallest hash.  Relative error ~ 1/sqrt(k-2).
+
+    Scale shape: one (group, hash) distinct (map-side partial), one
+    group-partitioned window rank over at most the distinct set, one
+    aggregate.  State per group is the distinct set — for a true bounded-
+    memory streaming variant keep only the k smallest per partition and
+    merge (the estimator only reads the k smallest, so pre-pruning
+    partials to k values each is lossless).
+    """
+    g = list(group_cols)
+    h = F.expr(
+        f"cast(conv(substring(md5((({value_col}) || '')), 1, 8), 16, 10) as bigint)"
+    )
+    hashed = df.select(*g, h.alias("_h")).distinct()
+    w_rank = Window.partitionBy(*g).orderBy(F.col("_h").asc())
+    w_all = Window.partitionBy(*g)
+    ranked = hashed.select(
+        *g,
+        F.col("_h"),
+        F.row_number().over(w_rank).alias("_rk"),
+        F.count(F.lit(1)).over(w_all).alias("_nd"),
+    )
+    agg = ranked.groupBy(*g).agg(
+        F.max("_nd").alias("_nd"),
+        F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk"),
+    )
+    est = (
+        f"case when _nd < {k} then cast(_nd as double) "
+        f"else cast({k - 1} as double) * cast(4294967296 as double) / cast(_hk as double) end"
+    )
+    return agg.select(*g, F.expr(est).alias("kmv_nd"))

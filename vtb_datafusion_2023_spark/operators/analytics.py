@@ -111,11 +111,24 @@ def _trim_per_key(
     earliest valid event, never a later one), so the trimmed result is
     exactly the full scan's result restricted to spans completing within
     the key's first ``max_events_per_key`` events.
+
+    Determinism: when a key holds duplicate ``(ord_col, type_col)`` rows,
+    a binding cap must still keep the SAME physical rows on every
+    execution (speculative retries, the three-strategy differential), so
+    the window order ends with a content hash over all columns as the
+    final tiebreaker — rows identical in every column are the only
+    remaining ties, and those are interchangeable.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import MapType
 
+    hashable = [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+    ]  # maps aren't hashable in Spark
     w = Window.partitionBy(key).orderBy(
-        F.col(ord_col).asc_nulls_last(), F.col(type_col).asc_nulls_last()
+        F.col(ord_col).asc_nulls_last(),
+        F.col(type_col).asc_nulls_last(),
+        F.xxhash64(*[F.col(c) for c in hashable]).asc(),
     )
     return (
         df.withColumn("_rn_trim", F.row_number().over(w))

@@ -338,10 +338,12 @@ def tfidf(
     terms = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
     # tf feeds both the document-frequency aggregation and the scoring
     # join — pin it once instead of replaying the corpus explode
+    # eager: tf feeds three consumers (df_t, the distinct-df collect, the
+    # scoring join) — materialize once so none replays the corpus explode
     tf = (
         terms.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = float(df.count())
@@ -349,15 +351,12 @@ def tfidf(
     if exact_idf:
         from pyspark.sql.functions import broadcast
 
-        # df values are integers in [1, n_docs].  Small corpora: build the
-        # full (df -> libm idf) table driver-side with NO extra Spark job
-        # (the distinct-df collect re-executed the whole terms lineage).
-        # Large corpora: collect the distinct df values (bounded by the
-        # vocabulary size, heavy-tailed small in practice).
-        if n_docs <= 1_000_000:
-            dfs = range(1, int(n_docs) + 1)
-        else:
-            dfs = [r[0] for r in df_t.select("df").distinct().collect()]
+        # The (df -> libm idf) table is built from the DISTINCT df values
+        # only — bounded by the number of distinct document frequencies
+        # (<= vocabulary size, heavy-tailed small in practice), never by
+        # n_docs, so nothing driver-side scales with corpus size.  The
+        # collect reads the materialized tf checkpoint, not the raw scan.
+        dfs = [r[0] for r in df_t.select("df").distinct().collect()]
         idf = df.sparkSession.createDataFrame(
             [(d, math.log(n_docs / d)) for d in dfs], "df bigint, _idf double"
         )

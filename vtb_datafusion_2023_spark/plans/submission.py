@@ -33,10 +33,12 @@ sequential single-threaded loops — SURVEY §4).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import sqlgen
 from ..inference.udfs import BroadcastModel, linear_scorer, score_with_model
 from ..operators.cleaning import clean_transactions
 from ..operators.joins import (
@@ -51,6 +53,54 @@ from .features import branch_c_features
 
 REFERENCE_BINS = "/root/reference/nn_bins.pickle"
 
+# --- deterministic certification stand-ins (driver t2 gate) -------------
+#
+# The production pipeline has two non-SQL-expressible stages: the seeded
+# bootstrap draw (numpy RNG) and the NN/CatBoost forward.  For the
+# driver's hash gate the SAME composed plan runs with (a) an md5-seeded
+# subsample in place of the RNG draw and (b) an in-plan linear scorer in
+# place of the model UDF — every replacement is a textual SQL fragment
+# DuckDB evaluates bit-identically, so the full relational spine
+# (cleaning, branch C, assembly, imputation) is certified end to end.
+
+def md5_keep_sql(ord_col: str, rep: int, threshold_hex: str = "f2") -> str:
+    """Deterministic per-rep row keep predicate: the first md5 byte of
+    ``ord:rep`` at or below ``threshold_hex`` (default 0xf2 -> 243/256
+    ~ 0.949, matching the reference's fraction=0.95 draw).  Lowercase-hex
+    string compare — identical in Spark and DuckDB."""
+    return f"substring(md5(concat({ord_col}, ':', {rep})), 1, 2) <= '{threshold_hex}'"
+
+
+def standin_weights(cols: Sequence[str]) -> dict[str, float]:
+    """Name-keyed linear stand-in weights: k/1024 with k in [-9, 9] from a
+    deterministic name hash.  Exactly representable in binary AND as a
+    short decimal, so the SQL literal ``cast(k as double)/cast(1024 as
+    double)`` reproduces the Python float bit-for-bit in any engine.
+    Keyed by NAME (not position) so the Spark plan and the generated
+    oracle cannot disagree on weight assignment."""
+    return {c: (((sum(ord(ch) for ch in c) * 37) % 19) - 9) / 1024.0 for c in cols}
+
+
+def standin_target_column(feature_cols: Sequence[str]):
+    """In-plan deterministic linear score: left-associated weighted sum
+    over the NAME-SORTED feature columns — IEEE-op-for-op identical to
+    ``standin_target_sql`` on the oracle side."""
+    ws = standin_weights(feature_cols)
+    terms = [F.lit(ws[c]) * F.col(f"`{c}`").cast("double") for c in sorted(feature_cols)]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def standin_target_sql(feature_cols: Sequence[str], quote: str = '"') -> str:
+    """Oracle-side textual twin of ``standin_target_column``."""
+    ws = standin_weights(feature_cols)
+    q = quote
+    terms = [
+        f"cast({round(ws[c] * 1024):d} as double) / cast(1024 as double)"
+        f" * cast({q}{c}{q} as double)"
+        for c in sorted(feature_cols)
+    ]
+    return " + ".join(terms)
+
 
 def _real_rnn_artifacts() -> tuple | None:
     """(bin_edges, BroadcastModel) from the reference artifacts, or None
@@ -64,6 +114,38 @@ def _real_rnn_artifacts() -> tuple | None:
     if not (os.path.exists(REFERENCE_BINS) and os.path.exists(REFERENCE_RNN_CKPT)):
         return None
     return load_bin_edges(REFERENCE_BINS), rnn_scorer_model()
+
+
+def _rnn_branch_md5(tx: DataFrame, n_reps: int) -> DataFrame:
+    """Deterministic certification twin of branch A: md5-seeded ~95%
+    subsamples (one per rep) -> per-user aggregate features -> exact-
+    binary-weight linear score -> decimal-exact ensemble mean.  Every
+    float op is a shared ``sqlgen`` fragment or an exact-operand IEEE
+    expression, so the DuckDB oracle reproduces ``nn_predict`` bitwise.
+    Same plan shape as the production branch (N parallel subsample->
+    aggregate->score branches into one union + hash agg)."""
+    runs = []
+    for i in range(n_reps):
+        per_user = (
+            tx.filter(F.expr(md5_keep_sql("ord", i)))
+            .groupBy("user_id")
+            .agg(
+                F.expr("cast(count(*) as double) as f0"),
+                F.expr(f"{sqlgen.davg('amt')} as f1"),
+                F.expr(f"{sqlgen.davg('cat')} as f2"),
+            )
+        )
+        runs.append(
+            per_user.selectExpr(
+                "user_id",
+                "(f0 / cast(128 as double) + f1 / cast(512 as double)"
+                " + f2 / cast(1024 as double)) as target",
+            )
+        )
+    unioned = reduce(lambda a, b: a.unionByName(b), runs)
+    return unioned.groupBy("user_id").agg(
+        F.expr(f"({sqlgen.dsum('target')} / count(target)) as nn_predict")
+    )
 
 
 def _rnn_branch(
@@ -126,8 +208,18 @@ def run_submission(
     output_path: str | None = None,
     bucket_dir: str | None = None,
     use_real_rnn: bool = True,
+    sampler: str = "bootstrap",
+    scorer: str = "udf",
+    blacklist_cats: Sequence = (6012,),
 ) -> DataFrame:
     """Full pipeline: (user_id, cat, amt, ts, ord) -> (user_id, target).
+
+    ``sampler``: "bootstrap" (production: seeded RNG draw with
+    replacement) or "md5" (certification: deterministic md5-seeded
+    subsample — same plan shape, oracle-replayable).
+    ``scorer``: "udf" (production: broadcast-model mapInPandas) or
+    "inplan" (certification/scale path for the linear stand-in: the
+    weighted sum stays inside whole-stage codegen — no Python boundary).
 
     Returns the submission DataFrame sorted by user_id; optionally writes
     the CSV (S3).
@@ -140,13 +232,16 @@ def run_submission(
     reads pre-partitioned data with no user_id exchange.
     """
     # Branch A on the raw log (the reference scores the RNN before cleaning)
-    nn = _rnn_branch(
-        tx,
-        n_reps=n_reps,
-        seed=seed,
-        weights=[0.01, 0.002, 0.001],
-        use_real_rnn=use_real_rnn,
-    )
+    if sampler == "md5":
+        nn = _rnn_branch_md5(tx, n_reps=n_reps)
+    else:
+        nn = _rnn_branch(
+            tx,
+            n_reps=n_reps,
+            seed=seed,
+            weights=[0.01, 0.002, 0.001],
+            use_real_rnn=use_real_rnn,
+        )
 
     # Robust cleaning (A7-A9) then branch C features
     cleaned = clean_transactions(
@@ -161,7 +256,9 @@ def run_submission(
             path=f"{bucket_dir}/cleaned_tx",
             bucket_cols=["user_id"],
         )
-    feats, dropped = branch_c_features(cleaned, cat_vocab=cat_vocab)
+    feats, dropped = branch_c_features(
+        cleaned, cat_vocab=cat_vocab, blacklist_cats=blacklist_cats
+    )
 
     # Assembly J2 + strict dropna M1 (run.py:435-465)
     assembled = assemble_features([nn, feats], key="user_id", how="outer", fill=None).na.drop()
@@ -171,7 +268,11 @@ def run_submission(
     # through the REAL reference GBDT, conforming columns by name (J5);
     # any other kind scores the positional feature vector.
     feature_cols = [c for c in assembled.columns if c != "user_id"]
-    if model is not None and model.kind == "cbm":
+    if scorer == "inplan" and model is None:
+        preds = assembled.select(
+            "user_id", standin_target_column(feature_cols).alias("target")
+        )
+    elif model is not None and model.kind == "cbm":
         from ..inference.udfs import score_catboost
 
         preds = (

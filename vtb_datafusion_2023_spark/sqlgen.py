@@ -351,3 +351,36 @@ def md5_bucket(x: str, n_buckets: int, salt: str = "") -> str:
     nib = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
     n1, n2, n3, n4 = (nib.format(h=h, i=i) for i in (1, 2, 3, 4))
     return f"cast(((({n1}) * 4096 + ({n2}) * 256 + ({n3}) * 16 + ({n4})) % {n_buckets}) as int)"
+
+
+def hex_to_int(hexpr: str, nibbles: int = 8) -> str:
+    """Decode the first ``nibbles`` lowercase-hex chars of ``hexpr`` into
+    a BIGINT — the cross-engine hex->int (Spark ``conv`` has no DuckDB
+    twin, so nibbles decode by ``instr`` character lookup like
+    ``md5_bucket``).  ``nibbles <= 15`` keeps the value inside int64."""
+    if not 1 <= nibbles <= 15:
+        raise ValueError(f"nibbles must be in [1, 15], got {nibbles}")
+    terms = " + ".join(
+        f"cast(instr('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1 as bigint)"
+        f" * cast({16 ** (nibbles - 1 - i)} as bigint)"
+        for i in range(nibbles)
+    )
+    return f"({terms})"
+
+
+def md5_multiplicity(x: str, draws: int = 3, threshold_hex: str = "50") -> str:
+    """Deterministic bootstrap-with-replacement multiplicity: ``draws``
+    independent Bernoulli trials per row, trial ``j`` succeeding when the
+    first md5 byte of ``x:j`` is at or below ``threshold_hex``
+    (lowercase-hex string compare — identical in Spark and DuckDB).
+
+    Default 3 x p=(0x50+1)/256 ~ 0.3164 gives mean multiplicity ~0.949 —
+    the exactly-replayable twin of the reference's seeded
+    ``sample(frac=0.95, replacement=True)`` draw (SO3, model.py:279-281):
+    same mean mass, multiplicities in [0, draws], zero RNG state."""
+    trials = [
+        f"(case when substring(md5((({x}) || ':{j}')), 1, 2) <= '{threshold_hex}'"
+        f" then 1 else 0 end)"
+        for j in range(draws)
+    ]
+    return "(" + " + ".join(trials) + ")"

@@ -103,7 +103,13 @@ def events_stream_with_sentinel(
             f"unsupported advance unit {unit!r}: use one of "
             f"day(s)/hour(s)/minute(s)/second(s)"
         )
-    sent_us = max_us + int(qty) * units[unit] * 10**6
+    try:
+        qty_n = int(qty)
+    except ValueError:
+        raise ValueError(
+            f"advance quantity must be an integer, got {qty!r} in {advance!r}"
+        ) from None
+    sent_us = max_us + qty_n * units[unit] * 10**6
     sent_ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=sent_us)
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_sentinel_{uuid.uuid4().hex[:8]}"

@@ -89,6 +89,16 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
+# Round-5 front block: the queries added this round (never driver-
+# certified) go first — the end-to-end submission pipeline (VERDICT r4
+# item 1) and the hash-certifiable twins that shrink the rows-only set
+# (item 4).  Everything after them re-verifies r4's front block.
+_FRONT_R5 = [
+    "pipeline_submission",
+    "sk_kmv_distinct",
+    "so3_md5_sample",
+]
+
 
 def _load_all() -> None:
     """Import every suite module (each registers its queries on import),
@@ -110,8 +120,9 @@ def _load_all() -> None:
     from . import basics  # noqa: F401
     from . import aggregates  # noqa: F401
     from . import cleaning  # noqa: F401
+    from . import submission_e2e  # noqa: F401
 
-    head = _FRONT_R4 + _UNCHECKED_TAIL
+    head = _FRONT_R5 + _FRONT_R4 + _UNCHECKED_TAIL
     missing = [n for n in head if n not in REGISTRY]
     if missing:  # a rename would silently break the certification plan
         raise RuntimeError(f"priority list names unknown queries: {missing}")

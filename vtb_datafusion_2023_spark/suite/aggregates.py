@@ -337,6 +337,44 @@ def sk_approx_distinct(spark, sf_dir):
     return approx_distinct(T(spark, sf_dir, "events"), ["event_type"], "user_id")
 
 
+_KMV_K = 64
+_KMV_H = sqlgen.hex_to_int("md5((user_id || ''))", nibbles=8)
+
+
+@register(
+    "sk_kmv_distinct",
+    oracle=f"""
+with hashed as (
+  select distinct event_type, {_KMV_H} as _h from events
+),
+ranked as (
+  select event_type, _h,
+         row_number() over (partition by event_type order by _h asc) as _rk,
+         count(*) over (partition by event_type) as _nd
+  from hashed
+),
+agg as (
+  select event_type, max(_nd) as _nd,
+         max(case when _rk = {_KMV_K} then _h end) as _hk
+  from ranked group by event_type
+)
+select event_type,
+       case when _nd < {_KMV_K} then cast(_nd as double)
+            else cast({_KMV_K - 1} as double) * cast(4294967296 as double)
+                 / cast(_hk as double) end as kmv_nd
+from agg
+""",
+    survey_ref="sketch-approx-distinct",
+    doc="per-type KMV distinct-user sketch — the md5 hash-certifiable "
+    "twin of the HLL++ sk_approx_distinct (engine-agnostic estimate, "
+    "exactly replayable by the oracle); err ~ 1/sqrt(k-2) at k=64.",
+)
+def sk_kmv_distinct(spark, sf_dir):
+    from ..functions.sketches import kmv_distinct
+
+    return kmv_distinct(T(spark, sf_dir, "events"), ["event_type"], "user_id", k=_KMV_K)
+
+
 @register(
     "agg_cube_source_lang",
     oracle=f"""

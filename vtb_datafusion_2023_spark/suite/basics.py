@@ -323,6 +323,33 @@ def so3_bootstrap_sample(spark, sf_dir):
     )
 
 
+_SO3_M = sqlgen.md5_multiplicity("event_id", draws=3, threshold_hex="50")
+
+
+@register(
+    "so3_md5_sample",
+    oracle=f"""
+with drawn as (select user_id, value, {_SO3_M} as m from events)
+select user_id, cast(sum(m) as bigint) as n_drawn,
+       {sqlgen.dsum('value * m', 'value_sum')}
+from drawn group by user_id
+""",
+    survey_ref="SO3",
+    doc="deterministic-replay bootstrap twin of so3_bootstrap_sample: "
+    "per-row multiplicity = 3 md5-seeded Bernoulli draws (mean ~0.949 "
+    "mass, matching frac=0.95 with replacement), aggregated as weights — "
+    "zero RNG state, exactly replayable by the oracle, and the scale "
+    "form (weighted aggregation, no row duplication).",
+)
+def so3_md5_sample(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    drawn = ev.select("user_id", "value", F.expr(_SO3_M).alias("m"))
+    return drawn.groupBy("user_id").agg(
+        F.expr("cast(sum(m) as bigint) as n_drawn"),
+        F.expr(sqlgen.dsum("value * m", "value_sum")),
+    )
+
+
 _PROFILE_COLS = {
     "event_id": True, "ts": False, "user_id": True,
     "event_type": False, "value": True, "props": False,

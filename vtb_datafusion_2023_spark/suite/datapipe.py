@@ -1338,8 +1338,11 @@ from (select media_id, outp, unnest(range(0, 256)) as k from grid)
     "replays UTF-8 byte extraction (hex pairs), the exact clipped-edge "
     "bilinear weights (all exact binary fractions, so float64 arithmetic "
     "is order-independent and bitwise reproducible), and round-half-even "
-    "in pure SQL.  One flipped bit in the PNG encoder, zlib stream, or "
-    "resampler fails the gate.",
+    "in pure SQL.  One flipped bit in the resampler, or any encoder bug "
+    "that does not survive its own decode_png round-trip, fails the gate; "
+    "a symmetric encoder+decoder bug that round-trips would cancel here — "
+    "PNG container correctness itself is certified independently by "
+    "mm_decode_png's gate against fixed byte fixtures.",
 )
 def mm_resize(spark, sf_dir):
     import pandas as pd
