@@ -627,16 +627,16 @@ def test_funnel_scan_two_shuffles(spark, sf_small):
 
 
 def test_front_block_registration_order():
-    """The driver certifies ~50 queries per round in registration order;
-    rounds 1-3 covered 148 of 191.  Pin the round-4 front block (the 43
-    never-certified queries plus tbl_key_skew first) so a module
-    reshuffle can't silently push an uncertified query out of the gate's
-    reach."""
-    from vtb_datafusion_2023_spark.suite import _FRONT_R4, _UNCHECKED_TAIL
+    """The driver certifies ~50 queries per round in registration order.
+    Pin the round-5 front block (this round's never-certified additions,
+    then the r4 block for re-verification) so a module reshuffle can't
+    silently push an uncertified query out of the gate's reach."""
+    from vtb_datafusion_2023_spark.suite import _FRONT_R4, _FRONT_R5, _UNCHECKED_TAIL
 
     names = list(QS)
-    assert names[: len(_FRONT_R4)] == _FRONT_R4
-    assert names[0] == "tbl_key_skew"
-    assert names[len(_FRONT_R4) : len(_FRONT_R4) + len(_UNCHECKED_TAIL)] == _UNCHECKED_TAIL
+    head = _FRONT_R5 + _FRONT_R4 + _UNCHECKED_TAIL
+    assert names[: len(head)] == head
+    assert names[0] == "pipeline_submission"
     assert len(set(names)) == len(names)
-    assert len(_FRONT_R4) == 44  # 1 re-cert + 43 never-sampled
+    assert len(_FRONT_R5) == 3  # r5 additions: e2e pipeline + 2 twins
+    assert len(_FRONT_R4) == 44  # r4: 1 re-cert + 43 never-sampled

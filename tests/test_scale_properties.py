@@ -289,3 +289,40 @@ def test_key_skew_sampled_probe_estimates_top_share(spark, sf_small):
     # the sampled share is in the right ballpark (binomial ratio, n~half)
     assert est["user_id"].top_share < 10 * exact["user_id"].top_share
     assert est["user_id"].n < exact["user_id"].n
+
+
+def test_route_skew_decision_rule(spark):
+    """key_skew -> route_skew routing (SCALE.md runbook): a uniform key
+    routes to plain hash, a key whose hottest value overflows the task
+    budget routes to salted_join with the computed salt factor, and a
+    monster key additionally gets the automaton trim cap."""
+    from vtb_datafusion_2023_spark.operators.profile import key_skew, route_skew
+
+    # 1000 uniform rows over 100 users; one hot device owns 600 of 1000
+    rows = [(i % 100, i % 2, "d%d" % (0 if i < 600 else i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "user_id int, flag int, device string")
+    report = key_skew(df, ["user_id", "device"]).collect()
+    routes = route_skew(report, partition_budget_rows=100, automaton_budget_rows=500)
+
+    assert routes["user_id"].strategy == "hash"
+    assert routes["user_id"].salt == 1
+    assert routes["user_id"].max_events_per_key is None
+    assert abs(routes["user_id"].skew_ratio - 1.0) < 0.2
+
+    hot = routes["device"]
+    assert hot.strategy == "salted"
+    assert hot.salt == 6  # ceil(600 / 100)
+    assert hot.max_events_per_key == 500  # top_n 600 > automaton budget
+    assert hot.skew_ratio > 100
+
+    # budgets above the hottest key: everything is plain hash again
+    relaxed = route_skew(report, partition_budget_rows=10_000)
+    assert all(r.strategy == "hash" for r in relaxed.values())
+    # salt factor is capped so the replicated side can't blow up
+    capped = route_skew(report, partition_budget_rows=10, max_salt=16)
+    assert capped["device"].salt == 16
+
+    # dict rows (e.g. a saved probe re-read from JSON) route identically
+    as_dicts = route_skew([r.asDict() for r in report], partition_budget_rows=100,
+                          automaton_budget_rows=500)
+    assert as_dicts["device"].strategy == "salted"

@@ -11,6 +11,8 @@ the exact distinct shuffle is the bottleneck.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,6 +90,78 @@ def key_skew(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+@dataclass(frozen=True)
+class SkewRoute:
+    """Shuffle-strategy decision for one key column (SCALE.md §runbook).
+
+    strategy: 'hash' (plain shuffle; AQE covers moderate skew),
+    'salted' (``joins.salted_join`` — one key alone overflows a task),
+    with an independent ``max_events_per_key`` recommendation for
+    per-key sequence operators (the ``operators.analytics`` guard).
+    """
+
+    column: str
+    strategy: str
+    skew_ratio: float  # top_n / avg rows-per-key
+    salt: int  # salt factor for salted_join (1 = unsalted)
+    max_events_per_key: int | None  # None = no trim needed
+
+
+def route_skew(
+    report_rows,
+    partition_budget_rows: int = 5_000_000,
+    automaton_budget_rows: int = 100_000_000,
+    max_salt: int = 64,
+) -> dict[str, SkewRoute]:
+    """Turn a ``key_skew`` report into per-column shuffle routing — the
+    decision rule of SCALE.md's 100 TB runbook, as code.
+
+    ``report_rows``: collected rows (or dicts) with column/n/n_keys/top_n
+    — i.e. ``key_skew(df, cols).collect()``; with ``sample_fraction`` set
+    on the probe, scale ``partition_budget_rows`` down by the same
+    fraction (ratios are scale-free, the budgets are not).
+
+    Rule (rows, not bytes — multiply by row width to adapt budgets):
+
+    - ``top_n <= partition_budget_rows``: **hash**.  The hottest key fits
+      one task; moderate skew (a few multiples of average) is AQE's
+      skew-split job, not ours — salting would add shuffle volume for
+      nothing.
+    - ``top_n > partition_budget_rows``: **salted** for joins/aggs on
+      that key: AQE can only split partitions at KEY boundaries, so one
+      key bigger than a task budget serializes a reducer no matter how
+      AQE re-plans.  ``salt = ceil(top_n / partition_budget_rows)``
+      (capped at ``max_salt`` — salt multiplies the replicated side).
+    - independently, ``top_n > automaton_budget_rows`` routes the per-key
+      sequence automata to ``max_events_per_key = automaton_budget_rows``
+      (the ~40 B/event collect_list bound, SCALE.md): salting cannot help
+      an operator whose semantics need the WHOLE key in one place, so it
+      trims instead.
+    """
+    import math
+
+    out: dict[str, SkewRoute] = {}
+    for r in report_rows:
+        g = r.get if isinstance(r, dict) else r.__getitem__
+        col, n, n_keys, top_n = g("column"), g("n"), g("n_keys"), g("top_n")
+        avg = n / max(n_keys, 1)
+        if top_n > partition_budget_rows:
+            strategy = "salted"
+            salt = min(max_salt, math.ceil(top_n / partition_budget_rows))
+        else:
+            strategy = "hash"
+            salt = 1
+        cap = automaton_budget_rows if top_n > automaton_budget_rows else None
+        out[col] = SkewRoute(
+            column=col,
+            strategy=strategy,
+            skew_ratio=top_n / avg,
+            salt=salt,
+            max_events_per_key=cap,
+        )
     return out
 
 
