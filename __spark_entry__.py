@@ -26,11 +26,15 @@ from vtb_datafusion_2023_spark import suite as _suite  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    The composed branch-C profile (SURVEY §7.2): trim -> blacklist ->
-    normalized category mix + horizontal stats + time-of-day stats.
+    The END-TO-END submission pipeline — the engine's equivalent of the
+    reference's production entry point (``python run.py src out``,
+    /root/reference/run.py:17): branch-A ensemble -> A7-A9 robust
+    cleaning -> branch-C wide feature matrix -> assembly -> scoring ->
+    J4 global-max imputation -> W6 sort (suite/submission_e2e.py,
+    hash-certified vs DuckDB as ``pipeline_submission``).
     """
     qs = _suite.queries()
-    return qs["pipeline_user_profile"](spark, "/root/testdata/sf0.001")
+    return qs["pipeline_submission"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

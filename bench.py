@@ -59,6 +59,8 @@ HEADLINE = [
     "text_surprisal",
     "dd_incremental_md5",
     "gr_pagerank",
+    # round-5 addition: the end-to-end run.py-equivalent flagship
+    "pipeline_submission",
 ]
 
 

@@ -326,3 +326,42 @@ def test_route_skew_decision_rule(spark):
     as_dicts = route_skew([r.asDict() for r in report], partition_budget_rows=100,
                           automaton_budget_rows=500)
     assert as_dicts["device"].strategy == "salted"
+
+
+def test_clean_transactions_fused_equals_two_step(spark):
+    """The fused clean_transactions == rare_category_rewrite(
+    winsorize_to_median(df), stats_source=df) row for row — including on
+    null categories and null values, where the two count contracts
+    (cnt = non-null values, _cat_cnt = all rows) diverge."""
+    import random
+
+    from vtb_datafusion_2023_spark.operators.cleaning import (
+        rare_category_rewrite,
+        winsorize_to_median,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):
+        u = rng.randrange(20)
+        cat = rng.choice([None, 1, 2, 3, 4, 5, 6, 7])
+        v = None if rng.random() < 0.05 else round(rng.gauss(100, 50), 2)
+        rows.append((i, u, cat, v))
+    df = spark.createDataFrame(rows, "ord long, user_id long, cat int, value double")
+
+    fused = clean_transactions(
+        df, user_col="user_id", cat_col="cat", value_col="value", n_amt=10, n_mcc=10
+    )
+    two_step = rare_category_rewrite(
+        winsorize_to_median(df, ["user_id", "cat"], "value", n_amt=10, min_count=10),
+        "user_id",
+        "cat",
+        "value",
+        min_count=10,
+        stats_source=df,
+    )
+    a = fused.orderBy("ord").collect()
+    b = two_step.orderBy("ord").collect()
+    assert len(a) == len(b) == 2000
+    for ra, rb in zip(a, b):
+        assert ra == rb, (ra, rb)

@@ -119,15 +119,68 @@ def clean_transactions(
     n_mcc: int = 10,
 ) -> DataFrame:
     """The composed robust-cleaning transform (/root/reference/run.py:25-85):
-    winsorize frequent categories, then rewrite rare ones."""
-    w = winsorize_to_median(
-        df, [user_col, cat_col], value_col, n_amt=n_amt, min_count=n_mcc
-    )
+    winsorize frequent categories, then rewrite rare ones.
+
+    Row-identical to ``rare_category_rewrite(winsorize_to_median(df),
+    stats_source=df)`` (pinned by tests/test_scale_properties.py) but
+    FUSED: the winsorize condition fires only on groups with cnt >
+    ``n_mcc`` and the rare rewrite only on cnt <= ``n_mcc`` — disjoint —
+    so both resolve in ONE projection off one enriched join, and the
+    rare path's category median is the ``group_percentiles`` interpolated
+    ``p_median`` (bitwise equal to builtin ``percentile(v, 0.5)``: the
+    median's interpolation fraction is exactly 0.0 or 0.5, and
+    ``lo + (hi-lo)*frac`` is the same IEEE op sequence both ways).  Saves
+    one full (user, cat) aggregation over ``df`` and an intermediate
+    full-width projection vs the two-step composition."""
+    keys = [user_col, cat_col]
+    stats = group_percentiles(df, keys, value_col, n_amt=n_amt)
     # rare-rewrite statistics come from the ORIGINAL df: the reference
-    # copies per-code amount arrays before winsorization mutates them.
-    return rare_category_rewrite(
-        w, user_col, cat_col, value_col, min_count=n_mcc, stats_source=df
+    # copies per-code amount arrays before winsorization mutates them
+    # (run.py:49-50).  cat_cnt counts ALL rows (the a9 contract), while
+    # stats.cnt counts non-null values (the winsorize/percentile
+    # contract) — they differ on groups holding null values.
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cat_cnt"))
+    top_w = Window.partitionBy(user_col).orderBy(
+        F.col("_cat_cnt").desc(), F.col(cat_col).asc()
     )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(top_w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(user_col), F.col(cat_col).alias("_top_cat"))
+    )
+    med_sel = stats.select(
+        F.col(user_col).alias("_mu"),
+        F.col(cat_col).alias("_mc"),
+        F.col("p_median").alias("_cat_median"),
+    )
+    top_med = top.join(
+        med_sel,
+        (top[user_col] == F.col("_mu")) & (top["_top_cat"] == F.col("_mc")),
+    ).select(top[user_col], "_top_cat", "_cat_median")
+
+    enriched = (
+        df.join(stats, on=keys, how="left")
+        .join(counts, on=keys, how="left")
+        .join(top_med, on=user_col, how="left")
+    )
+    v = F.col(value_col)
+    is_rare = F.col("_cat_cnt") <= n_mcc
+    winsorize = (F.col("cnt") > n_mcc) & ((v > F.col("p_hi")) | (v < F.col("p_lo")))
+    out_cols = []
+    for c in df.columns:
+        if c == cat_col:
+            out_cols.append(
+                F.when(is_rare, F.col("_top_cat")).otherwise(F.col(cat_col)).alias(cat_col)
+            )
+        elif c == value_col:
+            out_cols.append(
+                F.when(is_rare, F.col("_cat_median"))
+                .otherwise(F.when(winsorize, F.col("p_median")).otherwise(v))
+                .alias(value_col)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return enriched.select(*out_cols)
 
 
 def mad_outliers(

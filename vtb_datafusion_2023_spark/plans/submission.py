@@ -122,30 +122,35 @@ def _rnn_branch_md5(tx: DataFrame, n_reps: int) -> DataFrame:
     binary-weight linear score -> decimal-exact ensemble mean.  Every
     float op is a shared ``sqlgen`` fragment or an exact-operand IEEE
     expression, so the DuckDB oracle reproduces ``nn_predict`` bitwise.
-    Same plan shape as the production branch (N parallel subsample->
-    aggregate->score branches into one union + hash agg)."""
-    runs = []
+
+    Plan shape: ONE scan + ONE hash aggregate.  Each rep's features are
+    conditional aggregates gated by its md5 keep-predicate, and the
+    ensemble mean folds the per-rep scores in-row through the same
+    exact-decimal arithmetic the oracle's union+group form uses —
+    decimal sums are associative, so regrouping N scans into one is
+    bitwise-free (measured 3.96 s -> ~0.9 s at sf0.1 for 5 reps).  A
+    user absent from rep i (no sampled rows) contributes a NULL score
+    there, exactly like its missing row in the union form."""
+    aggs = []
     for i in range(n_reps):
-        per_user = (
-            tx.filter(F.expr(md5_keep_sql("ord", i)))
-            .groupBy("user_id")
-            .agg(
-                F.expr("cast(count(*) as double) as f0"),
-                F.expr(f"{sqlgen.davg('amt')} as f1"),
-                F.expr(f"{sqlgen.davg('cat')} as f2"),
-            )
-        )
-        runs.append(
-            per_user.selectExpr(
-                "user_id",
-                "(f0 / cast(128 as double) + f1 / cast(512 as double)"
-                " + f2 / cast(1024 as double)) as target",
-            )
-        )
-    unioned = reduce(lambda a, b: a.unionByName(b), runs)
-    return unioned.groupBy("user_id").agg(
-        F.expr(f"({sqlgen.dsum('target')} / count(target)) as nn_predict")
+        keep = md5_keep_sql("ord", i)
+        aggs.append(F.expr(f"cast(count(case when {keep} then 1 end) as double) as f0_{i}"))
+        aggs.append(F.expr(f"{sqlgen.davg(f'case when {keep} then amt end')} as f1_{i}"))
+        aggs.append(F.expr(f"{sqlgen.davg(f'case when {keep} then cat end')} as f2_{i}"))
+    per_user = tx.groupBy("user_id").agg(*aggs)
+    scores = [
+        f"(f0_{i} / cast(128 as double) + f1_{i} / cast(512 as double)"
+        f" + f2_{i} / cast(1024 as double))"
+        for i in range(n_reps)
+    ]
+    dec_sum = " + ".join(
+        f"coalesce(cast({s} as {sqlgen.DEC}), cast(0 as {sqlgen.DEC}))" for s in scores
     )
+    cnt = " + ".join(f"(case when {s} is not null then 1 else 0 end)" for s in scores)
+    mean = f"({sqlgen.dec_to_double(f'({dec_sum})')} / nullif({cnt}, 0))"
+    return per_user.select(
+        "user_id", F.expr(f"{mean} as nn_predict")
+    ).filter(F.col("nn_predict").isNotNull())
 
 
 def _rnn_branch(
@@ -256,8 +261,16 @@ def run_submission(
             path=f"{bucket_dir}/cleaned_tx",
             bucket_cols=["user_id"],
         )
+    else:
+        # The cleaned log is the reference's ONE named intermediate
+        # (run.py:84-90, written to disk and re-read): branch C fans out
+        # to ~8 per-user blocks, and without pinning, EVERY block replays
+        # the 5-scan/6-exchange cleaning chain (measured 17.7 s -> 5.5 s
+        # at sf0.1).  Block-manager materialization, not disk; pass
+        # ``bucket_dir`` for the durable bucketed form instead.
+        cleaned = cleaned.localCheckpoint(eager=True)
     feats, dropped = branch_c_features(
-        cleaned, cat_vocab=cat_vocab, blacklist_cats=blacklist_cats
+        cleaned, cat_vocab=cat_vocab, blacklist_cats=blacklist_cats, materialize=True
     )
 
     # Assembly J2 + strict dropna M1 (run.py:435-465)
@@ -295,7 +308,11 @@ def run_submission(
         )
 
     # J4/A14: users eliminated anywhere along the way come back at the
-    # global max score; W6 sort
+    # global max score; W6 sort.  ``preds`` has three consumers (the
+    # submission rows, the global-max scalar, the anti-join probe) — pin
+    # the ~1-row-per-user result once so the full feature DAG does not
+    # replay per consumer (measured 3x the assembled cost unpinned).
+    preds = preds.localCheckpoint(eager=True)
     all_users = tx.select("user_id").distinct()
     missing = anti_join_missing(all_users, preds, "user_id")
     submission = union_fill_max(preds, missing, key="user_id", score_col="target").orderBy(
