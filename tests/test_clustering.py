@@ -1,0 +1,109 @@
+"""kmeans (operators/clustering.py) vs an independent numpy Lloyd
+reference with the operator's exact semantics: id-ordered init,
+left-to-right distance fold, first-min argmin (ties -> smallest cid),
+fsum-quantized means, empty clusters keep their previous centroid."""
+
+import math
+import random
+
+import pytest
+
+from vtb_datafusion_2023_spark.operators.clustering import kmeans
+
+
+def _fsum_mean(values):
+    hi = lo = 0
+    for x in values:
+        h = math.floor(x + 0.5)
+        hi += h
+        lo += math.floor((x - h) * 1e6 + 0.5)
+    return (float(hi) + float(lo) / 1e6) / len(values)
+
+
+def _ref_kmeans(vecs, k, iterations):
+    """vecs: dict id -> list[float].  Returns dict id -> cid."""
+    ids = sorted(vecs)
+    cents = [list(vecs[i]) for i in ids[:k]]
+
+    def dist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc = acc + d * d
+        return acc
+
+    def assign():
+        out = {}
+        for i in ids:
+            best_cid, best_d = 0, None
+            for cid, c in enumerate(cents):
+                d = dist(vecs[i], c)
+                if best_d is None or d < best_d:  # strict: ties keep lowest cid
+                    best_cid, best_d = cid, d
+            out[i] = best_cid
+        return out
+
+    for _ in range(iterations):
+        a = assign()
+        for cid in range(k):
+            members = [vecs[i] for i in ids if a[i] == cid]
+            if members:
+                cents[cid] = [
+                    _fsum_mean([m[j] for m in members]) for j in range(len(cents[cid]))
+                ]
+    return assign()
+
+
+@pytest.mark.parametrize("n,dim,k,iters", [(120, 8, 4, 2), (60, 5, 3, 3)])
+def test_kmeans_matches_numpy_reference(spark, n, dim, k, iters):
+    rng = random.Random(n * 31 + dim)
+    vecs = {
+        i: [round(rng.gauss(rng.choice([-1.0, 0.0, 1.0]), 0.4), 4) for _ in range(dim)]
+        for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # float storage rounds the inputs: replay the reference on the
+    # float32-rounded values the operator actually sees
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    ref = _ref_kmeans({i: [f32(x) for x in v] for i, v in vecs.items()}, k, iters)
+
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans(df, dim=dim, k=k, iterations=iters).collect()
+    }
+    assert got == ref
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # two far groups, k=3: centroid 2 (init = third vector) loses all
+    # members after the first update -> must keep its previous centroid
+    # and the result must stay deterministic
+    vecs = {
+        0: [0.0, 0.0], 1: [0.1, 0.0], 2: [0.05, 0.01],
+        3: [10.0, 10.0], 4: [10.1, 10.0], 5: [9.9, 10.1],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    ref = _ref_kmeans(vecs, k=3, iterations=2)
+    got = {r["vec_id"]: r["cid"] for r in kmeans(df, dim=2, k=3, iterations=2).collect()}
+    assert got == ref
+    assert len(set(got.values())) >= 2
+
+
+def test_kmeans_partitioning_invariant(spark, sf_small):
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = {r["vec_id"]: r["cid"] for r in kmeans(emb, dim=64, k=4, iterations=1).collect()}
+    b = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans(emb.repartition(13), dim=64, k=4, iterations=1).collect()
+    }
+    assert a == b
+    assert len(set(a.values())) >= 2

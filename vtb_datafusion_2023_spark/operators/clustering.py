@@ -1,0 +1,119 @@
+"""Fixed-iteration Lloyd k-means over embedding columns.
+
+The LLM-corpus curation use (semantic clustering: topic balancing,
+cluster-level dedup/sampling, SemDeDup-style pruning) runs k-means over
+document embeddings at corpus scale.  Spark-first shape — the same one
+``spark.ml.clustering.KMeans`` uses internally, restated over DataFrames:
+
+- assignment = corpus x broadcast(centroids) nearest-centroid argmin
+  (the centroid table is k rows — never shuffled, never collected to a
+  Python loop over vectors);
+- update = one hash aggregation per iteration, map-side partial,
+  keyed by cid (k groups);
+- the k x dim centroid table is pinned per iteration
+  (``localCheckpoint``) so iteration i+1's plan starts from a k-row
+  leaf instead of replaying every prior iteration's scan.
+
+Per-iteration cluster cost is exactly one corpus scan + one k-group
+aggregation; nothing driver-side scales with the corpus.
+
+Determinism (the engine's cross-engine reproducibility contract):
+- distances are an UNROLLED per-dim chain ``(v1-c1)^2 + ... + (vd-cd)^2``
+  added textually left-to-right — identical IEEE op sequence in any
+  engine that parses left-associative ``+`` (Spark, DuckDB);
+- argmin ties break to the smallest cid via ``row_number`` ordered by
+  ``(dist, cid)``;
+- centroid means use ``sqlgen.favg`` (fixed-point int64 fsum / count):
+  partitioning-independent, bitwise reproducible at any cluster layout
+  (1e-6 quantization — documented aggregation mode, see sqlgen.fsum);
+- empty clusters keep their previous centroid (coalesce), so k never
+  silently shrinks.
+
+The suite oracle (suite/datapipe.py ``ml_kmeans``) replays the unrolled
+recursion in DuckDB bitwise, same as ``gr_pagerank``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import sqlgen
+
+
+def l2sq_sql(a_elem, b_elem, dim: int) -> str:
+    """Shared squared-L2 grammar: ``a_elem``/``b_elem`` format a 1-based
+    element reference for their engine (Spark ``element_at(v, j)``,
+    DuckDB ``v[j]``); the chain text is otherwise identical, so equal
+    operand bits give equal result bits."""
+    terms = []
+    for j in range(1, dim + 1):
+        d = f"({a_elem(j)} - {b_elem(j)})"
+        terms.append(f"{d} * {d}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _spark_elem(col: str):
+    return lambda j: f"element_at({col}, {j})"
+
+
+def kmeans(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd k-means with deterministic init: centroids 0..k-1 are the
+    vectors with the k smallest ids (cheap, reproducible, and at corpus
+    scale exactly as arbitrary as a seeded sample — k-means++ quality
+    matters for few-iteration convergence speed, not for the fixed-
+    iteration semantics pinned here).  Returns the assignment after
+    ``iterations`` centroid updates: ``(id_col, cid int)``.
+    """
+    emb = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+    )
+    init = emb.orderBy(id_col).limit(k)
+    cents = init.select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int").alias("cid"),
+        F.col("_v").alias("_c"),
+    )
+    dist = l2sq_sql(_spark_elem("_e._v"), _spark_elem("_c"), dim)
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        scored = (
+            emb.alias("_e")
+            .crossJoin(F.broadcast(cents_df))
+            .withColumn("_d", F.expr(dist))
+        )
+        w = Window.partitionBy(id_col).orderBy("_d", "cid")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "_v", "cid")
+        )
+
+    for _ in range(iterations):
+        assigned = assign(cents)
+        means = [
+            F.expr(sqlgen.favg(f"element_at(_v, {j})", f"_m{j}"))
+            for j in range(1, dim + 1)
+        ]
+        upd = assigned.groupBy("cid").agg(*means)
+        upd = upd.select(
+            "cid", F.array(*[F.col(f"_m{j}") for j in range(1, dim + 1)]).alias("_cn")
+        )
+        cents = (
+            cents.join(upd, on="cid", how="left")
+            .select("cid", F.coalesce(F.col("_cn"), F.col("_c")).alias("_c"))
+            # k x dim rows: pin so the next iteration's plan starts here
+            # instead of replaying every prior scan (pagerank's
+            # checkpoint_every rationale, mandatory here because the
+            # centroid recursion nests a window + crossJoin per step)
+            .localCheckpoint(eager=True)
+        )
+    return assign(cents).select(id_col, "cid")

@@ -97,6 +97,7 @@ _FRONT_R5 = [
     "pipeline_submission",
     "sk_kmv_distinct",
     "so3_md5_sample",
+    "ml_kmeans",
 ]
 
 
@@ -121,6 +122,7 @@ def _load_all() -> None:
     from . import aggregates  # noqa: F401
     from . import cleaning  # noqa: F401
     from . import submission_e2e  # noqa: F401
+    from . import ml  # noqa: F401
 
     head = _FRONT_R5 + _FRONT_R4 + _UNCHECKED_TAIL
     missing = [n for n in head if n not in REGISTRY]
