@@ -131,13 +131,22 @@ def _rnn_branch_md5(tx: DataFrame, n_reps: int) -> DataFrame:
     bitwise-free (measured 3.96 s -> ~0.9 s at sf0.1 for 5 reps).  A
     user absent from rep i (no sampled rows) contributes a NULL score
     there, exactly like its missing row in the union form."""
+    # one md5 per (row, rep), projected to a boolean BEFORE the
+    # aggregate: the three conditional aggs per rep then share the flag
+    # instead of each re-deriving the hash (A/B: 1.30 -> 1.10 s warm at
+    # sf0.1; flag values identical, so the aggregates are bitwise-free)
+    pre = tx.select(
+        "user_id",
+        "amt",
+        "cat",
+        *[F.expr(md5_keep_sql("ord", i)).alias(f"_k{i}") for i in range(n_reps)],
+    )
     aggs = []
     for i in range(n_reps):
-        keep = md5_keep_sql("ord", i)
-        aggs.append(F.expr(f"cast(count(case when {keep} then 1 end) as double) as f0_{i}"))
-        aggs.append(F.expr(f"{sqlgen.davg(f'case when {keep} then amt end')} as f1_{i}"))
-        aggs.append(F.expr(f"{sqlgen.davg(f'case when {keep} then cat end')} as f2_{i}"))
-    per_user = tx.groupBy("user_id").agg(*aggs)
+        aggs.append(F.expr(f"cast(count(case when _k{i} then 1 end) as double) as f0_{i}"))
+        aggs.append(F.expr(f"{sqlgen.davg(f'case when _k{i} then amt end')} as f1_{i}"))
+        aggs.append(F.expr(f"{sqlgen.davg(f'case when _k{i} then cat end')} as f2_{i}"))
+    per_user = pre.groupBy("user_id").agg(*aggs)
     scores = [
         f"(f0_{i} / cast(128 as double) + f1_{i} / cast(512 as double)"
         f" + f2_{i} / cast(1024 as double))"
