@@ -640,3 +640,52 @@ def test_front_block_registration_order():
     assert len(set(names)) == len(names)
     assert len(_FRONT_R5) == 3  # r5 additions: e2e pipeline + 2 twins
     assert len(_FRONT_R4) == 44  # r4: 1 re-cert + 43 never-sampled
+
+
+def test_kll_partial_quantiles_merge_properties(spark):
+    """Mergeable quantile sketches: (a) counts inside the retained
+    capacity are EXACT order statistics (the inclusive ceil(q*n) rule),
+    (b) merge is shard-count- and order-insensitive there, (c) beyond
+    the exact regime the returned value's true rank stays within the
+    KLL normalized rank error envelope."""
+    import math
+
+    from vtb_datafusion_2023_spark.operators.rollup import (
+        merge_quantile_partials,
+        partial_quantiles,
+        quantile_estimate,
+    )
+
+    fracs = [0.25, 0.5, 0.75, 0.95]
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"),
+    )
+    by_g = {}
+    for r in df.collect():
+        by_g.setdefault(r.g, []).append(r.v)
+    exact = {
+        g: tuple(sorted(vs)[max(1, math.ceil(q * len(vs))) - 1] for q in fracs)
+        for g, vs in by_g.items()
+    }
+
+    shards = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    parts = [partial_quantiles(s, ["g"], "v", k=4096) for s in shards]
+
+    def finish(ps):
+        out = quantile_estimate(merge_quantile_partials(ps, ["g"]), fracs).collect()
+        return {r.g: (r.kq_250, r.kq_500, r.kq_750, r.kq_950) for r in out}
+
+    got = finish(parts)
+    assert got == exact          # 1200 values/group, k=4096: exact regime
+    assert finish(parts[::-1]) == got  # merge order-free
+
+    # beyond the exact regime: 200k values, tiny k=200 -> compaction;
+    # the returned value's true normalized rank must stay within ~3%
+    big = spark.range(0, 200000).select(
+        F.lit(0).alias("g"), ((F.col("id") * 7919) % 200000).cast("double").alias("v")
+    )
+    parts_b = [partial_quantiles(big.filter(F.col("id") % 2 == i), ["g"], "v", k=200) for i in range(2)]
+    est = quantile_estimate(merge_quantile_partials(parts_b, ["g"]), [0.5]).collect()[0]
+    true_rank = est.kq_500 / 200000.0  # values are a permutation of 0..199999
+    assert abs(true_rank - 0.5) < 0.03, est.kq_500

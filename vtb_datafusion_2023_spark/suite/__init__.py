@@ -98,6 +98,7 @@ _FRONT_R5 = [
     "sk_kmv_distinct",
     "so3_md5_sample",
     "ml_kmeans",
+    "agg_incremental_quantiles",
 ]
 
 

@@ -546,3 +546,53 @@ def agg_incremental_merge(spark, sf_dir):
     old = partial_agg(ev.filter(F.col("day") < cut), ["event_type", "day"], "value")
     new = partial_agg(ev.filter(F.col("day") >= cut), ["event_type", "day"], "value")
     return finalize_partials(merge_partials([old, new], ["event_type", "day"]))
+
+
+_KQ_FRACS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _kq_oracle() -> str:
+    sels = ",\n       ".join(
+        f"max(case when rn = greatest(1, cast(ceil(cast({f!r} as double) * n) as bigint))"
+        f" then value end) as kq_{int(round(f * 1000)):03d}"
+        for f in _KQ_FRACS
+    )
+    return f"""
+with s as (
+  select user_id, value,
+         row_number() over (partition by user_id order by value) as rn,
+         count(*) over (partition by user_id) as n
+  from events where value is not null
+)
+select user_id,
+       {sels}
+from s group by user_id
+"""
+
+
+@register(
+    "agg_incremental_quantiles",
+    oracle=_kq_oracle(),
+    survey_ref="rollup-quantiles",
+    doc="incrementally-maintained per-user value quantiles "
+    "(p25/p50/p75/p95): two ingest shards sketch independently "
+    "(DataSketches KLL via kll_sketch_agg_double), merge with "
+    "kll_merge_agg_double, finalize to values — completing the "
+    "mergeable-state trio (HLL distinct / CMS frequency / KLL order "
+    "statistics).  Per-user counts sit inside the sketch's exact "
+    "retained regime, so every estimate EQUALS the oracle's order "
+    "statistic at ceil(q*n) — certifying the whole "
+    "partial->merge->finalize path, not an approximation.",
+)
+def agg_incremental_quantiles(spark, sf_dir):
+    from ..operators.rollup import (
+        merge_quantile_partials,
+        partial_quantiles,
+        quantile_estimate,
+    )
+
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    shard1 = partial_quantiles(ev.filter(F.col("event_id") < 5000), ["user_id"], "value")
+    shard2 = partial_quantiles(ev.filter(F.col("event_id") >= 5000), ["user_id"], "value")
+    merged = merge_quantile_partials([shard1, shard2], ["user_id"])
+    return quantile_estimate(merged, _KQ_FRACS)
