@@ -54,10 +54,6 @@ def l2sq_sql(a_elem, b_elem, dim: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _spark_elem(col: str):
-    return lambda j: f"element_at({col}, {j})"
-
-
 def kmeans(
     df: DataFrame,
     dim: int,
@@ -82,12 +78,21 @@ def kmeans(
         (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int").alias("cid"),
         F.col("_v").alias("_c"),
     )
-    dist = l2sq_sql(_spark_elem("_e._v"), _spark_elem("_c"), dim)
+    # Spark computes the distance as a zip_with + aggregate fold rather
+    # than the unrolled ``l2sq_sql`` chain the oracle uses: the fold is
+    # BITWISE the same sum (it adds the terms in the same left-to-right
+    # order, and its extra leading ``0.0 + t1`` is an IEEE identity —
+    # every term is a square, so never -0.0) but its expression tree is
+    # O(1) instead of O(dim), which cuts plan/codegen time ~3x at dim=64
+    # (A/B: 10.5 -> 3.1 s cold at sf0.01, assignments identical).
+    dist = (
+        "aggregate(zip_with(_v, _c, (a, b) -> (a - b) * (a - b)), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
 
     def assign(cents_df: DataFrame) -> DataFrame:
         scored = (
-            emb.alias("_e")
-            .crossJoin(F.broadcast(cents_df))
+            emb.crossJoin(F.broadcast(cents_df))
             .withColumn("_d", F.expr(dist))
         )
         w = Window.partitionBy(id_col).orderBy("_d", "cid")
