@@ -59,8 +59,11 @@ HEADLINE = [
     "text_surprisal",
     "dd_incremental_md5",
     "gr_pagerank",
-    # round-5 addition: the end-to-end run.py-equivalent flagship
+    # round-5 additions: the end-to-end run.py-equivalent flagship, the
+    # iterative-ML head, and the mergeable-quantile head
     "pipeline_submission",
+    "ml_kmeans",
+    "agg_incremental_quantiles",
 ]
 
 
