@@ -689,3 +689,17 @@ def test_kll_partial_quantiles_merge_properties(spark):
     est = quantile_estimate(merge_quantile_partials(parts_b, ["g"]), [0.5]).collect()[0]
     true_rank = est.kq_500 / 200000.0  # values are a permutation of 0..199999
     assert abs(true_rank - 0.5) < 0.03, est.kq_500
+
+
+def test_pipeline_submission_pins_shared_intermediates(spark, sf_small):
+    """The flagship's cost model rests on three pins (cleaned log,
+    branch-C trim, preds): the final plan must read the checkpointed
+    RDD leaves, not replay the 5-scan cleaning chain per consumer.
+    Guard: the composed plan's only parquet scan is the all-users
+    probe of the raw log — every other leaf is a checkpoint."""
+    sub = QS["pipeline_submission"](spark, sf_small)
+    p = plan_of(sub)
+    n_parquet = p.count("Scan parquet")
+    n_rdd = p.count("Scan ExistingRDD")
+    assert n_parquet <= 2, f"cleaning chain replayed: {n_parquet} parquet scans"
+    assert n_rdd >= 1, "checkpointed intermediates missing from the plan"
