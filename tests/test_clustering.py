@@ -107,3 +107,50 @@ def test_kmeans_partitioning_invariant(spark, sf_small):
     }
     assert a == b
     assert len(set(a.values())) >= 2
+
+
+def test_semdedup_matches_reference(spark):
+    """semdedup == drop(b) iff exists a<b, same k-means cluster,
+    cosine(a,b) >= t — checked against an independent Python reference
+    over the same float32-rounded vectors."""
+    import struct
+
+    from vtb_datafusion_2023_spark.operators.clustering import semdedup
+
+    rng = random.Random(99)
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    base = [[rng.gauss(0, 1) for _ in range(6)] for _ in range(5)]
+    vecs = {}
+    for i in range(80):
+        b = base[rng.randrange(5)]
+        vecs[i] = [f32(x + rng.gauss(0, 0.3)) for x in b]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    k, iters, t = 4, 2, 0.8
+    ref_asg = _ref_kmeans(vecs, k, iters)
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / (n1**0.5 * n2**0.5)
+
+    ref_keep = {}
+    for b in sorted(vecs):
+        dup = any(
+            ref_asg[a] == ref_asg[b] and cos(vecs[a], vecs[b]) >= t
+            for a in vecs
+            if a < b
+        )
+        if not dup:
+            ref_keep[b] = ref_asg[b]
+
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in semdedup(df, dim=6, k=k, iterations=iters, threshold=t).collect()
+    }
+    assert got == ref_keep
+    assert 0 < len(got) < 80  # non-trivial fixture: some dropped, some kept

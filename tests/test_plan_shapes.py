@@ -638,7 +638,8 @@ def test_front_block_registration_order():
     assert names[: len(head)] == head
     assert names[0] == "pipeline_submission"
     assert len(set(names)) == len(names)
-    assert len(_FRONT_R5) == 3  # r5 additions: e2e pipeline + 2 twins
+    # r5 additions: e2e pipeline + 2 twins + kmeans/quantiles/semdedup
+    assert len(_FRONT_R5) == 6
     assert len(_FRONT_R4) == 44  # r4: 1 re-cert + 43 never-sampled
 
 

@@ -18,9 +18,9 @@ Per-iteration cluster cost is exactly one corpus scan + one k-group
 aggregation; nothing driver-side scales with the corpus.
 
 Determinism (the engine's cross-engine reproducibility contract):
-- distances are an UNROLLED per-dim chain ``(v1-c1)^2 + ... + (vd-cd)^2``
-  added textually left-to-right — identical IEEE op sequence in any
-  engine that parses left-associative ``+`` (Spark, DuckDB);
+- distances sum the per-dim squares left-to-right: the oracle spells
+  this as the unrolled ``l2sq_sql`` chain, Spark as a ``zip_with`` +
+  ``aggregate`` fold — the same IEEE op sequence (see ``kmeans``);
 - argmin ties break to the smallest cid via ``row_number`` ordered by
   ``(dist, cid)``;
 - centroid means use ``sqlgen.favg`` (fixed-point int64 fsum / count):
@@ -122,3 +122,47 @@ def kmeans(
             .localCheckpoint(eager=True)
         )
     return assign(cents).select(id_col, "cid")
+
+
+def semdedup(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    corpus scale by k-means sharding — pairwise cosine is computed only
+    WITHIN a cluster, never across the corpus, so the quadratic term is
+    bounded by cluster size (the paper's core scaling argument; k grows
+    with the corpus to keep clusters bounded).  A document is dropped
+    when a lower-id document in its cluster has cosine >= ``threshold``
+    (the paper keeps a random/centroid-farthest exemplar; the smallest
+    id is this engine's deterministic canonical choice, same rule as the
+    minhash/simhash families).  Returns kept ``(id_col, cid)``.
+
+    Plan shape: the k-means assignment (pinned once) feeds a cid-keyed
+    self-join — one shuffle each side on cid, pair fan-out bounded per
+    cluster — then a broadcast-able distinct-drop anti-join.  Cosine is
+    ``similarity.cosine`` (zip_with/aggregate left fold — the
+    oracle-certified grammar of the ANN family)."""
+    from .similarity import cosine
+
+    assigned = kmeans(
+        df, dim=dim, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations
+    ).localCheckpoint(eager=True)
+    j = assigned.join(
+        df.select(F.col(id_col), F.col(vec_col).alias("_v")), on=id_col
+    )
+    left = j.select(F.col(id_col).alias("_ida"), "cid", F.col("_v").alias("_va"))
+    right = j.select(F.col(id_col).alias("_idb"), "cid", F.col("_v").alias("_vb"))
+    dropped = (
+        left.join(right, on="cid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti")

@@ -99,6 +99,7 @@ _FRONT_R5 = [
     "so3_md5_sample",
     "ml_kmeans",
     "agg_incremental_quantiles",
+    "dd_semdedup",
 ]
 
 
