@@ -154,3 +154,24 @@ def test_semdedup_matches_reference(spark):
     }
     assert got == ref_keep
     assert 0 < len(got) < 80  # non-trivial fixture: some dropped, some kept
+
+
+def test_cluster_sample_caps_and_determinism(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.clustering import cluster_sample
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    m = 5
+    got = cluster_sample(emb, dim=64, per_cluster=m, k=4, iterations=1).collect()
+    per = {}
+    for r in got:
+        per[r.cid] = per.get(r.cid, 0) + 1
+    assert all(v <= m for v in per.values())
+    assert len(per) >= 2
+    # deterministic under repartitioning
+    again = cluster_sample(
+        emb.repartition(7), dim=64, per_cluster=m, k=4, iterations=1
+    ).collect()
+    assert sorted((r.vec_id, r.cid) for r in got) == sorted(
+        (r.vec_id, r.cid) for r in again
+    )

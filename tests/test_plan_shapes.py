@@ -638,8 +638,9 @@ def test_front_block_registration_order():
     assert names[: len(head)] == head
     assert names[0] == "pipeline_submission"
     assert len(set(names)) == len(names)
-    # r5 additions: e2e pipeline + 2 twins + kmeans/quantiles/semdedup
-    assert len(_FRONT_R5) == 6
+    # r5 additions: e2e pipeline, 2 twins, kmeans, quantiles, semdedup,
+    # cluster sampling
+    assert len(_FRONT_R5) == 7
     assert len(_FRONT_R4) == 44  # r4: 1 re-cert + 43 never-sampled
 
 

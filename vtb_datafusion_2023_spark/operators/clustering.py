@@ -166,3 +166,38 @@ def semdedup(
         .distinct()
     )
     return assigned.join(dropped, on=id_col, how="left_anti")
+
+
+def cluster_sample(
+    df: DataFrame,
+    dim: int,
+    per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    salt: str = "cs:",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: keep ``per_cluster`` documents
+    from each semantic (k-means) cluster — the topic-balancing step of a
+    curation pipeline (over-represented topics are downsampled to the
+    cap, rare topics survive whole).
+
+    The draw is a deterministic pseudo-random order: ``md5(salt || id)``
+    hex compared lexicographically (the engine's cross-engine hash
+    family — same digests, same ASCII collation in Spark and DuckDB),
+    tie-broken by id.  One window over the assignment — the same
+    single-shuffle group-limit shape as ``dp_cap_per_source``, and
+    Catalyst plans rank<=N windows as a partial group-limit before the
+    exchange, so no cluster's full membership ever converges on one
+    task.  Returns ``(id_col, cid)`` of the kept sample."""
+    assigned = kmeans(
+        df, dim=dim, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations
+    )
+    h = F.expr(f"md5({salt!r} || ({id_col} || ''))")
+    w = Window.partitionBy("cid").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .select(id_col, "cid")
+    )

@@ -100,6 +100,7 @@ _FRONT_R5 = [
     "ml_kmeans",
     "agg_incremental_quantiles",
     "dd_semdedup",
+    "dp_cluster_sample",
 ]
 
 
