@@ -64,6 +64,7 @@ HEADLINE = [
     "pipeline_submission",
     "ml_kmeans",
     "agg_incremental_quantiles",
+    "dd_semdedup",
 ]
 
 
