@@ -29,8 +29,9 @@ Determinism (the engine's cross-engine reproducibility contract):
 - empty clusters keep their previous centroid (coalesce), so k never
   silently shrinks.
 
-The suite oracle (suite/datapipe.py ``ml_kmeans``) replays the unrolled
-recursion in DuckDB bitwise, same as ``gr_pagerank``.
+The suite oracles (suite/ml.py ``ml_kmeans`` / ``dd_semdedup`` /
+``dp_cluster_sample``) replay the unrolled recursion in DuckDB bitwise,
+same as ``gr_pagerank``.
 """
 
 from __future__ import annotations
