@@ -175,3 +175,38 @@ def test_cluster_sample_caps_and_determinism(spark, sf_small):
     assert sorted((r.vec_id, r.cid) for r in got) == sorted(
         (r.vec_id, r.cid) for r in again
     )
+
+
+def test_kll_inclusive_rule_adversarial_groups(spark):
+    """The exact-regime contract 'estimate == sorted[ceil(q*n)]' holds
+    for adversarial group shapes: tiny n, duplicate-heavy values,
+    fractions landing exactly on integer ranks (q*n integral), and
+    q=0/q=1 — 200 random groups checked in ONE Spark job."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.rollup import (
+        partial_quantiles,
+        quantile_estimate,
+    )
+
+    rng = random.Random(1234)
+    rows, expect = [], {}
+    fracs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    for g in range(200):
+        n = rng.choice([1, 2, 3, 4, 5, 8, 10, 16, 40, 100])
+        # duplicate-heavy: values drawn from a tiny pool
+        vals = [float(rng.randrange(rng.choice([1, 2, 3, 7]))) for _ in range(n)]
+        rows += [(g, v) for v in vals]
+        sv = sorted(vals)
+        expect[g] = tuple(sv[max(1, math.ceil(q * n)) - 1] for q in fracs)
+
+    df = spark.createDataFrame(rows, "g int, v double")
+    out = quantile_estimate(partial_quantiles(df, ["g"], "v", k=4096), fracs).collect()
+    got = {
+        r.g: (r.kq_000, r.kq_100, r.kq_250, r.kq_500, r.kq_750, r.kq_900, r.kq_1000)
+        for r in out
+    }
+    assert got == expect
