@@ -9,6 +9,7 @@ collect, so the timing reflects the distributed plan.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -98,6 +99,13 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # localCheckpoint block-manager RDDs are only released when their
+        # Python DataFrames are garbage-collected (ContextCleaner); with
+        # 45 queries in one JVM the accumulation was degrading the
+        # checkpoint-heavy tail (dd_incremental_md5 2.9 -> 8.2 s by
+        # position 39).  Collect between queries so each runs against a
+        # clean block manager — real deployments run one query per job.
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
