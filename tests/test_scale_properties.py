@@ -331,8 +331,13 @@ def test_route_skew_decision_rule(spark):
 def test_clean_transactions_fused_equals_two_step(spark):
     """The fused clean_transactions == rare_category_rewrite(
     winsorize_to_median(df), stats_source=df) row for row — including on
-    null categories and null values, where the two count contracts
-    (cnt = non-null values, _cat_cnt = all rows) diverge."""
+    null categories and null values (where the two count contracts
+    diverge: cnt = non-null values, _cat_cnt = all rows), MIXED-SIGN
+    values whose median pair straddles zero (outside the Sterbenz region
+    the two percentile interpolations coincide in — the failure zone of
+    the draft that substituted group_percentiles' p_median for the
+    builtin), and a user whose TOP category holds only null values (the
+    group a median-from-percentiles join silently drops)."""
     import random
 
     from vtb_datafusion_2023_spark.operators.cleaning import (
@@ -345,8 +350,15 @@ def test_clean_transactions_fused_equals_two_step(spark):
     for i in range(2000):
         u = rng.randrange(20)
         cat = rng.choice([None, 1, 2, 3, 4, 5, 6, 7])
-        v = None if rng.random() < 0.05 else round(rng.gauss(100, 50), 2)
+        # mean 0: median pairs routinely straddle zero, where
+        # lo+(hi-lo)*0.5 != 0.5*lo+0.5*hi in the last ulp
+        v = None if rng.random() < 0.05 else rng.gauss(0.0, 50)
         rows.append((i, u, cat, v))
+    # user 97: top category (9, twelve all-NULL rows) + one rare row —
+    # the rare rewrite must still find cat 9 and emit its NULL median
+    base = len(rows)
+    rows += [(base + j, 97, 9, None) for j in range(12)]
+    rows.append((base + 12, 97, 3, 42.0))
     df = spark.createDataFrame(rows, "ord long, user_id long, cat int, value double")
 
     fused = clean_transactions(
@@ -362,6 +374,10 @@ def test_clean_transactions_fused_equals_two_step(spark):
     )
     a = fused.orderBy("ord").collect()
     b = two_step.orderBy("ord").collect()
-    assert len(a) == len(b) == 2000
+    assert len(a) == len(b) == 2013
+    # the all-null top category actually engaged: user 97's rare row
+    # rewrote to cat 9 with a NULL median
+    u97 = [r for r in a if r["user_id"] == 97 and r["ord"] == 2012]
+    assert u97 and u97[0]["cat"] == 9 and u97[0]["value"] is None
     for ra, rb in zip(a, b):
         assert ra == rb, (ra, rb)

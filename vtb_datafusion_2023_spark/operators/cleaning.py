@@ -45,6 +45,39 @@ def winsorize_to_median(
     return joined.select(*keep, rewritten)
 
 
+def _cat_counts_top(
+    src: DataFrame, user_col: str, cat_col: str, value_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared A9 statistics block: per-(user, cat) row counts with
+    the category's exact median riding the SAME aggregate (builtin
+    ``percentile`` — the weighted ``(1-f)*lo + f*hi`` interpolation the
+    DuckDB oracle's ``quantile_cont`` matches bitwise, and NULL for
+    all-null-value groups, which stay present because the count
+    aggregates every row), plus the per-user top category carrying its
+    own median.  One aggregation, one window — no median re-join.
+
+    Tie-break for "most frequent": smallest category among equal counts —
+    np.unique sorts ascending and argmax takes the first hit
+    (/root/reference/run.py:41-45, SURVEY §7.4.3) =>
+    ``orderBy(cnt desc, cat asc)``.
+
+    Returns ``(counts(user, cat, _cat_cnt), top(user, _top_cat,
+    _cat_median))``."""
+    counts = src.groupBy(user_col, cat_col).agg(
+        F.count(F.lit(1)).alias("_cat_cnt"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("_cat_median"),
+    )
+    top_w = Window.partitionBy(user_col).orderBy(
+        F.col("_cat_cnt").desc(), F.col(cat_col).asc()
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(top_w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(user_col), F.col(cat_col).alias("_top_cat"), "_cat_median")
+    )
+    return counts.select(user_col, cat_col, "_cat_cnt"), top
+
+
 def rare_category_rewrite(
     df: DataFrame,
     user_col: str,
@@ -55,12 +88,8 @@ def rare_category_rewrite(
 ) -> DataFrame:
     """A9: rows whose (user, cat) count <= ``min_count`` get cat <- the
     user's most frequent category and value <- that category's group
-    median (/root/reference/run.py:69-76).
-
-    Tie-break for "most frequent": smallest category among equal counts —
-    np.unique sorts ascending and argmax takes the first hit
-    (/root/reference/run.py:41-45, SURVEY §7.4.3) =>
-    ``orderBy(cnt desc, cat asc)``.
+    median (/root/reference/run.py:69-76); statistics via
+    :func:`_cat_counts_top`.
 
     ``stats_source``: DataFrame to compute counts/top-category/medians
     from (defaults to ``df``).  The reference captures per-code amount
@@ -68,27 +97,7 @@ def rare_category_rewrite(
     composed cleaner passes the original transactions here.
     """
     src = stats_source if stats_source is not None else df
-    counts = src.groupBy(user_col, cat_col).agg(F.count(F.lit(1)).alias("_cat_cnt"))
-    top_w = Window.partitionBy(user_col).orderBy(
-        F.col("_cat_cnt").desc(), F.col(cat_col).asc()
-    )
-    top = (
-        counts.withColumn("_rn", F.row_number().over(top_w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(user_col),
-            F.col(cat_col).alias("_top_cat"),
-        )
-    )
-    # median of the user's top category values (exact, constant fraction)
-    med = (
-        src.groupBy(user_col, cat_col)
-        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("_cat_median"))
-    )
-    top_med = top.join(
-        med,
-        (top[user_col] == med[user_col]) & (top["_top_cat"] == med[cat_col]),
-    ).select(top[user_col], "_top_cat", "_cat_median")
+    counts, top_med = _cat_counts_top(src, user_col, cat_col, value_col)
 
     enriched = (
         df.join(counts, on=[user_col, cat_col], how="left")
@@ -122,41 +131,28 @@ def clean_transactions(
     winsorize frequent categories, then rewrite rare ones.
 
     Row-identical to ``rare_category_rewrite(winsorize_to_median(df),
-    stats_source=df)`` (pinned by tests/test_scale_properties.py) but
+    stats_source=df)`` (pinned by tests/test_scale_properties.py,
+    including mixed-sign medians and all-null-value top categories) but
     FUSED: the winsorize condition fires only on groups with cnt >
     ``n_mcc`` and the rare rewrite only on cnt <= ``n_mcc`` — disjoint —
-    so both resolve in ONE projection off one enriched join, and the
-    rare path's category median is the ``group_percentiles`` interpolated
-    ``p_median`` (bitwise equal to builtin ``percentile(v, 0.5)``: the
-    median's interpolation fraction is exactly 0.0 or 0.5, and
-    ``lo + (hi-lo)*frac`` is the same IEEE op sequence both ways).  Saves
-    one full (user, cat) aggregation over ``df`` and an intermediate
-    full-width projection vs the two-step composition."""
+    so both resolve in ONE projection off one enriched join.  The rare
+    path's statistics are the SAME :func:`_cat_counts_top` block the
+    two-step path runs (builtin ``percentile`` median riding the counts
+    aggregate — an earlier draft substituted ``group_percentiles``'
+    ``lo + (hi-lo)*f`` interpolation, which diverges from the builtin's
+    ``(1-f)*lo + f*hi`` by 1 ulp whenever the middle pair leaves the
+    Sterbenz region, e.g. values straddling zero, and silently dropped
+    all-null-value groups).  Saves the intermediate full-width
+    projection and the separate median aggregation+join vs the
+    composition."""
     keys = [user_col, cat_col]
     stats = group_percentiles(df, keys, value_col, n_amt=n_amt)
     # rare-rewrite statistics come from the ORIGINAL df: the reference
     # copies per-code amount arrays before winsorization mutates them
-    # (run.py:49-50).  cat_cnt counts ALL rows (the a9 contract), while
+    # (run.py:49-50).  _cat_cnt counts ALL rows (the a9 contract), while
     # stats.cnt counts non-null values (the winsorize/percentile
     # contract) — they differ on groups holding null values.
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cat_cnt"))
-    top_w = Window.partitionBy(user_col).orderBy(
-        F.col("_cat_cnt").desc(), F.col(cat_col).asc()
-    )
-    top = (
-        counts.withColumn("_rn", F.row_number().over(top_w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(user_col), F.col(cat_col).alias("_top_cat"))
-    )
-    med_sel = stats.select(
-        F.col(user_col).alias("_mu"),
-        F.col(cat_col).alias("_mc"),
-        F.col("p_median").alias("_cat_median"),
-    )
-    top_med = top.join(
-        med_sel,
-        (top[user_col] == F.col("_mu")) & (top["_top_cat"] == F.col("_mc")),
-    ).select(top[user_col], "_top_cat", "_cat_median")
+    counts, top_med = _cat_counts_top(df, user_col, cat_col, value_col)
 
     enriched = (
         df.join(stats, on=keys, how="left")

@@ -70,9 +70,19 @@ def kmeans(
     iteration semantics pinned here).  Returns the assignment after
     ``iterations`` centroid updates: ``(id_col, cid int)``.
     """
+    # Every DuckDB oracle unrolls exactly ``dim`` distance terms, so a
+    # ragged/NULL vector must fail LOUDLY here rather than silently
+    # diverge cross-engine (a NULL distance would even order differently:
+    # Spark row_number puts NULLS FIRST ascending, DuckDB NULLS LAST).
+    guarded = (
+        f"case when size({vec_col}) = {dim} then {vec_col} "
+        f"else raise_error(concat('kmeans: expected dim {dim}, got vector of "
+        f"size ', cast(size({vec_col}) as string), ' at {id_col}=', "
+        f"cast({id_col} as string))) end"
+    )
     emb = df.select(
         F.col(id_col),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+        F.expr(f"transform({guarded}, x -> cast(x as double))").alias("_v"),
     )
     init = emb.orderBy(id_col).limit(k)
     cents = init.select(
@@ -142,7 +152,7 @@ def semdedup(
     k: int = 8,
     iterations: int = 2,
     threshold: float = 0.4,
-    salt: int = 8,
+    fanout: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     corpus scale by k-means sharding — pairwise cosine is computed only
@@ -167,13 +177,13 @@ def semdedup(
     - The pair work is O(sum |c|^2) of interpreted folds downstream of
       a BYTE-TINY shuffle (k keys), which AQE's size-based coalescing
       happily merges onto one core — it cannot see compute fan-out.
-      Salting the join ``(cid, pmod(hash(id_a), salt))`` with the right
-      side replicated ``salt`` ways, through an EXPLICIT ``repartition``
+      Salting the join ``(cid, pmod(hash(id_a), fanout))`` with the right
+      side replicated ``fanout`` ways, through an EXPLICIT ``repartition``
       (user repartitions are exempt from AQE coalescing), spreads every
-      cluster's pair evaluation ``salt`` ways.  Together: 9.3 -> ~4.5 s
+      cluster's pair evaluation ``fanout`` ways.  Together: 9.3 -> ~4.5 s
       at sf0.1.  This is also the hot-cluster mitigation promised in
       SCALE.md — a cluster larger than a partition budget splits across
-      ``salt`` tasks instead of pinning one."""
+      ``fanout`` tasks instead of pinning one."""
     from .similarity import dot, norm
 
     assigned = kmeans(
@@ -185,12 +195,12 @@ def semdedup(
     left = j.select(
         F.col(id_col).alias("_ida"), "cid",
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
-    ).withColumn("_s", F.pmod(F.xxhash64("_ida"), F.lit(salt)))
+    ).withColumn("_s", F.pmod(F.xxhash64("_ida"), F.lit(fanout)))
     right = j.select(
         F.col(id_col).alias("_idb"), "cid",
         F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
-    ).withColumn("_s", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
-    n_part = max(salt * 8, 32)
+    ).withColumn("_s", F.explode(F.array(*[F.lit(i) for i in range(fanout)])))
+    n_part = max(fanout * 8, 32)
     dropped = (
         left.repartition(n_part, "cid", "_s")
         .join(right.repartition(n_part, "cid", "_s"), on=["cid", "_s"])
