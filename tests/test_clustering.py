@@ -226,3 +226,19 @@ def test_kmeans_raises_on_dim_mismatch(spark):
     )
     with _pytest.raises(SparkRuntimeException, match="expected dim 8"):
         kmeans(df, dim=8, k=2, iterations=1).collect()
+
+
+def test_kmeans_raises_on_dim_mismatch(spark):
+    """A ragged or wrong-dim vector must fail loudly (the oracle unrolls
+    exactly dim terms — silent cross-engine divergence is the failure
+    mode being guarded)."""
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(0, [0.1] * 8), (1, [0.2] * 8), (2, [0.3] * 5)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(SparkRuntimeException, match="expected dim 8"):
+        kmeans(df, dim=8, k=2, iterations=1).collect()
