@@ -89,11 +89,24 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
-# Round-5 front block: the queries added this round (never driver-
-# certified) go first — the end-to-end submission pipeline (VERDICT r4
-# item 1) and the hash-certifiable twins that shrink the rows-only set
-# (item 4).  Everything after them re-verifies r4's front block.
+# Round-5 front block (fills the driver's ~50-query budget exactly):
+#
+# 1. The 7 queries added this round, never driver-certified — the
+#    end-to-end submission pipeline (VERDICT r4 item 1), the
+#    hash-certifiable twins that shrink the rows-only set (item 4),
+#    and the k-means/SemDeDup/KLL curation additions.
+# 2. 43 of the 48 queries whose ONLY driver row is from round 1 — four
+#    rounds of code drift since their last certification.  Ordered by
+#    regression risk: the robust-cleaning family first (this round's
+#    fused-cleaner rewrite changed their shared code path), then
+#    an_funnel (rewritten as the one-pass automaton in r4 but never
+#    re-certified), then the rest in r1 order.  Excluded to fit the
+#    budget: sk_approx_distinct / so3_bootstrap_sample (rows-only by
+#    design — a re-run adds no hash evidence) and the three trivial
+#    set ops (so1/so2/so4 — single-operator plans with no drift
+#    surface); they roll to r6.
 _FRONT_R5 = [
+    # -- new this round (never checked) --
     "pipeline_submission",
     "sk_kmv_distinct",
     "so3_md5_sample",
@@ -101,6 +114,23 @@ _FRONT_R5 = [
     "agg_incremental_quantiles",
     "dd_semdedup",
     "dp_cluster_sample",
+    # -- stale-green, changed code path this round or last --
+    "a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
+    "clean_transactions_composed", "an_funnel", "f4_positional_trim",
+    # -- stale-green (r1-only), re-certify --
+    "a1_pivot_count", "a2_pivot_count_dom", "a3_pivot_count_dow",
+    "a4_pivot_count_hour", "a5_pivot_sum", "a6_pivot_sum_debit_credit",
+    "a10_vertical_stats", "a11_horizontal_stats", "a12_a13_row_normalize",
+    "a15_ensemble_mean", "a16_roc_auc", "agg_cube_source_lang",
+    "agg_grouping_sets", "agg_incremental_merge", "agg_time_rollup",
+    "agg_topk_per_group", "an_retention", "clean_expectations",
+    "clean_mad_outliers", "f1_f2_filters", "f3_frequency_filter",
+    "m1_m2_null_handling", "p1_time_parts", "p2_seconds_since_midnight",
+    "p3_hours_since_anchor", "p4_p10_debit_credit_ratio",
+    "p5_p9_onehot_conform", "p6_bucket_floor_div", "p7_bin_by_edges",
+    "p_array_battery", "p_json_extract", "p_melt_unpivot",
+    "p_temporal_battery", "q1_pricing_summary", "sk_heavy_hitters",
+    "tbl_histogram", "tbl_profile",
 ]
 
 
@@ -127,7 +157,7 @@ def _load_all() -> None:
     from . import submission_e2e  # noqa: F401
     from . import ml  # noqa: F401
 
-    head = _FRONT_R5 + _FRONT_R4 + _UNCHECKED_TAIL
+    head = _FRONT_R5 + [n for n in _FRONT_R4 if n not in _FRONT_R5] + _UNCHECKED_TAIL
     missing = [n for n in head if n not in REGISTRY]
     if missing:  # a rename would silently break the certification plan
         raise RuntimeError(f"priority list names unknown queries: {missing}")
