@@ -114,6 +114,7 @@ _FRONT_R5 = [
     "agg_incremental_quantiles",
     "dd_semdedup",
     "dp_cluster_sample",
+    "tbl_zorder_roundtrip",
     # -- stale-green, changed code path this round or last --
     "a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
     "clean_transactions_composed", "an_funnel", "f4_positional_trim",

@@ -1836,6 +1836,57 @@ def tbl_maintenance_roundtrip(spark, sf_dir):
 
 
 @register(
+    "tbl_zorder_roundtrip",
+    oracle=f"""
+select 'all' as slice, event_type, count(*) as n,
+       {sqlgen.dsum("value", "sum_value")}
+from events group by event_type
+union all
+select 'tile' as slice, event_type, count(*) as n,
+       {sqlgen.dsum("value", "sum_value")}
+from events where user_id <= 15 and value >= 300.0
+group by event_type
+""",
+    survey_ref="zorder-clustering",
+    doc="Z-order (Morton-curve) clustering certification: rewrite events "
+    "z-ordered on (user_id, value) — the Delta/Iceberg OPTIMIZE ZORDER "
+    "layout — re-read, and aggregate twice: the full table (any row "
+    "lost/duplicated by the quantile-rank bucketing, bit interleave, or "
+    "range shuffle breaks the hash) and a selective 2-D tile whose "
+    "predicate reaches the parquet scan, so a file wrongly skipped by "
+    "min/max stats under the clustered layout also breaks the hash.  "
+    "The oracle computes both slices from the ORIGINAL table.  The "
+    "both-dimension pruning evidence (z-order skips on the SECOND "
+    "column where a linear sort cannot) is pinned by "
+    "tests/test_plan_shapes.py::test_zorder_parquet_prunes_on_both_columns.",
+)
+def tbl_zorder_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..sources.writers import write_zorder_parquet
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    path = os.path.join(tempfile.mkdtemp(prefix="zorder-rt-"), "events_z")
+    write_zorder_parquet(ev, path, ["user_id", "value"], n_files=8, bits=4)
+    back = spark.read.parquet(path)
+    full = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(sqlgen.dsum("value", "sum_value")),
+    ).select(F.lit("all").alias("slice"), "event_type", "n", "sum_value")
+    tile = (
+        back.filter((F.col("user_id") <= 15) & (F.col("value") >= 300.0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(sqlgen.dsum("value", "sum_value")),
+        )
+        .select(F.lit("tile").alias("slice"), "event_type", "n", "sum_value")
+    )
+    return full.unionByName(tile)
+
+
+@register(
     "tbl_merge_time_travel",
     oracle="""
 select 'merged' as snapshot, c_custkey, c_acctbal + 100 as c_acctbal
