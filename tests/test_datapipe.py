@@ -1476,3 +1476,95 @@ def test_incremental_minhash_duplicate_batch_rows_collapse(spark, sf_small):
         ).collect()
     )
     assert doubled5 == clean5 and len(clean5) > 0
+
+
+def test_bigram_pmi_matches_python_reference(spark):
+    from collections import Counter
+    import math
+
+    from vtb_datafusion_2023_spark.operators.text import bigram_pmi
+
+    rows = [
+        (1, "new york new york city"),
+        (2, "new york is a city"),
+        (3, "a city in new york"),
+        (4, "york new haven city"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.w1, r.w2): (r.c_ab, r.pmi)
+        for r in bigram_pmi(df, min_count=2).collect()
+    }
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, text in rows:
+        tk = text.split(" ")
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+    n_u, n_b = sum(uni.values()), sum(big.values())
+    want = {}
+    for (a, b), c in big.items():
+        if c >= 2:
+            want[(a, b)] = (
+                c,
+                ((((math.log(c) - math.log(n_b)) - math.log(uni[a]))
+                  - math.log(uni[b])) + math.log(n_u)) + math.log(n_u),
+            )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == want[k][1], k  # bitwise: same libm, same op order
+    # "new york" collocates: observed co-occurrence beats independence
+    assert want[("new", "york")][1] > 0
+
+
+def test_bigram_pmi_exact_and_inplan_paths_agree(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.text import bigram_pmi
+
+    d = load_table(spark, sf_small, "documents")
+    exact = {
+        (r.w1, r.w2): r.pmi for r in bigram_pmi(d, min_count=3, exact_log=True).collect()
+    }
+    inplan = {
+        (r.w1, r.w2): r.pmi for r in bigram_pmi(d, min_count=3, exact_log=False).collect()
+    }
+    assert set(exact) == set(inplan) and exact
+    for k in exact:
+        assert abs(exact[k] - inplan[k]) < 1e-12
+
+
+def test_negative_sample_contract(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.filtering import negative_sample
+
+    d = load_table(spark, sf_small, "documents")
+    ids = {r.doc_id for r in d.select("doc_id").collect()}
+    src = {r.doc_id: r.source for r in d.select("doc_id", "source").collect()}
+    out = negative_sample(d, id_col="doc_id", k=4, salt="neg", exclude_col="source")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.j < 4
+        assert r.neg_id != r.anchor_id          # no self-pairs
+        assert r.neg_id in ids                  # negatives exist in the corpus
+        assert r.neg_source == src[r.neg_id]
+        assert r.neg_source != src[r.anchor_id]  # same-source rejected
+    # at most k negatives per anchor, (anchor, j) unique
+    keys = [(r.anchor_id, r.j) for r in rows]
+    assert len(keys) == len(set(keys))
+    # deterministic rerun; partitioning-independent; salt = independent draw
+    a = {(r.anchor_id, r.j, r.neg_id) for r in rows}
+    b = {
+        (r.anchor_id, r.j, r.neg_id)
+        for r in negative_sample(
+            d.repartition(7), id_col="doc_id", k=4, salt="neg", exclude_col="source"
+        ).collect()
+    }
+    assert a == b
+    c = {
+        (r.anchor_id, r.j, r.neg_id)
+        for r in negative_sample(
+            d, id_col="doc_id", k=4, salt="neg2", exclude_col="source"
+        ).collect()
+    }
+    assert c != a

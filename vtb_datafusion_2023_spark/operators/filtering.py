@@ -199,6 +199,62 @@ def weighted_sample(
     return df.filter(u.cast("double") < F.floor(p * F.lit(4294967296.0)))
 
 
+def negative_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    salt: str = "neg",
+    exclude_col: str | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every anchor document, draw ``k`` pseudo-random negatives from
+    the corpus by hashing — no RNG state, so the pairing is reproducible
+    on any engine, partition layout, or cluster size, and a different
+    ``salt`` is an independent epoch of negatives.
+
+    Draw ``j`` for an anchor is ``md5(id || ':salt:' || j)`` decoded to
+    an int and taken modulo ``max(id) + 1``; the candidate id joins back
+    to the corpus (ids absent from a sparse domain drop out — the same
+    rows drop on every engine).  Self-pairs are removed, and with
+    ``exclude_col`` set, so are negatives sharing the anchor's value
+    (e.g. same ``source`` — likely near-duplicates, too easy or leaky as
+    negatives).  NOT rejection-resampled: a dropped draw shrinks that
+    anchor's negative set rather than re-rolling, keeping every row's
+    fate a pure function of (id, salt, j).
+
+    Plan shape: the anchor side explodes k narrow rows per doc, then ONE
+    shuffle hash join on the corpus id — broadcast-free, skew-free
+    (hash-uniform candidate ids), linear in ``k x |docs|``.
+
+    Returns ``(anchor_id, j, neg_id)`` + the negative's ``exclude_col``
+    value when requested.
+    """
+    from .. import sqlgen
+
+    domain = int(docs.agg(F.max(F.col(id_col))).collect()[0][0]) + 1
+    a_cols = [F.col(id_col).alias("anchor_id")]
+    if exclude_col is not None:
+        a_cols.append(F.col(exclude_col).alias("_a_ex"))
+    anch = docs.select(*a_cols, F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"))
+    h = sqlgen.hex_to_int(
+        f"md5(concat(cast(anchor_id as string), ':{salt}:', cast(j as string)))"
+    )
+    cand = anch.select(
+        "anchor_id",
+        F.col("j").cast("bigint").alias("j"),
+        *(["_a_ex"] if exclude_col is not None else []),
+        (F.expr(h) % F.lit(domain)).alias("neg_id"),
+    ).filter(F.col("neg_id") != F.col("anchor_id"))
+    neg_cols = [F.col(id_col).alias("neg_id")]
+    if exclude_col is not None:
+        neg_cols.append(F.col(exclude_col).alias(f"neg_{exclude_col}"))
+    out = cand.join(docs.select(*neg_cols), "neg_id")
+    if exclude_col is not None:
+        out = out.filter(F.col(f"neg_{exclude_col}") != F.col("_a_ex")).drop("_a_ex")
+        return out.select("anchor_id", "j", "neg_id", f"neg_{exclude_col}")
+    return out.select("anchor_id", "j", "neg_id")
+
+
 def shard_assign(
     df: DataFrame,
     id_col: str = "doc_id",

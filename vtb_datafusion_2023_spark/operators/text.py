@@ -959,3 +959,85 @@ def stupid_backoff_logprob(
             / F.count(F.lit(1))
         ).alias("sb_surprisal"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    exact_log: bool | None = None,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the classic
+    collocation detector (Church & Hanks 1990), used on training corpora
+    to find multi-word expressions worth protecting from tokenizer
+    splits and to profile boilerplate.
+
+    ``pmi(a, b) = ln p(a,b) - ln p(a) - ln p(b)`` decomposes into lns of
+    INTEGER counts: ``ln c_ab - ln N_big - ln c_a - ln c_b + 2 ln N_uni``
+    — so the engine's exact-log contract applies unchanged: under
+    :data:`EXACT_LN_GUARD` distinct count values, a driver-side libm
+    ``ln`` lookup (bitwise equal to DuckDB's glibc ``ln``); beyond it,
+    in-plan JVM ``F.log`` (the 100 TB path, no driver materialization).
+    The PMI sum is left-associated single IEEE ops, so both engines and
+    both paths agree bitwise given equal ln inputs.
+
+    Plan shape: one scan -> in-array ``zip_with`` bigram pairing (no
+    per-token self-join) -> two hash aggregates (bigram + unigram
+    counts) -> two count-table joins for c_a/c_b.  Scalar totals are
+    single-row collects.  Returns ``(w1, w2, c_ab, pmi)`` for bigram
+    types with ``c_ab >= min_count``.
+    """
+    import math
+
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(toks.alias("_tk"))
+    tok = d.select(F.explode("_tk").alias("w"))
+    # unigram counts feed the totals aggregate and both c_a/c_b joins —
+    # pin once instead of replaying the explode per consumer
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+    pairs = d.filter(F.size("_tk") >= 2).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(_tk, 1, size(_tk) - 1), slice(_tk, 2, size(_tk) - 1),"
+                " (a, b) -> struct(a as w1, b as w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    n_uni = int(uni.agg(F.sum("c")).collect()[0][0])
+    n_big = pairs.count()
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+
+    cnt_vals = None
+    if exact_log is None or exact_log:
+        guard = EXACT_LN_GUARD if exact_log is None else _NO_GUARD
+        both = big.select(F.col("c_ab").alias("v")).unionByName(
+            uni.select(F.col("c").alias("v"))
+        )
+        cnt_vals = _distinct_ints_under_guard(both, "v", guard)
+    joined = (
+        big.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "_ca"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "_cb"), "w2")
+    )
+    if cnt_vals is not None:
+        ln_map = df.sparkSession.createDataFrame(
+            [(v, math.log(v)) for v in cnt_vals], "v bigint, lnv double"
+        )
+        joined = (
+            joined.join(
+                F.broadcast(ln_map.withColumnsRenamed({"v": "c_ab", "lnv": "_ln_ab"})), "c_ab"
+            )
+            .join(F.broadcast(ln_map.withColumnsRenamed({"v": "_ca", "lnv": "_ln_a"})), "_ca")
+            .join(F.broadcast(ln_map.withColumnsRenamed({"v": "_cb", "lnv": "_ln_b"})), "_cb")
+        )
+        ln_ab, ln_a, ln_b = F.col("_ln_ab"), F.col("_ln_a"), F.col("_ln_b")
+    else:
+        ln_ab = F.log(F.col("c_ab").cast("double"))
+        ln_a = F.log(F.col("_ca").cast("double"))
+        ln_b = F.log(F.col("_cb").cast("double"))
+    ln_nu, ln_nb = math.log(n_uni), math.log(n_big)
+    pmi = ((((ln_ab - F.lit(ln_nb)) - ln_a) - ln_b) + F.lit(ln_nu)) + F.lit(ln_nu)
+    return joined.select("w1", "w2", "c_ab", pmi.alias("pmi"))

@@ -115,6 +115,8 @@ _FRONT_R5 = [
     "dd_semdedup",
     "dp_cluster_sample",
     "tbl_zorder_roundtrip",
+    "text_pmi",
+    "dp_negative_sample",
     # -- stale-green, changed code path this round or last --
     "a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
     "clean_transactions_composed", "an_funnel", "f4_positional_trim",

@@ -1184,6 +1184,44 @@ def text_surprisal(spark, sf_dir):
 
 
 @register(
+    "text_pmi",
+    oracle="""
+with d as (select doc_id, string_split(text, ' ') as tk from documents),
+tok as (select unnest(tk) as w from d),
+uni as (select w, count(*) as c from tok group by w),
+nu as (select count(*) as t from tok),
+bigall as (
+  select unnest(list_transform(range(1, len(tk)),
+                               i -> {'w1': tk[i], 'w2': tk[i+1]}),
+                recursive := true)
+  from d where len(tk) >= 2
+),
+nb as (select count(*) as t from bigall),
+big as (select w1, w2, count(*) as c_ab from bigall
+        group by w1, w2 having count(*) >= 5)
+select big.w1, big.w2, big.c_ab,
+  ((((ln(cast(big.c_ab as double)) - ln(cast((select t from nb) as double)))
+     - ln(cast(u1.c as double))) - ln(cast(u2.c as double)))
+   + ln(cast((select t from nu) as double)))
+   + ln(cast((select t from nu) as double)) as pmi
+from big
+join uni u1 on big.w1 = u1.w
+join uni u2 on big.w2 = u2.w
+""",
+    survey_ref="text-pmi",
+    doc="adjacent-bigram PMI collocation profile (Church & Hanks): "
+    "ln-decomposed into integer-count lns under the engine's exact-log "
+    "contract (libm lookup under EXACT_LN_GUARD, in-plan F.log at "
+    "scale), left-associated IEEE sum => bitwise cross-engine.  "
+    "In-array zip_with pairing — no per-token self-join.",
+)
+def text_pmi(spark, sf_dir):
+    from ..operators.text import bigram_pmi
+
+    return bigram_pmi(T(spark, sf_dir, "documents"), min_count=5)
+
+
+@register(
     "text_top_ngrams",
     oracle="""
 with toks as (select doc_id, string_split(text, ' ') as tk from documents),
@@ -1591,6 +1629,43 @@ def dd_segment_dedup(spark, sf_dir):
 
     return segment_dedup(
         T(spark, sf_dir, "documents"), segment_tokens=3, max_count=1
+    )
+
+
+_NEG_H = sqlgen.hex_to_int(
+    "md5(cast(anchor_id as varchar) || ':neg:' || cast(j as varchar))"
+)
+
+
+@register(
+    "dp_negative_sample",
+    oracle=f"""
+with dom as (select max(doc_id) + 1 as n from documents),
+anch as (select doc_id as anchor_id, source as a_src,
+                unnest([0, 1, 2, 3]) as j
+         from documents),
+cand as (
+  select anchor_id, cast(j as bigint) as j, a_src,
+         ({_NEG_H} % (select n from dom)) as neg_id
+  from anch
+)
+select c.anchor_id, c.j, c.neg_id, d.source as neg_source
+from cand c join documents d on c.neg_id = d.doc_id
+where c.neg_id != c.anchor_id and d.source != c.a_src
+""",
+    survey_ref="dp-negative-sample",
+    doc="deterministic negative sampling for contrastive pairs: k=4 "
+    "md5-drawn negatives per anchor doc, modulo the id domain, self and "
+    "same-source candidates rejected (near-dup/leaky negatives).  Pure "
+    "hash draw — reproducible on any engine/layout, salt = epoch.  One "
+    "narrow k-explode + one shuffle hash join on the corpus id.",
+)
+def dp_negative_sample(spark, sf_dir):
+    from ..operators.filtering import negative_sample
+
+    return negative_sample(
+        T(spark, sf_dir, "documents"), id_col="doc_id", k=4, salt="neg",
+        exclude_col="source",
     )
 
 
