@@ -85,16 +85,20 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
-    # two runs per query, report the min: the first run pays one-time
+    # three runs per query, report the min: the first run pays one-time
     # whole-stage-codegen compilation (~2-4s of JIT per distinct plan),
-    # which on a real cluster amortizes across executors/queries.
+    # which on a real cluster amortizes across executors/queries, and
+    # this sandbox's hypervisor exhibits multi-second CPU-steal bursts
+    # (measured round 5: 5-rep arrays like [0.98, 0.98, 1.33, 1.96,
+    # 22.18] on an unchanged query — BASELINE.md) that can contaminate
+    # two adjacent runs; a third sample makes min() survive one burst.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # stderr marker so any Spark ERROR lines in the log are
         # attributable to a query (stdout stays one JSON line)
         print(f"bench: {name} @ {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
