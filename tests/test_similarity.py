@@ -321,3 +321,48 @@ def test_ivf_indexed_search_matches_in_memory_and_prunes_files(spark, sf_small, 
 
     probed = read_versioned_pruned(spark, idx + "/cells", keys=[0])
     assert len(set(probed.inputFiles())) < total_files
+
+
+def test_embedding_gram_matches_numpy_and_partitioning_invariant(spark, sf_small):
+    import numpy as np
+
+    from vtb_datafusion_2023_spark.operators.similarity import embedding_gram
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = embedding_gram(emb).collect()
+    pdf = emb.select("embedding").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n, d = x.shape
+    assert len(rows) == d * (d + 1) // 2
+    ref = x.T @ x
+    for r in rows:
+        assert r["n"] == n
+        # fsum quantizes each product at 1e-6: n rows of <= 5e-7 each
+        assert abs(r["g"] - ref[r["i"], r["j"]]) <= n * 5e-7 + 1e-9, (r["i"], r["j"])
+    again = {(r["i"], r["j"]): r["g"] for r in embedding_gram(emb.repartition(13)).collect()}
+    assert again == {(r["i"], r["j"]): r["g"] for r in rows}  # bitwise: int64 partials
+
+
+def test_whitening_projection_decorrelates_and_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        apply_projection,
+        embedding_gram,
+        whitening_matrix,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n, d = x.shape
+    w = whitening_matrix(embedding_gram(emb).collect(), d=d, n=n)
+    got = {r["vec_id"]: np.array(r["projected"]) for r in
+           apply_projection(emb, w).collect()}
+    want = x @ w.T
+    for vid, row in zip(pdf["vec_id"], want):
+        assert np.allclose(got[vid], row, rtol=0, atol=1e-12)
+    # whitened second moment ~ identity (eps-regularized)
+    y = np.stack([got[v] for v in pdf["vec_id"]])
+    m = (y.T @ y) / n
+    assert np.allclose(m, np.eye(d), atol=1e-2)

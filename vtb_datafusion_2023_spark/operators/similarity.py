@@ -1020,3 +1020,91 @@ def ivf_search_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
     )
+
+
+def embedding_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangular Gram matrix of an embedding column — the one-pass
+    second-moment aggregation behind PCA/whitening of a corpus's
+    embedding space (e.g. the decorrelation step ahead of semantic dedup
+    or IVF training).
+
+    Each row contributes its d(d+1)/2 upper-triangle component products
+    via an in-array double ``transform`` (no per-component self-join),
+    exploded into ONE hash aggregate keyed by (i, j): map-side partial
+    aggregation means the shuffle carries at most d(d+1)/2 rows per
+    task regardless of corpus size — the correct 100 TB shape for a
+    dense second-moment sum.  Accumulation uses the engine's fixed-point
+    ``sqlgen.fsum`` mode (micro-unit int64 partials): partial-aggregable,
+    partitioning-independent, bitwise cross-engine; per-product
+    quantization at 1e-6 keeps the RELATIVE error of an n-row moment
+    at ~5e-7/E[x_i x_j], far below what eigendecomposition-based
+    whitening is sensitive to.
+
+    Returns ``(i, j, g, n)`` for ``0 <= i <= j < d`` — g the quantized
+    product sum, n the contributing vector count (NULL embeddings drop).
+    """
+    from .. import sqlgen
+
+    tri = F.expr(
+        f"""flatten(transform({vec_col}, (x, i) ->
+              transform(slice({vec_col}, i + 1, size({vec_col}) - i), (y, k) ->
+                struct(i as i, i + k as j,
+                       cast(x as double) * cast(y as double) as p))))"""
+    )
+    prods = df.filter(F.col(vec_col).isNotNull()).select(F.explode(tri).alias("t")).select(
+        F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.p").alias("p")
+    )
+    return (
+        prods.groupBy("i", "j")
+        .agg(F.expr(sqlgen.fsum("p", "g")), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def whitening_matrix(gram_rows, d: int, n: int, eps: float = 1e-6):
+    """ZCA whitening matrix from ``embedding_gram`` output (driver-side
+    numpy on the d x d moment — d^2 scalars, never the corpus): W =
+    U diag(1/sqrt(s + eps)) U^T of the (uncentered) second-moment matrix
+    G/n.  Deterministic for a given gram (LAPACK ``eigh`` on an exactly
+    reproducible matrix); the corpus-scale work stays in the one-pass
+    aggregate."""
+    import numpy as np
+
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["g"]
+        g[r["j"], r["i"]] = r["g"]
+    s, u = np.linalg.eigh(g / float(n))
+    return (u * (1.0 / np.sqrt(np.maximum(s, 0.0) + eps))) @ u.T
+
+
+def apply_projection(
+    df: DataFrame,
+    w,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project every embedding through a dense d x d matrix (whitening,
+    PCA rotation) with an Arrow-batched matmul: one numpy GEMM per
+    batch, no shuffle, no per-component codegen (a d^2-term column
+    expression tree is exactly the k-means codegen cliff this engine
+    already retired).  ``w`` is broadcast once per executor via the
+    closure."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    w64 = np.asarray(w, dtype=np.float64)
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [StructField(id_col, id_field.dataType), StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def _proj(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = mat @ w64.T
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(out)})
+
+    return df.select(id_col, vec_col).mapInPandas(_proj, schema=out_schema)

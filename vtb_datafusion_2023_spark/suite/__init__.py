@@ -117,6 +117,7 @@ _FRONT_R5 = [
     "tbl_zorder_roundtrip",
     "text_pmi",
     "dp_negative_sample",
+    "emb_gram_matrix",
     # -- stale-green, changed code path this round or last --
     "a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
     "clean_transactions_composed", "an_funnel", "f4_positional_trim",

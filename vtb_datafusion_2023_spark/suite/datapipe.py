@@ -1287,6 +1287,38 @@ def emb_l2_normalize(spark, sf_dir):
 
 
 @register(
+    "emb_gram_matrix",
+    oracle=f"""
+with x as (
+  select vec_id,
+         cast(generate_subscripts(embedding, 1) - 1 as int) as i,
+         unnest(embedding) as v
+  from embeddings where embedding is not null
+),
+p as (
+  select a.i as i, b.i as j,
+         cast(a.v as double) * cast(b.v as double) as p
+  from x a join x b on a.vec_id = b.vec_id and b.i >= a.i
+)
+select i, j, {sqlgen.fsum("p", "g")}, count(*) as n
+from p group by i, j
+""",
+    survey_ref="emb-gram",
+    doc="one-pass upper-triangular Gram (second-moment) matrix of the "
+    "embedding corpus — the PCA/whitening aggregation: in-array outer "
+    "products (no component self-join on the Spark side), one hash "
+    "aggregate with map-side combine (shuffle <= d(d+1)/2 rows/task at "
+    "any corpus size), fixed-point fsum accumulation => bitwise "
+    "cross-engine.  The driver-side eigh + Arrow-batched projection "
+    "(whitening_matrix/apply_projection) are numpy-parity pytest-pinned.",
+)
+def emb_gram_matrix(spark, sf_dir):
+    from ..operators.similarity import embedding_gram
+
+    return embedding_gram(T(spark, sf_dir, "embeddings"))
+
+
+@register(
     "emb_quantize_int8",
     oracle="""
 with m as (
