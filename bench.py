@@ -66,6 +66,11 @@ HEADLINE = [
     "ml_kmeans",
     "agg_incremental_quantiles",
     "dd_semdedup",
+    # round-5 session-2 additions: corpus collocation profile, the
+    # whitening second-moment aggregate, contrastive negative pairing
+    "text_pmi",
+    "emb_gram_matrix",
+    "dp_negative_sample",
 ]
 
 
