@@ -1004,7 +1004,11 @@ def bigram_pmi(
         ).alias("p")
     ).select("p.w1", "p.w2")
     n_uni = int(uni.agg(F.sum("c")).collect()[0][0])
-    n_big = pairs.count()
+    # total bigrams = sum(max(len-1, 0)): a narrow size projection, not a
+    # second full zip_with/explode pass over the corpus
+    n_big = int(
+        d.agg(F.sum(F.greatest(F.size("_tk") - 1, F.lit(0)))).collect()[0][0]
+    )
     big = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
