@@ -1568,3 +1568,40 @@ def test_negative_sample_contract(spark, sf_small):
         ).collect()
     }
     assert c != a
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from vtb_datafusion_2023_spark.operators.text import canonicalize_url
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://WWW.Ex.COM:80/a/b/?utm_source=x&z=1&a=2#f", "http://ex.com/a/b?a=2&z=1"),
+        ("https://Ex.com:443/", "https://ex.com/"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/path///", "https://ex.com/path"),
+        ("https://ex.com/?utm_source=1&utm_medium=2&fbclid=3&gclid=4", "https://ex.com/"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),  # non-default port kept
+        ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
+        ("https://www.ex.com/a?b=2&a=1", "https://ex.com/a?a=1&b=2"),
+        ("https://ex.com/a#only-fragment", "https://ex.com/a"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_groups_and_keeps_min_id(spark):
+    from vtb_datafusion_2023_spark.operators.text import url_dedup
+
+    rows = [
+        (1, "https://ex.com/a?x=1&utm_source=t"),
+        (2, "HTTPS://WWW.EX.COM:443/a/?x=1"),
+        (3, "https://ex.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.url_canon: (r.doc_id, r.n_dupes) for r in url_dedup(df, "url", "doc_id").collect()}
+    assert out == {
+        "https://ex.com/a?x=1": (1, 2),
+        "https://ex.com/b": (3, 1),
+    }

@@ -1045,3 +1045,102 @@ def bigram_pmi(
     ln_nu, ln_nb = math.log(n_uni), math.log(n_big)
     pmi = ((((ln_ab - F.lit(ln_nb)) - ln_a) - ln_b) + F.lit(ln_nu)) + F.lit(ln_nu)
     return joined.select("w1", "w2", "c_ab", pmi.alias("pmi"))
+
+
+def hash_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    salt: str = "qual",
+    bias: float = 0.0,
+) -> DataFrame:
+    """FastText-style hashed linear text classifier scoring — the shape of
+    every modern pretraining quality filter (CCNet/DCLM/FineWeb-class):
+    each token hashes into a weight, the doc's score is the sum plus a
+    bias, and the label is the margin's sign.  Here the weight table is
+    the DETERMINISTIC md5 surrogate the engine uses wherever a learned
+    artifact would plug in (cf. the submission pipeline's stand-in
+    scorer): w(t) = (int(md5(t || ':salt')[:2], 16) - 128) / 1024 — an
+    exact k/1024 rational, so arithmetic is engine-stable.  Swapping in
+    real trained weights = replacing the hash expression with a
+    broadcast map join, same plan shape.
+
+    Entirely in-array and shuffle-free: one left-fold (``F.aggregate``)
+    per document, no explode, no join, no Python — the per-doc cost is
+    O(tokens) inside whole-stage codegen, and the margin is
+    partitioning-invariant because the fold order is the token order.
+
+    Returns ``(id cols..., n_tokens, margin, keep)``.
+    """
+    toks = tokens(text_col)
+    w = (
+        "cast(cast(instr('0123456789abcdef', substr(md5(concat(t, ':%s')), 1, 1)) - 1 "
+        "as bigint) * 16 + cast(instr('0123456789abcdef', substr(md5(concat(t, ':%s')), 2, 1)) - 1 "
+        "as bigint) - 128 as double) / cast(1024 as double)" % (salt, salt)
+    )
+    margin = F.expr(
+        f"aggregate(transform(split({text_col}, ' '), t -> {w}), "
+        f"cast({bias!r} as double), (acc, x) -> acc + x)"
+    )
+    return df.withColumn("n_tokens", F.size(toks).cast("bigint")).withColumn(
+        "margin", margin
+    ).withColumn("keep", F.col("margin") > F.lit(0.0))
+
+
+def canonicalize_url(url) -> Column:
+    """Canonical form of a URL for web-corpus dedup (the RefinedWeb/CC
+    pipeline normalization): lowercase scheme and host, strip a leading
+    ``www.``, strip the scheme's default port, drop the fragment, drop
+    tracking parameters (``utm_*``/``fbclid``/``gclid``), sort the
+    surviving query parameters, and collapse trailing path slashes.
+    Pure codegen string/array expressions — a narrow map, no shuffle —
+    and every step is dialect-shared with the SQL oracle (RE2-safe
+    patterns, binary-collation sorts)."""
+    u = F.col(url) if isinstance(url, str) else url
+    u1 = F.substring_index(u, "#", 1)
+    scheme = F.lower(F.regexp_extract(u1, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u1, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.when(
+        hostport.startswith("www."), hostport.substr(F.lit(5), F.length(hostport))
+    ).otherwise(hostport)
+    host = (
+        F.when((scheme == "https") & host.endswith(":443"),
+               F.regexp_replace(host, r":443$", ""))
+        .when((scheme == "http") & host.endswith(":80"),
+              F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
+    pathq = F.regexp_replace(u1, r"^[^:/?#]+://[^/?#]*", "")
+    path = F.substring_index(pathq, "?", 1)
+    cpath = F.regexp_replace(path, r"/+$", "")
+    cpath = F.when(cpath == "", F.lit("/")).otherwise(cpath)
+    query = F.when(
+        pathq.contains("?"),
+        pathq.substr(F.instr(pathq, "?") + F.lit(1), F.length(pathq)),
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid="),
+    )
+    cq = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, cpath,
+        F.when(cq != "", F.concat(F.lit("?"), cq)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Canonical-URL dedup: group the corpus by :func:`canonicalize_url`,
+    keep the smallest id per canonical form.  ONE hash aggregate (the
+    canonicalization is map-side); returns
+    ``(url_canon, id kept, n_dupes)``."""
+    return (
+        df.withColumn("url_canon", canonicalize_url(url_col))
+        .groupBy("url_canon")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )

@@ -118,6 +118,8 @@ _FRONT_R5 = [
     "text_pmi",
     "dp_negative_sample",
     "emb_gram_matrix",
+    "text_hash_classifier",
+    "dp_url_dedup",
     # -- stale-green, changed code path this round or last --
     "a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
     "clean_transactions_composed", "an_funnel", "f4_positional_trim",

@@ -1221,6 +1221,44 @@ def text_pmi(spark, sf_dir):
     return bigram_pmi(T(spark, sf_dir, "documents"), min_count=5)
 
 
+_HCW = (
+    "cast(cast(instr('0123456789abcdef', substr(md5(t || ':qual'), 1, 1)) - 1 "
+    "as bigint) * 16 + cast(instr('0123456789abcdef', substr(md5(t || ':qual'), 2, 1)) - 1 "
+    "as bigint) - 128 as double) / cast(1024 as double)"
+)
+
+
+@register(
+    "text_hash_classifier",
+    oracle=f"""
+select doc_id,
+       cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+       list_reduce(
+         list_prepend(cast(0.0 as double),
+           list_transform(string_split(text, ' '), t -> {_HCW})),
+         (acc, x) -> acc + x) as margin,
+       list_reduce(
+         list_prepend(cast(0.0 as double),
+           list_transform(string_split(text, ' '), t -> {_HCW})),
+         (acc, x) -> acc + x) > 0.0 as keep
+from documents
+""",
+    survey_ref="text-hash-classifier",
+    doc="fastText-style hashed linear quality classifier: every token "
+    "hashes to an exact k/1024 weight, the doc margin is one in-array "
+    "left fold (token order both engines) plus bias, keep = sign.  "
+    "Shuffle-free, explode-free, join-free — O(tokens) per doc inside "
+    "whole-stage codegen; real trained weights swap in as a broadcast "
+    "map join with the same plan shape.",
+)
+def text_hash_classifier(spark, sf_dir):
+    from ..operators.text import hash_classifier_score
+
+    return hash_classifier_score(T(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "margin", "keep"
+    )
+
+
 @register(
     "text_top_ngrams",
     oracle="""
@@ -1699,6 +1737,46 @@ def dp_negative_sample(spark, sf_dir):
         T(spark, sf_dir, "documents"), id_col="doc_id", k=4, salt="neg",
         exclude_col="source",
     )
+
+
+@register(
+    "dp_url_dedup",
+    oracle="""
+with c as (
+  select 'https://' || lower(source) || '.example.com/Path/'
+           || cast(doc_id % 25 as varchar)
+           || '?a=' || cast(doc_id % 5 as varchar)
+           || '&b=' || cast(doc_id % 2 as varchar) as url_canon,
+         doc_id
+  from documents
+)
+select url_canon, min(doc_id) as doc_id, count(*) as n_dupes
+from c group by url_canon
+""",
+    survey_ref="dp-url-dedup",
+    doc="canonical-URL web-corpus dedup: each doc gets a deliberately "
+    "messy synthetic URL (uppercase scheme/host, www., explicit :443, "
+    "trailing slashes, utm_ tracking param, unsorted params, fragment); "
+    "canonicalize_url must normalize ALL of it because the oracle "
+    "constructs the expected canonical form closed-form — any "
+    "mishandled step (case, port, www, param filter/order, slash, "
+    "fragment) breaks the hash.  Narrow map + ONE hash aggregate.",
+)
+def dp_url_dedup(spark, sf_dir):
+    from ..operators.text import url_dedup
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.COM:443/Path/"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit("//?utm_source=x&b="), (F.col("doc_id") % 2).cast("string"),
+            F.lit("&a="), (F.col("doc_id") % 5).cast("string"),
+            F.lit("#sec"),
+        ),
+    )
+    return url_dedup(d, "url", "doc_id")
 
 
 @register(
