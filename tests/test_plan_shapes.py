@@ -628,20 +628,37 @@ def test_funnel_scan_two_shuffles(spark, sf_small):
 
 def test_front_block_registration_order():
     """The driver certifies ~50 queries per round in registration order.
-    Pin the round-5 front block (this round's never-certified additions,
-    then the r4 block for re-verification) so a module reshuffle can't
-    silently push an uncertified query out of the gate's reach."""
+    Pin the round-5 front block (this round's never-certified additions
+    first, then the stale round-1-only greens for re-verification) so a
+    module reshuffle can't silently push an uncertified query out of the
+    gate's reach."""
     from vtb_datafusion_2023_spark.suite import _FRONT_R4, _FRONT_R5, _UNCHECKED_TAIL
 
     names = list(QS)
-    head = _FRONT_R5 + _FRONT_R4 + _UNCHECKED_TAIL
+    head = (
+        _FRONT_R5
+        + [n for n in _FRONT_R4 if n not in _FRONT_R5]
+        + _UNCHECKED_TAIL
+    )
     assert names[: len(head)] == head
     assert names[0] == "pipeline_submission"
     assert len(set(names)) == len(names)
-    # r5 additions: e2e pipeline, 2 twins, kmeans, quantiles, semdedup,
-    # cluster sampling
-    assert len(_FRONT_R5) == 7
-    assert len(_FRONT_R4) == 44  # r4: 1 re-cert + 43 never-sampled
+    # every never-driver-checked query (the 13 round-5 additions) must
+    # sit inside the driver's ~50-query budget
+    never_checked = [
+        "pipeline_submission", "sk_kmv_distinct", "so3_md5_sample",
+        "ml_kmeans", "agg_incremental_quantiles", "dd_semdedup",
+        "dp_cluster_sample", "tbl_zorder_roundtrip", "text_pmi",
+        "dp_negative_sample", "emb_gram_matrix", "text_hash_classifier",
+        "dp_url_dedup",
+    ]
+    assert names[: len(never_checked)] == never_checked
+    # ... followed by the changed-code-path cleaning family, well inside
+    # the budget
+    for q in ("a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
+              "clean_transactions_composed", "an_funnel"):
+        assert names.index(q) < 20
+    assert len(_FRONT_R5) == 13 + 43  # additions + stale r1-only greens
 
 
 def test_kll_partial_quantiles_merge_properties(spark):
