@@ -366,3 +366,21 @@ def test_whitening_projection_decorrelates_and_matches_numpy(spark, sf_small):
     y = np.stack([got[v] for v in pdf["vec_id"]])
     m = (y.T @ y) / n
     assert np.allclose(m, np.eye(d), atol=1e-2)
+
+
+def test_embedding_gram_arrow_path_bitwise_equals_expr(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import embedding_gram
+
+    emb = load_table(spark, sf_small, "embeddings")
+    expr = {(r["i"], r["j"]): (r["g"], r["n"]) for r in embedding_gram(emb).collect()}
+    arrow = {
+        (r["i"], r["j"]): (r["g"], r["n"])
+        for r in embedding_gram(emb, method="arrow").collect()
+    }
+    assert arrow == expr  # bitwise: same quantized int64 partials
+    # and invariant under partitioning
+    again = {
+        (r["i"], r["j"]): (r["g"], r["n"])
+        for r in embedding_gram(emb.repartition(9), method="arrow").collect()
+    }
+    assert again == expr

@@ -1022,7 +1022,9 @@ def ivf_search_indexed(
     )
 
 
-def embedding_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def embedding_gram(
+    df: DataFrame, vec_col: str = "embedding", method: str = "expr"
+) -> DataFrame:
     """Upper-triangular Gram matrix of an embedding column — the one-pass
     second-moment aggregation behind PCA/whitening of a corpus's
     embedding space (e.g. the decorrelation step ahead of semantic dedup
@@ -1042,9 +1044,20 @@ def embedding_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     Returns ``(i, j, g, n)`` for ``0 <= i <= j < d`` — g the quantized
     product sum, n the contributing vector count (NULL embeddings drop).
+
+    ``method``: "expr" (default — pure JVM, the oracle-certifiable path)
+    or "arrow" (per-batch numpy outer products quantized with the SAME
+    floor arithmetic into the SAME int64 hi/lo partials, then the same
+    tiny (i, j) merge — bitwise equal by construction and pinned by
+    pytest; the BLAS constant makes it the throughput path for large
+    corpora, exactly the ``pq_encode`` expr/arrow precedent).
     """
     from .. import sqlgen
 
+    if method == "arrow":
+        return _embedding_gram_arrow(df, vec_col)
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
     tri = F.expr(
         f"""flatten(transform({vec_col}, (x, i) ->
               transform(slice({vec_col}, i + 1, size({vec_col}) - i), (y, k) ->
@@ -1057,6 +1070,60 @@ def embedding_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return (
         prods.groupBy("i", "j")
         .agg(F.expr(sqlgen.fsum("p", "g")), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _embedding_gram_arrow(df: DataFrame, vec_col: str) -> DataFrame:
+    """numpy partial-state twin of the expr gram: per Arrow batch, the
+    upper-triangle products quantize through the IDENTICAL IEEE ops as
+    ``sqlgen.fsum`` (floor(p + 0.5) / floor((p - hi) * 1e6 + 0.5) — both
+    integer-valued doubles, summed exactly as int64), emitting at most
+    d(d+1)/2 partial rows per batch; the final (i, j) aggregate and
+    double recombination reuse the ``fsum_merge``/``fsum_final`` SQL
+    text, so merged == expr-path bitwise."""
+    import numpy as np
+    import pandas as pd
+
+    from .. import sqlgen
+
+    def _partials(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if not len(vecs):
+                continue
+            x = np.stack(vecs.to_numpy()).astype(np.float64)
+            b, d = x.shape
+            # row-index loop keeps peak memory at one (b, d) product
+            # block instead of the full (b, d, d) outer-product tensor
+            ii, jj, his, los = [], [], [], []
+            for i in range(d):
+                p = x[:, i : i + 1] * x[:, i:]  # (b, d - i)
+                hi = np.floor(p + 0.5)
+                lo = np.floor((p - hi) * 1e6 + 0.5)
+                ii.append(np.full(d - i, i, dtype="int32"))
+                jj.append(np.arange(i, d, dtype="int32"))
+                his.append(hi.sum(axis=0).astype("int64"))
+                los.append(lo.sum(axis=0).astype("int64"))
+            m = d * (d + 1) // 2
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(ii),
+                    "j": np.concatenate(jj),
+                    "g_hi": np.concatenate(his),
+                    "g_lo": np.concatenate(los),
+                    "c": np.full(m, b, dtype="int64"),
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(
+        _partials, schema="i int, j int, g_hi long, g_lo long, c long"
+    )
+    merged = part.groupBy("i", "j").agg(
+        *[F.expr(e) for e in sqlgen.fsum_merge("g")],
+        F.sum("c").alias("n"),
+    )
+    return merged.select(
+        "i", "j", F.expr(sqlgen.fsum_final("g", "g")), F.col("n")
     )
 
 
