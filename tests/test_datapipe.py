@@ -1584,6 +1584,11 @@ def test_canonicalize_url_edge_cases(spark):
         ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
         ("https://www.ex.com/a?b=2&a=1", "https://ex.com/a?a=1&b=2"),
         ("https://ex.com/a#only-fragment", "https://ex.com/a"),
+        # tracking params match case-insensitively on the NAME, and a
+        # bare fbclid (no '=') is stripped too
+        ("https://ex.com/a?UTM_SOURCE=x&z=1", "https://ex.com/a?z=1"),
+        ("https://ex.com/a?fbclid", "https://ex.com/a"),
+        ("https://ex.com/a?GCLID=9&a=1", "https://ex.com/a?a=1"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
     got = {r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()}

@@ -231,13 +231,20 @@ def negative_sample(
     """
     from .. import sqlgen
 
-    domain = int(docs.agg(F.max(F.col(id_col))).collect()[0][0]) + 1
+    max_id = docs.agg(F.max(F.col(id_col))).collect()[0][0]
+    # empty corpus (or all-NULL ids): every anchor row is absent/NULL and
+    # the result is empty either way — just avoid int(None)
+    domain = int(max_id) + 1 if max_id is not None else 1
     a_cols = [F.col(id_col).alias("anchor_id")]
     if exclude_col is not None:
         a_cols.append(F.col(exclude_col).alias("_a_ex"))
     anch = docs.select(*a_cols, F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"))
+    # 15 nibbles = 60 hash bits: uniform for any realistic id domain (a
+    # 32-bit draw would make ids >= 2^32 unreachable and bias domains
+    # anywhere near 2^32 — SCALE.md targets ~6e11-row tables)
     h = sqlgen.hex_to_int(
-        f"md5(concat(cast(anchor_id as string), ':{salt}:', cast(j as string)))"
+        f"md5(concat(cast(anchor_id as string), ':{salt}:', cast(j as string)))",
+        nibbles=15,
     )
     cand = anch.select(
         "anchor_id",

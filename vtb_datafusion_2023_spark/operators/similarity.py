@@ -1023,7 +1023,10 @@ def ivf_search_indexed(
 
 
 def embedding_gram(
-    df: DataFrame, vec_col: str = "embedding", method: str = "expr"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    method: str = "expr",
+    dim: int | None = None,
 ) -> DataFrame:
     """Upper-triangular Gram matrix of an embedding column — the one-pass
     second-moment aggregation behind PCA/whitening of a corpus's
@@ -1051,20 +1054,37 @@ def embedding_gram(
     tiny (i, j) merge — bitwise equal by construction and pinned by
     pytest; the BLAS constant makes it the throughput path for large
     corpora, exactly the ``pq_encode`` expr/arrow precedent).
+
+    ``dim``: expected vector size; ``None`` probes it from one row.  A
+    ragged vector fails LOUDLY on either path (the k-means rule —
+    clustering.py's dim guard): silently, ragged input would skew the
+    per-cell counts and corrupt the downstream whitening scale.
     """
     from .. import sqlgen
 
+    nn = df.filter(F.col(vec_col).isNotNull())
+    if dim is None:
+        probe = nn.select(F.size(vec_col)).first()
+        if probe is None:  # empty corpus: empty gram, nothing to guard
+            dim = 0
+        else:
+            dim = int(probe[0])
+    guarded = (
+        f"case when size({vec_col}) = {dim} then {vec_col} "
+        f"else raise_error(concat('embedding_gram: expected dim {dim}, got "
+        f"vector of size ', cast(size({vec_col}) as string))) end"
+    )
     if method == "arrow":
-        return _embedding_gram_arrow(df, vec_col)
+        return _embedding_gram_arrow(nn, vec_col, dim)
     if method != "expr":
         raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
     tri = F.expr(
-        f"""flatten(transform({vec_col}, (x, i) ->
+        f"""flatten(transform({guarded}, (x, i) ->
               transform(slice({vec_col}, i + 1, size({vec_col}) - i), (y, k) ->
                 struct(i as i, i + k as j,
                        cast(x as double) * cast(y as double) as p))))"""
     )
-    prods = df.filter(F.col(vec_col).isNotNull()).select(F.explode(tri).alias("t")).select(
+    prods = nn.select(F.explode(tri).alias("t")).select(
         F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.p").alias("p")
     )
     return (
@@ -1073,12 +1093,14 @@ def embedding_gram(
     )
 
 
-def _embedding_gram_arrow(df: DataFrame, vec_col: str) -> DataFrame:
+def _embedding_gram_arrow(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """numpy partial-state twin of the expr gram: per Arrow batch, the
     upper-triangle products quantize through the IDENTICAL IEEE ops as
-    ``sqlgen.fsum`` (floor(p + 0.5) / floor((p - hi) * 1e6 + 0.5) — both
-    integer-valued doubles, summed exactly as int64), emitting at most
-    d(d+1)/2 partial rows per batch; the final (i, j) aggregate and
+    ``sqlgen.fsum`` (floor(p + 0.5) / floor((p - hi) * 1e6 + 0.5) —
+    integer-valued doubles cast to int64 PER ELEMENT before the sum,
+    matching the expr path's per-element bigint cast so both share the
+    same 9.2e18 exact envelope rather than float64's 2^53), emitting at
+    most d(d+1)/2 partial rows per batch; the final (i, j) aggregate and
     double recombination reuse the ``fsum_merge``/``fsum_final`` SQL
     text, so merged == expr-path bitwise."""
     import numpy as np
@@ -1091,6 +1113,12 @@ def _embedding_gram_arrow(df: DataFrame, vec_col: str) -> DataFrame:
             vecs = pdf[vec_col].dropna()
             if not len(vecs):
                 continue
+            sizes = np.fromiter((len(v) for v in vecs), dtype=np.int64)
+            if (sizes != dim).any():
+                bad = int(sizes[sizes != dim][0])
+                raise ValueError(
+                    f"embedding_gram: expected dim {dim}, got vector of size {bad}"
+                )
             x = np.stack(vecs.to_numpy()).astype(np.float64)
             b, d = x.shape
             # row-index loop keeps peak memory at one (b, d) product
@@ -1102,8 +1130,8 @@ def _embedding_gram_arrow(df: DataFrame, vec_col: str) -> DataFrame:
                 lo = np.floor((p - hi) * 1e6 + 0.5)
                 ii.append(np.full(d - i, i, dtype="int32"))
                 jj.append(np.arange(i, d, dtype="int32"))
-                his.append(hi.sum(axis=0).astype("int64"))
-                los.append(lo.sum(axis=0).astype("int64"))
+                his.append(hi.astype("int64").sum(axis=0))
+                los.append(lo.astype("int64").sum(axis=0))
             m = d * (d + 1) // 2
             yield pd.DataFrame(
                 {
@@ -1127,17 +1155,30 @@ def _embedding_gram_arrow(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def whitening_matrix(gram_rows, d: int, n: int, eps: float = 1e-6):
+def whitening_matrix(gram_rows, d: int | None = None, n: int | None = None, eps: float = 1e-6):
     """ZCA whitening matrix from ``embedding_gram`` output (driver-side
     numpy on the d x d moment — d^2 scalars, never the corpus): W =
     U diag(1/sqrt(s + eps)) U^T of the (uncentered) second-moment matrix
     G/n.  Deterministic for a given gram (LAPACK ``eigh`` on an exactly
     reproducible matrix); the corpus-scale work stays in the one-pass
-    aggregate."""
+    aggregate.
+
+    ``d``/``n`` default to the values the gram rows already carry
+    (d = max j + 1; n = the cells' contributing count) — passing a
+    hand-computed n (e.g. ``df.count()`` on a table whose NULL
+    embeddings the gram dropped) would silently mis-scale every moment,
+    so prefer the defaults."""
     import numpy as np
 
+    rows = list(gram_rows)
+    if not rows:
+        raise ValueError("whitening_matrix: empty gram")
+    if d is None:
+        d = max(r["j"] for r in rows) + 1
+    if n is None:
+        n = rows[0]["n"]  # identical per cell (dim-guarded, NULLs dropped)
     g = np.zeros((d, d), dtype=np.float64)
-    for r in gram_rows:
+    for r in rows:
         g[r["i"], r["j"]] = r["g"]
         g[r["j"], r["i"]] = r["g"]
     s, u = np.linalg.eigh(g / float(n))
@@ -1170,7 +1211,17 @@ def apply_projection(
 
     def _proj(batches):
         for pdf in batches:
+            # NULL embeddings drop, matching embedding_gram's contract —
+            # the whiten-then-project pipeline runs on the same input
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if mat.shape[1] != w64.shape[1]:
+                raise ValueError(
+                    f"apply_projection: vectors have dim {mat.shape[1]}, "
+                    f"matrix expects {w64.shape[1]}"
+                )
             out = mat @ w64.T
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(out)})
 

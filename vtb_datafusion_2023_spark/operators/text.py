@@ -1009,10 +1009,14 @@ def bigram_pmi(
     n_big = int(
         d.agg(F.sum(F.greatest(F.size("_tk") - 1, F.lit(0)))).collect()[0][0]
     )
+    # the bigram aggregate feeds both the guard's distinct-count collect
+    # and the returned plan — pin it once (the uni treatment) or the
+    # corpus-scale explode+agg executes twice per invocation
     big = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
+        .localCheckpoint(eager=False)
     )
 
     cnt_vals = None
@@ -1117,13 +1121,18 @@ def canonicalize_url(url) -> Column:
         pathq.contains("?"),
         pathq.substr(F.instr(pathq, "?") + F.lit(1), F.length(pathq)),
     ).otherwise(F.lit(""))
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid="),
-    )
+    def _keep(p):
+        # tracking params match on the lowercased NAME (the part before
+        # '='), so UTM_SOURCE=… and a bare fbclid are stripped too
+        name = F.lower(F.substring_index(p, "=", 1))
+        return (
+            (p != "")
+            & ~name.startswith("utm_")
+            & (name != "fbclid")
+            & (name != "gclid")
+        )
+
+    params = F.filter(F.split(query, "&"), _keep)
     cq = F.array_join(F.array_sort(params), "&")
     return F.concat(
         scheme, F.lit("://"), host, cpath,

@@ -89,22 +89,28 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
-# Round-5 front block (fills the driver's ~50-query budget exactly):
+# Round-5 front block (56 names; the driver certifies ~50 in order, so
+# the head is budget + a small spill that rolls to r6):
 #
-# 1. The 7 queries added this round, never driver-certified — the
+# 1. The 13 queries added this round, never driver-certified — the
 #    end-to-end submission pipeline (VERDICT r4 item 1), the
 #    hash-certifiable twins that shrink the rows-only set (item 4),
-#    and the k-means/SemDeDup/KLL curation additions.
+#    the k-means/SemDeDup/KLL curation additions, and the session-2
+#    operators (z-order cert, PMI, negative sampling, embedding Gram,
+#    hash classifier, URL dedup).  All inside the budget by a wide
+#    margin.
 # 2. 43 of the 48 queries whose ONLY driver row is from round 1 — four
 #    rounds of code drift since their last certification.  Ordered by
 #    regression risk: the robust-cleaning family first (this round's
 #    fused-cleaner rewrite changed their shared code path), then
 #    an_funnel (rewritten as the one-pass automaton in r4 but never
-#    re-certified), then the rest in r1 order.  Excluded to fit the
-#    budget: sk_approx_distinct / so3_bootstrap_sample (rows-only by
-#    design — a re-run adds no hash evidence) and the three trivial
-#    set ops (so1/so2/so4 — single-operator plans with no drift
-#    surface); they roll to r6.
+#    re-certified), then the rest in r1 order.  Excluded:
+#    sk_approx_distinct / so3_bootstrap_sample (rows-only by design —
+#    a re-run adds no hash evidence) and the three trivial set ops
+#    (so1/so2/so4 — single-operator plans with no drift surface).
+#    The excluded five plus the ~6 tail names past the ~50 cutoff
+#    (p_melt_unpivot onward) roll to r6 — all hold r1 greens, so
+#    nothing uncertified is at risk.
 _FRONT_R5 = [
     # -- new this round (never checked) --
     "pipeline_submission",

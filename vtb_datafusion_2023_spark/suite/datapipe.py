@@ -1703,7 +1703,8 @@ def dd_segment_dedup(spark, sf_dir):
 
 
 _NEG_H = sqlgen.hex_to_int(
-    "md5(cast(anchor_id as varchar) || ':neg:' || cast(j as varchar))"
+    "md5(cast(anchor_id as varchar) || ':neg:' || cast(j as varchar))",
+    nibbles=15,
 )
 
 
