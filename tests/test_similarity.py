@@ -384,3 +384,26 @@ def test_embedding_gram_arrow_path_bitwise_equals_expr(spark, sf_small):
         for r in embedding_gram(emb.repartition(9), method="arrow").collect()
     }
     assert again == expr
+
+
+def test_embedding_gram_ragged_dim_fails_loudly_both_paths(spark):
+    import pytest as _pt
+
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        apply_projection,
+        embedding_gram,
+    )
+
+    rows = [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with _pt.raises(Exception, match="expected dim"):
+        embedding_gram(df).collect()
+    with _pt.raises(Exception, match="expected dim"):
+        embedding_gram(df, method="arrow").collect()
+    # NULL embeddings drop silently on both gram paths and in projection
+    ok = df.filter("vec_id != 2")
+    assert {r["n"] for r in embedding_gram(ok).collect()} == {1}
+    import numpy as np
+
+    got = apply_projection(ok, np.eye(2)).collect()
+    assert [r.vec_id for r in got] == [1] and list(got[0].projected) == [1.0, 2.0]
