@@ -432,6 +432,51 @@ def p_json_extract(spark, sf_dir):
 
 
 @register(
+    "p_variant_extract",
+    oracle="""
+with j as (
+  select event_id,
+         '{"meta": {"type": "' || event_type || '", "k": '
+           || json_extract_string(props, '$.k')
+           || '}, "arr": [' || cast(user_id % 3 as varchar) || ', 2, 3]}' as doc
+  from events
+)
+select event_id,
+       json_extract_string(doc, '$.meta.type') as vtype,
+       cast(json_extract(doc, '$.meta.k') as bigint) as vk,
+       cast(json_extract(doc, '$.arr[0]') as bigint) as a0,
+       cast(json_extract(doc, '$.missing') as bigint) as miss
+from j
+""",
+    survey_ref="p-variant",
+    doc="Spark 4 VARIANT semi-structured path: synthesize a nested JSON "
+    "doc from typed columns (ints/strings only — double formatting is "
+    "engine-specific), parse_json ONCE into the binary VARIANT encoding, "
+    "then typed variant_get field/array accesses + a try_variant_get on "
+    "a missing path (NULL, not error).  At scale this is the "
+    "parse-once/access-many shape — repeated get_json_object calls "
+    "re-parse the string per field; VARIANT pays one parse and O(1) "
+    "binary field reads.",
+)
+def p_variant_extract(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": {"type": "'), F.col("event_type"), F.lit('", "k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit('}, "arr": ['), (F.col("user_id") % 3).cast("string"),
+        F.lit(", 2, 3]}"),
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.meta.k", "bigint").alias("vk"),
+        F.variant_get(v, "$.arr[0]", "bigint").alias("a0"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("miss"),
+    )
+
+
+@register(
     "tbl_key_skew",
     oracle="""
 select 'user_id' as "column", cast(sum(c) as bigint) as n,
