@@ -1610,3 +1610,29 @@ def test_url_dedup_groups_and_keeps_min_id(spark):
         "https://ex.com/a?x=1": (1, 2),
         "https://ex.com/b": (3, 1),
     }
+
+
+def test_proximity_pairs_complete_vs_bruteforce(spark):
+    """Grid-bucketed proximity join finds EXACTLY the brute-force pair
+    set — including pairs straddling cell boundaries (the 3x3 expansion
+    guarantee) — and each pair exactly once."""
+    from vtb_datafusion_2023_spark.operators.spatial import proximity_pairs
+
+    pts = [
+        (1, 0.0, 0.0), (2, 9.99, 0.0),      # same-radius, adjacent cells
+        (3, 10.01, 0.0),                    # crosses the cell boundary from 2
+        (4, 19.0, 19.0), (5, 21.0, 21.0),   # diagonal-neighbor cells
+        (6, 500.0, 500.0),                  # isolated
+        (7, 0.0, 9.5), (8, 0.0, 10.5),      # vertical boundary
+    ]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    got = {(r.id_a, r.id_b) for r in proximity_pairs(df, "id", "x", "y", 10.0).collect()}
+    want = {
+        (a, b)
+        for ai, (a, xa, ya) in enumerate(pts)
+        for (b, xb, yb) in pts[ai + 1:]
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= 100.0
+    }
+    assert got == want and (2, 3) in got and (4, 5) in got and (7, 8) in got
+    rows = proximity_pairs(df, "id", "x", "y", 10.0).collect()
+    assert len(rows) == len(got)  # exactly-once: no duplicate candidates

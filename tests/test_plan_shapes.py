@@ -650,7 +650,7 @@ def test_front_block_registration_order():
         "ml_kmeans", "agg_incremental_quantiles", "dd_semdedup",
         "dp_cluster_sample", "tbl_zorder_roundtrip", "text_pmi",
         "dp_negative_sample", "emb_gram_matrix", "text_hash_classifier",
-        "dp_url_dedup", "p_variant_extract",
+        "dp_url_dedup", "p_variant_extract", "gj_proximity_pairs",
     ]
     assert names[: len(never_checked)] == never_checked
     # ... followed by the changed-code-path cleaning family, well inside
@@ -658,7 +658,7 @@ def test_front_block_registration_order():
     for q in ("a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
               "clean_transactions_composed", "an_funnel"):
         assert names.index(q) < 20
-    assert len(_FRONT_R5) == 14 + 43  # additions + stale r1-only greens
+    assert len(_FRONT_R5) == 15 + 43  # additions + stale r1-only greens
 
 
 def test_kll_partial_quantiles_merge_properties(spark):

@@ -89,10 +89,10 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
-# Round-5 front block (57 names; the driver certifies ~50 in order, so
+# Round-5 front block (58 names; the driver certifies ~50 in order, so
 # the head is budget + a small spill that rolls to r6):
 #
-# 1. The 14 queries added this round, never driver-certified — the
+# 1. The 15 queries added this round, never driver-certified — the
 #    end-to-end submission pipeline (VERDICT r4 item 1), the
 #    hash-certifiable twins that shrink the rows-only set (item 4),
 #    the k-means/SemDeDup/KLL curation additions, and the session-2
@@ -127,6 +127,7 @@ _FRONT_R5 = [
     "text_hash_classifier",
     "dp_url_dedup",
     "p_variant_extract",
+    "gj_proximity_pairs",
     # -- stale-green, changed code path this round or last --
     "a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
     "clean_transactions_composed", "an_funnel", "f4_positional_trim",

@@ -1702,6 +1702,55 @@ def dd_segment_dedup(spark, sf_dir):
     )
 
 
+_GJX = sqlgen.hex_to_int("md5(cast(c_custkey as varchar) || ':x')", 8)
+_GJY = sqlgen.hex_to_int("md5(cast(c_custkey as varchar) || ':y')", 8)
+
+
+@register(
+    "gj_proximity_pairs",
+    oracle=f"""
+with pts as (
+  select c_custkey as id,
+         ({_GJX} % 100000) / cast(100 as double) as x,
+         ({_GJY} % 100000) / cast(100 as double) as y
+  from customer
+),
+a as (select id as id_a, x as xa, y as ya,
+             cast(floor(x / 10.0) as bigint) as cx,
+             cast(floor(y / 10.0) as bigint) as cy from pts),
+b as (select id as id_b, x as xb, y as yb,
+             cast(floor(x / 10.0) as bigint) as bx,
+             cast(floor(y / 10.0) as bigint) as byy from pts),
+probe as (select id_b, xb, yb, bx + dx.d as cx, byy + dy.d as cy
+          from b, (values (-1), (0), (1)) dx(d), (values (-1), (0), (1)) dy(d))
+select id_a, id_b,
+       (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) as dist_sq
+from a join probe using (cx, cy)
+where id_a < id_b
+  and (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 100.0
+""",
+    survey_ref="gj-proximity",
+    doc="spatial proximity join via grid-cell bucketing (the geo "
+    "analogue of LSH banding): md5-synthesized points in [0,1000)^2, "
+    "all pairs within radius 10 from a cell equi-join (build side keeps "
+    "its home cell, probe side explodes to the 3x3 neighborhood — each "
+    "qualifying pair produced exactly once), exact IEEE distance verify "
+    "inside candidate cells.  O(points x local density), never a cross "
+    "join; one shuffle per side.",
+)
+def gj_proximity_pairs(spark, sf_dir):
+    from ..operators.spatial import proximity_pairs
+
+    spark_x = sqlgen.hex_to_int("md5(concat(cast(c_custkey as string), ':x'))", 8)
+    spark_y = sqlgen.hex_to_int("md5(concat(cast(c_custkey as string), ':y'))", 8)
+    pts = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.expr(f"({spark_x} % 100000) / cast(100 as double)").alias("x"),
+        F.expr(f"({spark_y} % 100000) / cast(100 as double)").alias("y"),
+    )
+    return proximity_pairs(pts, "id", "x", "y", radius=10.0)
+
+
 _NEG_H = sqlgen.hex_to_int(
     "md5(cast(anchor_id as varchar) || ':neg:' || cast(j as varchar))",
     nibbles=15,
