@@ -643,7 +643,7 @@ def test_front_block_registration_order():
     assert names[: len(head)] == head
     assert names[0] == "pipeline_submission"
     assert len(set(names)) == len(names)
-    # every never-driver-checked query (the 13 round-5 additions) must
+    # every never-driver-checked query (the 15 round-5 additions) must
     # sit inside the driver's ~50-query budget
     never_checked = [
         "pipeline_submission", "sk_kmv_distinct", "so3_md5_sample",

@@ -108,9 +108,9 @@ _UNCHECKED_TAIL: list[str] = []
 #    sk_approx_distinct / so3_bootstrap_sample (rows-only by design —
 #    a re-run adds no hash evidence) and the three trivial set ops
 #    (so1/so2/so4 — single-operator plans with no drift surface).
-#    The excluded five plus the ~6 tail names past the ~50 cutoff
-#    (p_melt_unpivot onward) roll to r6 — all hold r1 greens, so
-#    nothing uncertified is at risk.
+#    The excluded five plus the ~8 tail names past the ~50 cutoff
+#    (p_array_battery onward, positions 51-58) roll to r6 — all hold
+#    r1 greens, so nothing uncertified is at risk.
 _FRONT_R5 = [
     # -- new this round (never checked) --
     "pipeline_submission",
