@@ -1636,3 +1636,53 @@ def test_proximity_pairs_complete_vs_bruteforce(spark):
     assert got == want and (2, 3) in got and (4, 5) in got and (7, 8) in got
     rows = proximity_pairs(df, "id", "x", "y", 10.0).collect()
     assert len(rows) == len(got)  # exactly-once: no duplicate candidates
+
+
+def test_markov_transitions_tiny_sequence(spark):
+    import datetime as dt
+
+    from vtb_datafusion_2023_spark.operators.analytics import markov_transitions
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, t0, 1, "a"), (1, t0 + dt.timedelta(seconds=1), 2, "b"),
+        (1, t0 + dt.timedelta(seconds=2), 3, "a"),
+        (2, t0, 4, "a"), (2, t0 + dt.timedelta(seconds=1), 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint, event_type string")
+    got = {(r.from_type, r.to_type): (r.n, r.p) for r in markov_transitions(df).collect()}
+    # from 'a': two transitions, both to 'b'; from 'b': one transition
+    # (user 2's trailing 'b' has no successor and contributes nothing)
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+    # rows P(.|from) sum to 1 on real data
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = markov_transitions(ev).collect()
+    by_from: dict = {}
+    for r in out:
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.p
+    assert all(abs(s - 1.0) < 1e-9 for s in by_from.values())
+
+
+def test_ohlc_bars_match_pandas_reference(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.analytics import ohlc_bars
+    from vtb_datafusion_2023_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    got = {
+        (r.event_type, r.bucket): (r.open, r.close, r.high, r.low, r.n)
+        for r in ohlc_bars(ev, keys=["event_type"]).collect()
+    }
+    pdf = ev.select("event_type", "ts", "event_id", "value").toPandas()
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    want = {}
+    for (et, bk), g in pdf.groupby(["event_type", "bucket"]):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].astype(float)
+        want[(et, bk.to_pydatetime())] = (
+            float(v.iloc[0]), float(v.iloc[-1]), float(v.max()), float(v.min()), len(g)
+        )
+    assert got == want

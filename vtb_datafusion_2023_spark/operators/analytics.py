@@ -648,3 +648,68 @@ def pattern_spans_joins(
     if out is None:
         return df.sparkSession.createDataFrame([], _pattern_out_schema(df, key, ord_col))
     return out
+
+
+def markov_transitions(
+    df: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ord_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    P(next = b | current = a) from adjacent-event counts — the classic
+    behavioral model behind next-action prediction and funnel synthesis.
+
+    One per-key window (lead over the deterministic order) + two tiny
+    hash aggregates over the (from, to) type pairs; the probability is a
+    single bigint/bigint double division, bitwise cross-engine.
+    Returns ``(from_type, to_type, n, p)``.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in ord_cols])
+    seq = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("_t"))
+    return tr.join(tot, "from_type").select(
+        "from_type", "to_type", F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("_t").cast("double")).alias("p"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    val_col: str = "value",
+    bucket: str = "hour",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Time-bucketed OHLC (open/high/low/close) bars per key — the
+    standard downsampling for numeric event streams.  Open/close pick
+    the first/last value under the deterministic (ts, tie) order via
+    row_number flags folded into ONE aggregate, so the whole bar is one
+    window + one hash agg per (keys, bucket) — no per-bar sort output,
+    no self-join.  Returns ``(keys..., bucket, open, close, high, low, n)``.
+    """
+    b = df.select(
+        *keys,
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(val_col).cast("double").alias("_v"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tie_col).alias("_tie"),
+    )
+    part = [*keys, "bucket"]
+    wa = Window.partitionBy(*part).orderBy(F.col("_ts").asc(), F.col("_tie").asc())
+    wd = Window.partitionBy(*part).orderBy(F.col("_ts").desc(), F.col("_tie").desc())
+    r = b.withColumn("_ra", F.row_number().over(wa)).withColumn(
+        "_rd", F.row_number().over(wd)
+    )
+    return r.groupBy(*part).agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+        F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -2496,6 +2496,68 @@ def dd_pq_dedup(spark, sf_dir):
 
 
 @register(
+    "an_markov_transitions",
+    oracle="""
+with seq as (
+  select event_type as from_type,
+         lead(event_type) over (partition by user_id order by ts, event_id) as to_type
+  from events
+),
+tr as (select from_type, to_type, count(*) as n
+       from seq where to_type is not null group by from_type, to_type),
+tot as (select from_type, cast(sum(n) as bigint) as t from tr group by from_type)
+select tr.from_type, tr.to_type, cast(tr.n as bigint) as n,
+       cast(tr.n as double) / cast(tot.t as double) as p
+from tr join tot using (from_type)
+""",
+    survey_ref="an-markov",
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences (P(next | current) from adjacent counts): one per-key "
+    "lead window + two type-pair aggregates; single bigint/bigint "
+    "double division => bitwise cross-engine.",
+)
+def an_markov_transitions(spark, sf_dir):
+    from ..operators.analytics import markov_transitions
+
+    return markov_transitions(T(spark, sf_dir, "events"))
+
+
+@register(
+    "an_ohlc_bars",
+    oracle="""
+with b as (
+  select event_type, date_trunc('hour', ts) as bucket,
+         cast(value as double) as v, ts, event_id
+  from events
+),
+r as (
+  select *,
+    row_number() over (partition by event_type, bucket
+                       order by ts, event_id) as ra,
+    row_number() over (partition by event_type, bucket
+                       order by ts desc, event_id desc) as rd
+  from b
+)
+select event_type, cast(bucket as timestamp) as bucket,
+       max(case when ra = 1 then v end) as open,
+       max(case when rd = 1 then v end) as close,
+       max(v) as high, min(v) as low,
+       count(*) as n
+from r group by event_type, bucket
+""",
+    survey_ref="an-ohlc",
+    doc="time-bucketed OHLC bars per event_type (hourly): first/last "
+    "under the deterministic (ts, event_id) order via row_number flags "
+    "folded into ONE aggregate — one window + one hash agg per bar key, "
+    "no self-join; min/max/count are exact.",
+)
+def an_ohlc_bars(spark, sf_dir):
+    from ..operators.analytics import ohlc_bars
+
+    return ohlc_bars(T(spark, sf_dir, "events"), keys=["event_type"])
+
+
+@register(
     "an_pair_affinity",
     oracle="""
 with base as (select distinct user_id as b, event_type as i from events),
