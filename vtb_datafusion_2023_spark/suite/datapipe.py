@@ -1702,6 +1702,65 @@ def dd_segment_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "dp_dataset_card",
+    oracle="""
+with t as (
+  select doc_id, lang, source, text,
+         cast(len(string_split(text, ' ')) as bigint) as n_tok,
+         md5(text) as h
+  from documents
+)
+select 'n_docs' as metric, cast(count(*) as bigint) as value from t
+union all
+select 'total_tokens', cast(sum(n_tok) as bigint) from t
+union all
+select 'distinct_langs', cast(count(distinct lang) as bigint) from t
+union all
+select 'distinct_sources', cast(count(distinct source) as bigint) from t
+union all
+select 'exact_dup_docs',
+       cast(count(*) - count(distinct h) as bigint) from t
+union all
+select 'docs_over_100_tokens',
+       cast(count(case when n_tok > 100 then 1 end) as bigint) from t
+union all
+select 'max_doc_tokens', cast(max(n_tok) as bigint) from t
+""",
+    survey_ref="dp-dataset-card",
+    doc="one-query dataset card: the corpus summary every training-data "
+    "release ships (doc/token counts, language and source diversity, "
+    "exact-duplicate count, length profile) — ONE scan feeding one "
+    "multi-aggregate plus two distincts, unioned into (metric, value) "
+    "rows.  Integer-only metrics => hash-stable on any engine.",
+)
+def dp_dataset_card(spark, sf_dir):
+    t = T(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.countDistinct("lang").alias("distinct_langs"),
+        F.countDistinct("source").alias("distinct_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("exact_dup_docs"),
+        F.count(F.when(F.col("n_tok") > 100, 1)).alias("docs_over_100_tokens"),
+        F.max("n_tok").alias("max_doc_tokens"),
+    )
+    metrics = [
+        "n_docs", "total_tokens", "distinct_langs", "distinct_sources",
+        "exact_dup_docs", "docs_over_100_tokens", "max_doc_tokens",
+    ]
+    # melt the one aggregated row with stack — a union of per-metric
+    # selects would re-execute the whole aggregate once per metric
+    stack = ", ".join(f"'{m}', cast({m} as bigint)" for m in metrics)
+    return agg.select(
+        F.expr(f"stack({len(metrics)}, {stack}) as (metric, value)")
+    )
+
+
 _GJX = sqlgen.hex_to_int("md5(cast(c_custkey as varchar) || ':x')", 8)
 _GJY = sqlgen.hex_to_int("md5(cast(c_custkey as varchar) || ':y')", 8)
 
