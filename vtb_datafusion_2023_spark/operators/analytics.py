@@ -670,7 +670,14 @@ def markov_transitions(
         F.col(type_col).alias("from_type"),
         F.lead(type_col).over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    tr = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    # the (from, to) count table is tiny (|types|^2 rows) but feeds both
+    # the result and the per-from totals — pin it once or the corpus
+    # scan + lead window execute twice
+    tr = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = tr.groupBy("from_type").agg(F.sum("n").alias("_t"))
     return tr.join(tot, "from_type").select(
         "from_type", "to_type", F.col("n").cast("bigint").alias("n"),
