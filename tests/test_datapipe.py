@@ -1686,3 +1686,49 @@ def test_ohlc_bars_match_pandas_reference(spark, sf_small):
             float(v.iloc[0]), float(v.iloc[-1]), float(v.max()), float(v.min()), len(g)
         )
     assert got == want
+
+
+def test_interleave_sources_order_properties(spark, sf_small):
+    from collections import Counter
+
+    from vtb_datafusion_2023_spark.operators.filtering import interleave_sources
+
+    # supply proportional to the weights, so all sources exhaust together
+    # and stride proportionality holds over every prefix (a real corpus's
+    # tail is whatever source remains after the others run dry)
+    rows_in = (
+        [(i, "src0") for i in range(150)]
+        + [(1000 + i, "src1") for i in range(100)]
+        + [(2000 + i, "src2") for i in range(50)]
+        + [(9999, "other")]
+    )
+    d = spark.createDataFrame(rows_in, "doc_id bigint, source string")
+    w = {"src0": 3, "src1": 2, "src2": 1}
+    out = interleave_sources(d, weights=w, n_shards=2, salt="mix")
+    rows = out.collect()
+    assert rows
+    # only weighted sources survive; pos dense 0..n-1 per shard
+    by_shard: dict = {}
+    for r in rows:
+        assert r.source in w
+        by_shard.setdefault(r.shard, []).append((r.pos, r.source))
+    for shard, items in by_shard.items():
+        items.sort()
+        assert [p for p, _ in items] == list(range(len(items)))
+        # stride scheduling: in any prefix, each source's share stays
+        # within one stride of its weight share
+        seen: Counter = Counter()
+        total_w = sum(w.values())
+        for i, (_, src) in enumerate(items, 1):
+            seen[src] += 1
+            for s, ws in w.items():
+                expected = i * ws / total_w
+                assert abs(seen[s] - expected) <= total_w, (shard, i, s)
+    # deterministic under repartitioning; salt is an independent epoch
+    a = {(r.doc_id, r.shard, r.pos) for r in rows}
+    b = {(r.doc_id, r.shard, r.pos)
+         for r in interleave_sources(d.repartition(7), weights=w, n_shards=2, salt="mix").collect()}
+    assert a == b
+    c = {(r.doc_id, r.shard, r.pos)
+         for r in interleave_sources(d, weights=w, n_shards=2, salt="mix2").collect()}
+    assert c != a

@@ -643,7 +643,7 @@ def test_front_block_registration_order():
     assert names[: len(head)] == head
     assert names[0] == "pipeline_submission"
     assert len(set(names)) == len(names)
-    # every never-driver-checked query (the 18 round-5 additions) must
+    # every never-driver-checked query (the 19 round-5 additions) must
     # sit inside the driver's ~50-query budget
     never_checked = [
         "pipeline_submission", "sk_kmv_distinct", "so3_md5_sample",
@@ -652,6 +652,7 @@ def test_front_block_registration_order():
         "dp_negative_sample", "emb_gram_matrix", "text_hash_classifier",
         "dp_url_dedup", "p_variant_extract", "gj_proximity_pairs",
         "an_markov_transitions", "an_ohlc_bars", "dp_dataset_card",
+        "dp_interleave_sources",
     ]
     assert names[: len(never_checked)] == never_checked
     # ... followed by the changed-code-path cleaning family, well inside
@@ -659,7 +660,7 @@ def test_front_block_registration_order():
     for q in ("a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
               "clean_transactions_composed", "an_funnel"):
         assert names.index(q) < 25
-    assert len(_FRONT_R5) == 18 + 43  # additions + stale r1-only greens
+    assert len(_FRONT_R5) == 19 + 43  # additions + stale r1-only greens
 
 
 def test_kll_partial_quantiles_merge_properties(spark):

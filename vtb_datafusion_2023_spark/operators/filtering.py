@@ -360,3 +360,67 @@ def select_to_token_budget(
         .filter(F.col("_running") <= F.lit(int(budget)))
         .drop("_running")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic stride-scheduled interleaving of corpus sources —
+    the training-data-loader ORDER (not just the mix ratio): within each
+    shard, documents appear in an order where source ``s`` with integer
+    weight ``w_s`` occupies ~``w_s``/sum(w) of every window of the
+    sequence, computed purely from hashes and integer arithmetic
+    (reproducible on any engine/layout; a different salt is a new epoch).
+
+    Mechanics (stride scheduling): the i-th document of source s (i from
+    the per-source md5 rank) gets integer key ``i * (L / w_s)`` with
+    ``L = lcm(weights)``; sorting a shard by that key interleaves the
+    sources at their rates.  Unknown sources are dropped (explicit
+    curation contract).
+
+    Scale: every window partitions by ``shard`` — no global sort, no
+    single-partition window; n_shards ~ thousands at 100 TB keeps the
+    per-shard sorts in executor memory (same shape as ``shard_assign``).
+
+    Returns ``(id_col, source_col, shard, pos)`` — ``pos`` is the
+    0-based serving order within the shard.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    if not weights or any(w <= 0 or not isinstance(w, int) for w in weights.values()):
+        raise ValueError("weights must be positive integers per source")
+    lcm = math.lcm(*weights.values())
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    d = df.filter(F.col(source_col).isin(list(weights))).select(
+        id_col, source_col,
+        (u % n_shards).alias("shard"),
+        h.alias("_h"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("shard", source_col).orderBy(F.col("_h"), F.col(id_col))
+    )
+    key = None
+    for s, w in sorted(weights.items()):
+        cond = F.col(source_col) == s
+        key = F.when(cond, F.lit(int(lcm // w))) if key is None else key.when(
+            cond, F.lit(int(lcm // w))
+        )
+    d = d.withColumn("_rn", rn).withColumn("_stride", key).withColumn(
+        "_key", F.col("_rn").cast("bigint") * F.col("_stride").cast("bigint")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy(
+            F.col("_key"), F.col(source_col), F.col(id_col)
+        )
+    )
+    return d.select(
+        id_col, source_col, "shard", (pos - 1).cast("bigint").alias("pos")
+    )

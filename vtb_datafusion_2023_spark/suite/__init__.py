@@ -89,10 +89,10 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
-# Round-5 front block (61 names; the driver certifies ~50 in order, so
+# Round-5 front block (62 names; the driver certifies ~50 in order, so
 # the head is budget + a small spill that rolls to r6):
 #
-# 1. The 18 queries added this round, never driver-certified — the
+# 1. The 19 queries added this round, never driver-certified — the
 #    end-to-end submission pipeline (VERDICT r4 item 1), the
 #    hash-certifiable twins that shrink the rows-only set (item 4),
 #    the k-means/SemDeDup/KLL curation additions, and the session-2
@@ -108,8 +108,8 @@ _UNCHECKED_TAIL: list[str] = []
 #    sk_approx_distinct / so3_bootstrap_sample (rows-only by design —
 #    a re-run adds no hash evidence) and the three trivial set ops
 #    (so1/so2/so4 — single-operator plans with no drift surface).
-#    The excluded five plus the ~11 tail names past the ~50 cutoff
-#    (positions 51-61) roll to r6 — all hold
+#    The excluded five plus the ~12 tail names past the ~50 cutoff
+#    (positions 51-62) roll to r6 — all hold
 #    r1 greens, so nothing uncertified is at risk.
 _FRONT_R5 = [
     # -- new this round (never checked) --
@@ -131,6 +131,7 @@ _FRONT_R5 = [
     "an_markov_transitions",
     "an_ohlc_bars",
     "dp_dataset_card",
+    "dp_interleave_sources",
     # -- stale-green, changed code path this round or last --
     "a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
     "clean_transactions_composed", "an_funnel", "f4_positional_trim",

@@ -1702,6 +1702,49 @@ def dd_segment_dedup(spark, sf_dir):
     )
 
 
+_MIX_H8 = sqlgen.hex_to_int("h", 8)
+
+
+@register(
+    "dp_interleave_sources",
+    oracle=f"""
+with d as (
+  select doc_id, source,
+         md5(cast(doc_id as varchar) || ':mix') as h,
+         case source when 'src0' then 2 when 'src1' then 3 else 6 end as stride
+  from documents where source in ('src0', 'src1', 'src2')
+),
+s as (select *, ({_MIX_H8} % 4) as shard from d),
+r as (select *, row_number() over (partition by shard, source
+                                   order by h, doc_id) as rn from s),
+p as (select doc_id, source, shard,
+             row_number() over (partition by shard
+                                order by rn * stride, source, doc_id) - 1 as pos
+      from r)
+select doc_id, source, cast(shard as bigint) as shard,
+       cast(pos as bigint) as pos
+from p
+""",
+    survey_ref="dp-interleave",
+    doc="deterministic stride-scheduled source interleaving — the "
+    "training-loader ORDER, not just the mix ratio: weights src0:3, "
+    "src1:2, src2:1 (lcm strides 2/3/6), the i-th doc of a source "
+    "serves at shard-local key i*stride, so every window of the "
+    "sequence carries the sources at their rates.  All windows "
+    "partition by shard (no global sort); pure hash + integer "
+    "arithmetic => bitwise cross-engine, salt = epoch.",
+)
+def dp_interleave_sources(spark, sf_dir):
+    from ..operators.filtering import interleave_sources
+
+    return interleave_sources(
+        T(spark, sf_dir, "documents"),
+        weights={"src0": 3, "src1": 2, "src2": 1},
+        n_shards=4,
+        salt="mix",
+    )
+
+
 @register(
     "dp_dataset_card",
     oracle="""
