@@ -71,6 +71,15 @@ HEADLINE = [
     "text_pmi",
     "emb_gram_matrix",
     "dp_negative_sample",
+    # round-5 session-3 additions: batch sessionization, LPA communities,
+    # raw-frame sampling.  dd_containment is correctness-only like
+    # dd_ngram_jaccard: the synthetic word-soup corpus makes unigram
+    # containment near-all-pairs at sf0.1 (8.3M directed pairs — a data
+    # artifact, ROADMAP item 6), so benching it times the degenerate
+    # output materialization, not the operator.
+    "an_sessionize",
+    "gr_label_propagation",
+    "mm_frame_sample",
 ]
 
 

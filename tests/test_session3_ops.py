@@ -1,0 +1,155 @@
+"""Round-5 session-3 operators: batch sessionization, containment dedup,
+label-propagation communities, raw-frame sampling."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionize_strict_gap_semantics(spark):
+    from vtb_datafusion_2023_spark.operators.analytics import sessionize
+
+    rows = [
+        # user 1: three events, second exactly AT the gap (stays), third
+        # one microsecond past it (new session)
+        (1, _ts("2024-01-01 00:00:00"), 1, 10.0),
+        (1, _ts("2024-01-01 00:30:00"), 2, 20.0),          # == 1800s: same
+        (1, _ts("2024-01-01 01:00:00.000001"), 3, 30.0),   # > 1800s: breaks
+        # user 2: single event
+        (2, _ts("2024-01-05 12:00:00"), 4, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        (r.user_id, r.session_idx): r
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11.n_events == 2 and s11.duration_s == 1800
+    assert s11.total_value == 30.0
+    s12 = out[(1, 2)]
+    assert s12.n_events == 1 and s12.duration_s == 0 and s12.total_value == 30.0
+    assert out[(2, 1)].n_events == 1
+
+
+def test_sessionize_single_exchange_plan(spark):
+    from vtb_datafusion_2023_spark.operators.analytics import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    # the lag flag, the running session index, and the closing
+    # (user, session) aggregate all ride ONE hash exchange on user_id
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_containment_detects_subset_direction(spark):
+    from vtb_datafusion_2023_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "unrelated words entirely different tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    # doc 1 fully contained in doc 2; reverse direction is 3/10 < 0.9
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_prefix_filter_matches_bruteforce(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    fast = {
+        (r.id_a, r.id_b): round(r.containment, 12)
+        for r in containment_pairs(
+            docs, "doc_id", "text", threshold=0.7, prefix_filter=True
+        ).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b): round(r.containment, 12)
+        for r in containment_pairs(
+            docs, "doc_id", "text", threshold=0.7, prefix_filter=False
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
+def test_label_propagation_splits_communities_cc_cannot(spark):
+    from vtb_datafusion_2023_spark.operators.graph import label_propagation
+
+    # two triangles bridged by a single edge: one connected component,
+    # but LPA keeps a distinct majority label per triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    # hand-unrolled synchronous recursion: round 1 takes min neighbor ids,
+    # round 2 consolidates each triangle, round 3 pulls the bridge node 4
+    # into the right triangle's settled label 3 — two communities, one
+    # component (connected components would assign a single label)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    assert len(set(got.values())) == 2
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from vtb_datafusion_2023_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(40)] + [(3, 11), (11, 17)],
+        "src long, dst long",
+    )
+    a = sorted(
+        (r.node, r.label)
+        for r in label_propagation(edges.repartition(1), iterations=4).collect()
+    )
+    b = sorted(
+        (r.node, r.label)
+        for r in label_propagation(edges.repartition(13), iterations=4).collect()
+    )
+    assert a == b
+
+
+def test_frame_sample_slices_and_drops_partial_tail(spark):
+    from vtb_datafusion_2023_spark.operators.multimodal import frame_sample
+
+    payload = bytes(range(10))  # frames of 4 bytes -> 2 full, 2 tail bytes dropped
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"abc"))],  # doc 2: no full frame
+        "media_id long, payload binary",
+    )
+    rows = frame_sample(df, frame_bytes=4, every_n=1).collect()
+    got = {(r.media_id, r.frame_idx): (bytes(r.frame), r.n_frames) for r in rows}
+    assert got == {
+        (1, 0): (bytes([0, 1, 2, 3]), 2),
+        (1, 1): (bytes([4, 5, 6, 7]), 2),
+    }
+
+
+def test_frame_sample_stride_and_validation(spark):
+    from vtb_datafusion_2023_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(32))))], "media_id long, payload binary"
+    )
+    idx = sorted(
+        r.frame_idx for r in frame_sample(df, frame_bytes=4, every_n=3).collect()
+    )
+    assert idx == [0, 3, 6]
+    with pytest.raises(ValueError):
+        frame_sample(df, frame_bytes=0)
+    with pytest.raises(ValueError):
+        frame_sample(df, frame_bytes=4, every_n=0)

@@ -720,3 +720,67 @@ def ohlc_bars(
         F.min("_v").alias("low"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    ord_cols: tuple = ("ts", "event_id"),
+    val_col: str | None = "value",
+) -> DataFrame:
+    """Batch gap-based sessionization: a session ends when the idle time
+    to the next event on the same key strictly exceeds ``gap_seconds``
+    (the batch counterpart of ``streaming.session_window`` — same
+    half-open-gap semantics, reference run.py's per-user temporal
+    bucketing generalized to activity bursts).
+
+    Plan shape: ONE exchange on ``key``.  The lag-gap flag and the
+    running-sum session index share the identical window spec (same
+    partitioning + order), so Catalyst plans a single sort; the closing
+    per-session aggregate groups on ``(key, session_idx)``, which hash
+    partitioning on ``key`` already clusters — AQE keeps it
+    exchange-free.  At 100 TB this is the minimal shape: no self-join,
+    no per-session explode, session state never leaves the executor.
+
+    Returns ``(key, session_idx, n_events, session_start, session_end,
+    duration_s[, total_value])`` — ``session_idx`` is 1-based per key in
+    time order.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in ord_cols])
+    # microsecond-exact epoch: second-truncating casts would move events
+    # across the gap boundary relative to any engine comparing full
+    # precision (and sub-second gaps would be invisible entirely).
+    # unix_micros only accepts TIMESTAMP; an NTZ column is reinterpreted
+    # in the session zone (pinned UTC by session.tune_session) first.
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = int(gap_seconds) * 1_000_000
+    brk = (
+        F.when(F.lag(epoch).over(w).isNull(), F.lit(1))
+        .when(epoch - F.lag(epoch).over(w) > F.lit(gap_us), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rows = df.withColumn("_brk", brk).withColumn(
+        "session_idx",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        # integer-µs difference floor-divided to whole seconds: floor is
+        # explicit because Spark's double->bigint cast truncates while
+        # other engines round — floor-then-cast is exact in both
+        F.floor((F.max(epoch) - F.min(epoch)) / F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("duration_s"),
+    ]
+    if val_col is not None:
+        from .. import sqlgen
+
+        aggs.append(F.expr(sqlgen.fsum(val_col)).alias("total_value"))
+    return (
+        rows.groupBy(F.col(key), F.col("session_idx").cast("bigint").alias("session_idx"))
+        .agg(*aggs)
+    )

@@ -1088,3 +1088,74 @@ def substring_dedup(
             F.size("_cov").cast("bigint").alias("n_removed"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.9,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """EXACT directed n-gram containment ``C(A -> B) = |A ∩ B| / |A|``
+    for every ordered pair with ``C >= threshold`` — the quote / subset
+    detector Jaccard misses: a short document fully embedded in a long
+    one has low Jaccard (union is large) but containment 1.0.  Standard
+    corpus-curation pass for finding excerpts, boilerplate inclusions,
+    and cross-document quotations before near-dup clustering.
+
+    Scale path (containment variant of the Bayardo AllPairs prefix
+    filter, WWW'07): a doc A contained >= t in ANY B shares at least
+    ``ceil(t*|A|)`` of its shingles with B, so at least one of A's
+    ``|A| - ceil(t*|A|) + 1`` globally-rarest shingles is shared —
+    only that prefix is probed against the posting index, and the
+    rarity order (document frequency asc) makes the probed posting
+    lists exactly the short ones.  Unlike symmetric Jaccard, the
+    CONTAINER side has no size bound, so the probe joins against the
+    full posting table — the prefix filter prunes the probing side
+    only; stopword-grade postings are still skipped because A's rare
+    prefix seldom lands on them.  Candidates verify with a full set
+    intersection, so output is identical to the naive quadratic path
+    (``prefix_filter=False`` keeps that baseline for differentials).
+
+    Returns ``(id_a, id_b, containment)`` with id_a the contained doc.
+    """
+    docs = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    ).withColumn("_sz", F.size("_sh"))
+    sh = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    if prefix_filter:
+        dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
+        probe = (
+            sh.join(dfreq, "_s")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(
+                F.col("_rn")
+                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+            )
+            .select(F.col("_id").alias("id_a"), "_s")
+        )
+    else:
+        probe = sh.select(F.col("_id").alias("id_a"), "_s")
+    cand = (
+        probe.join(sh.select(F.col("_id").alias("id_b"), "_s"), "_s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = docs.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_sz").alias("_sza")
+    )
+    b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("_sha", "_shb")) / F.col("_sza"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -10,7 +10,7 @@ replay the unrolled recursion bitwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import sqlgen
@@ -155,3 +155,58 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     return closed.select(
         arr.getItem(0).alias("a"), arr.getItem(1).alias("b"), arr.getItem(2).alias("c")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int | None = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA, Raghavan
+    et al. 2007) with FIXED iterations and deterministic tie-breaks —
+    distinct from ``dedup.dedup_clusters``: connected components
+    propagate the MIN label to convergence (one label per component);
+    LPA adopts each node's MAJORITY neighbor label, so dense subgraphs
+    keep distinct labels inside one component.
+
+    Determinism (asynchronous LPA is run-order-dependent, useless for a
+    certifiable engine): updates are synchronous (all nodes step on the
+    round-(k-1) labels), the neighbor multiset is the DISTINCT
+    symmetrized edge set, and the argmax tie-break is (count desc,
+    label asc) — integer-only arithmetic, so results are bitwise
+    reproducible on any engine/partitioning and the unrolled recursion
+    is a plain SQL oracle.
+
+    Scale: per iteration one join of edges against the |nodes|-row label
+    table + one (node, label) count + one row_number argmax — the same
+    two-exchange shape as a PageRank step; the label table never exceeds
+    |nodes| rows.  Lineage is truncated every ``checkpoint_every``
+    rounds (localCheckpoint) so long runs don't re-plan the full unroll.
+
+    Returns ``(node, label)``; labels are seed node ids.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # referenced every iteration — pin the distinct once (pagerank's
+    # materialize_aux rationale: iteration cost = the join, not
+    # re-deduplicating the edge list)
+    und = und.localCheckpoint(eager=True)
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label").asc())
+    for i in range(iterations):
+        cnt = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -115,11 +115,61 @@ def media_features(
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: explodes a (stubbed) frame index per
     payload — the real implementation replaces the index source with the
-    container's frame count from the codec."""
+    container's frame count from the codec.  See ``frame_sample`` for the
+    real fixed-frame-size path (rawvideo-style containers)."""
     return df.withColumn(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.octet_length("payload") % 5, F.lit(1))),
     ).withColumn("sample_every", F.lit(every_n))
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int,
+    every_n: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling for fixed-frame-size video containers
+    (rawvideo / uncompressed y4m-style streams, where frame k occupies
+    bytes ``[k*frame_bytes, (k+1)*frame_bytes)``): every ``every_n``-th
+    frame is SLICED out of the payload entirely JVM-side — sequence +
+    explode + binary substring, no Python worker, no codec.  Trailing
+    partial frames are dropped (``n_frames = floor(bytes/frame_bytes)``);
+    entropy-coded containers (MP4/H.264) have no fixed frame stride and
+    stay behind ``codecs.decode_media``'s NotImplementedError.
+
+    Scale: the explode multiplies rows but each output row carries only
+    one frame's bytes (payloads shrink ~every_n-fold); sample BEFORE any
+    shuffle so full payloads never leave the scan stage.  Returns
+    ``(id, frame_idx, n_frames, frame)``.
+    """
+    if frame_bytes <= 0 or every_n <= 0:
+        raise ValueError(
+            f"frame_bytes and every_n must be positive, got {frame_bytes}, {every_n}"
+        )
+    p = F.col(payload_col)
+    nf = F.floor(F.octet_length(p) / F.lit(frame_bytes)).cast("int")
+    return (
+        df.select(F.col(id_col), p.alias("_p"), nf.alias("n_frames"))
+        .filter(F.col("n_frames") >= 1)
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(int(every_n))
+                )
+            ),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            "n_frames",
+            F.expr(
+                f"substring(_p, frame_idx * {int(frame_bytes)} + 1, {int(frame_bytes)})"
+            ).alias("frame"),
+        )
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -3736,3 +3736,150 @@ def an_pattern_spans(spark, sf_dir):
         ev, "user_id", "event_id", "event_type",
         ["view", "click", "purchase"], max_matches=10,
     )
+
+
+@register(
+    "an_sessionize",
+    oracle=f"""
+with o as (
+  select user_id, ts, event_id, value,
+         case when lag(ts) over (partition by user_id order by ts, event_id) is null
+                   or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts, event_id))
+                      > 1800 * 1000000
+              then 1 else 0 end as brk
+  from events
+),
+s as (
+  select *, sum(brk) over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row) as sess
+  from o
+)
+select user_id, cast(sess as bigint) as session_idx, count(*) as n_events,
+       min(ts) as session_start, max(ts) as session_end,
+       cast(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0) as bigint) as duration_s,
+       {sqlgen.fsum("value", "total_value")}
+from s group by user_id, sess
+""",
+    survey_ref="an-sessionize",
+    doc="batch gap-based sessionization (analytics.sessionize): idle gap "
+    "> 30 min closes the session — the batch counterpart of "
+    "sw_session_window with identical strict-gap semantics.  ONE "
+    "exchange on user_id: the lag flag and the running session index "
+    "share a single window sort, and the closing (user, session) "
+    "aggregate is clustered by the same partitioning (AQE keeps it "
+    "exchange-free).  fsum total => bitwise cross-engine.",
+)
+def an_sessionize(spark, sf_dir):
+    from ..operators.analytics import sessionize
+
+    return sessionize(T(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register(
+    "dd_containment",
+    oracle="""
+with sh as (
+  select doc_id as _id, unnest(list_distinct(string_split(text, ' '))) as _s
+  from documents
+),
+sizes as (select _id, count(*) as _sz from sh group by _id),
+inter as (
+  select l._id as id_a, r._id as id_b, count(*) as _inter
+  from sh l join sh r on l._s = r._s and l._id <> r._id
+  group by 1, 2
+)
+select id_a, id_b, (_inter / sa._sz) as containment
+from inter join sizes sa on inter.id_a = sa._id
+where (_inter / sa._sz) >= 0.9
+""",
+    survey_ref="dedup-containment",
+    doc="directed n-gram containment pairs |A∩B|/|A| >= 0.9 "
+    "(dedup.containment_pairs): the quote/excerpt detector Jaccard "
+    "misses — prefix-filtered AllPairs probing (rarest shingles only) "
+    "against the posting index, full-intersection verify => output "
+    "bitwise identical to the naive quadratic oracle.",
+)
+def dd_containment(spark, sf_dir):
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(T(spark, sf_dir, "documents"), "doc_id", "text", n=1, threshold=0.9)
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled synchronous LPA recursion — integer counts and ids only,
+    identical (count desc, label asc) argmax => bitwise cross-engine."""
+    sql = """
+with e0 as (
+  select l_orderkey as u, l_partkey as v from lineitem where l_orderkey <= 600
+),
+edges as (select u, v from e0 union select v, u from e0),
+nodes as (select distinct u as node from edges),
+l0 as (select node, node as label from nodes)"""
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+c{i} as (select e.u as node, l.label, count(*) as n
+         from edges e join {prev} l on e.v = l.node group by 1, 2),
+r{i} as (select node, label,
+                row_number() over (partition by node order by n desc, label asc) as rn
+         from c{i}),
+l{i} as (select node, label from r{i} where rn = 1)"""
+        prev = f"l{i}"
+    return sql + f"\nselect node, cast(label as bigint) as label from {prev}"
+
+
+@register(
+    "gr_label_propagation",
+    oracle=_lpa_oracle(),
+    survey_ref="graph-lpa",
+    doc="synchronous label-propagation communities (graph.label_propagation) "
+    "over the order->part bipartite edges: majority neighbor label, "
+    "(count desc, label asc) tie-break, fixed 3 rounds — deterministic "
+    "by construction (async LPA is run-order-dependent); oracle = the "
+    "unrolled integer recursion, bitwise.",
+)
+def gr_label_propagation(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") <= 600).select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return label_propagation(edges)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+with raw as (
+  select doc_id as media_id, hex(encode(text)) as hx,
+         cast(octet_length(encode(text)) // 16 as int) as n_frames
+  from documents
+),
+idx as (
+  select media_id, n_frames, hx, unnest(range(0, n_frames, 3)) as frame_idx
+  from raw where n_frames >= 1
+)
+select media_id, cast(frame_idx as int) as frame_idx, n_frames,
+       substr(hx, cast(frame_idx * 32 + 1 as int), 32) as frame_hex
+from idx
+""",
+    survey_ref="multimodal-frame-sample",
+    doc="REAL video frame sampling for fixed-frame-size (rawvideo-style) "
+    "payloads (multimodal.frame_sample): every 3rd 16-byte frame sliced "
+    "JVM-side via sequence+explode+binary substring — no Python worker, "
+    "no codec, full payloads never leave the scan stage.  Fixture: the "
+    "doc's UTF-8 bytes as the raw stream; the oracle replays the byte "
+    "slicing on the hex image of the same blob.",
+)
+def mm_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import frame_sample
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = frame_sample(docs, frame_bytes=16, every_n=3)
+    return out.select(
+        "media_id", "frame_idx", "n_frames", F.hex("frame").alias("frame_hex")
+    )
