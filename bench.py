@@ -80,6 +80,8 @@ HEADLINE = [
     "an_sessionize",
     "gr_label_propagation",
     "mm_frame_sample",
+    "an_rfm_segments",
+    "text_keywords",
 ]
 
 

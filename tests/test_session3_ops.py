@@ -153,3 +153,71 @@ def test_frame_sample_stride_and_validation(spark):
         frame_sample(df, frame_bytes=0)
     with pytest.raises(ValueError):
         frame_sample(df, frame_bytes=4, every_n=0)
+
+
+def test_rfm_segments_hand_computed(spark):
+    from vtb_datafusion_2023_spark.operators.analytics import rfm_segments
+
+    # 4 users, metrics constructed so every ntile(4) bucket holds exactly
+    # one user: recency order u4<u3<u2<u1, frequency order u1<u2<u3<u4,
+    # monetary order u1<u2<u3<u4
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for u, (days_ago, n_ev, val) in {
+        1: (30, 1, 1.0),
+        2: (20, 2, 5.0),
+        3: (10, 3, 9.0),
+        4: (0, 4, 20.0),
+    }.items():
+        for i in range(n_ev):
+            eid += 1
+            rows.append(
+                (u, base + dt.timedelta(days=-days_ago, minutes=i), eid, val)
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {r.user_id: r for r in rfm_segments(df).collect()}
+    assert got[4].r_score == 4 and got[1].r_score == 1
+    assert got[4].f_score == 4 and got[1].f_score == 1
+    assert got[4].m_score == 4 and got[1].m_score == 1
+    assert got[4].segment == 444 and got[1].segment == 111
+    assert got[2].segment == 222 and got[3].segment == 333
+    assert got[4].recency_days == 0 and got[1].recency_days == 30
+    assert got[4].frequency == 4 and got[4].monetary == 80.0
+
+
+def test_rfm_segments_partitioning_invariant(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.analytics import rfm_segments
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    a = sorted(map(tuple, rfm_segments(ev.repartition(1)).collect()))
+    b = sorted(map(tuple, rfm_segments(ev.repartition(17)).collect()))
+    assert a == b
+
+
+def test_text_keywords_rank_and_tiebreak(spark):
+    from vtb_datafusion_2023_spark.suite.datapipe import text_keywords as _  # noqa: F401
+    from vtb_datafusion_2023_spark.operators.analytics import topk_per_group
+    from vtb_datafusion_2023_spark.operators.text import tfidf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare unique words common common"),
+            (2, "common common other other other boring"),
+            (3, "common boring filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = tfidf(docs)
+    top = topk_per_group(scored, ["doc_id"], "tfidf", 2, tie_cols=["term"])
+    got = {}
+    for r in top.collect():
+        got.setdefault(r.doc_id, []).append((r.term, r.tf, r.df))
+    # doc 1: 'common' appears in all 3 docs (idf=0) — top terms are the
+    # df=1 singletons, tie broken alphabetically
+    terms1 = sorted(t for t, _, _ in got[1])
+    assert terms1 == ["rare", "unique"]
+    # every kept term beats or ties the excluded ones deterministically
+    assert all(len(v) == 2 for v in got.values())

@@ -784,3 +784,63 @@ def sessionize(
         rows.groupBy(F.col(key), F.col("session_idx").cast("bigint").alias("session_idx"))
         .agg(*aggs)
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    buckets: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic behavioral scoring over an event log: per key, days since
+    last activity, event count, and value total, each scored into
+    ``buckets`` equi-depth bins (4 = best quartile), composed into the
+    conventional 3-digit segment code (``444`` = champions).
+
+    Determinism: recency is integer µs -> floor days against the GLOBAL
+    max timestamp (an in-plan broadcast scalar, no collect); monetary is
+    the fixed-point ``fsum``; each ntile orders by (metric, key) so ties
+    split identically on any engine/partitioning.
+
+    Scale: stage 1 is one partial-aggregable hash agg over events (the
+    big input) down to |keys| rows.  The three scoring ntiles are GLOBAL
+    windows — a deliberate single-partition sort over the small per-key
+    table (fine to ~10^8 keys); past that, swap the ntile for quantile-
+    edge binning via ``rollup.partial_quantiles`` (KLL) and broadcast
+    the ``buckets - 1`` edges — same output contract, no global sort.
+    """
+    from .. import sqlgen
+
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = df.groupBy(key).agg(
+        F.max(epoch).alias("_last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.expr(sqlgen.fsum(val_col)).alias("monetary"),
+    )
+    anchor = df.agg(F.max(epoch).alias("_anchor_us"))
+    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.floor(
+            (F.col("_anchor_us") - F.col("_last_us")) / F.lit(86400.0 * 1_000_000)
+        ).cast("bigint"),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col(key).asc())
+    wf = Window.orderBy(F.col("frequency").asc(), F.col(key).asc())
+    wm = Window.orderBy(F.col("monetary").asc(), F.col(key).asc())
+    b = int(buckets)
+    scored = per.select(
+        key,
+        "recency_days",
+        "frequency",
+        "monetary",
+        # most recent (smallest recency) = best score b
+        (F.lit(b + 1) - F.ntile(b).over(wr)).cast("int").alias("r_score"),
+        F.ntile(b).over(wf).cast("int").alias("f_score"),
+        F.ntile(b).over(wm).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    )

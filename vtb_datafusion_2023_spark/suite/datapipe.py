@@ -3883,3 +3883,89 @@ def mm_frame_sample(spark, sf_dir):
     return out.select(
         "media_id", "frame_idx", "n_frames", F.hex("frame").alias("frame_hex")
     )
+
+
+@register(
+    "an_rfm_segments",
+    oracle=f"""
+with per as (
+  select user_id,
+         max(epoch_us(ts)) as _last_us,
+         cast(count(*) as bigint) as frequency,
+         {sqlgen.fsum("value", "monetary")}
+  from events group by user_id
+),
+anchor as (select max(epoch_us(ts)) as _anchor_us from events),
+r as (
+  select user_id, frequency, monetary,
+         cast(floor((_anchor_us - _last_us) / 86400000000.0) as bigint) as recency_days
+  from per cross join anchor
+),
+s as (
+  select user_id, recency_days, frequency, monetary,
+         cast(5 - ntile(4) over (order by recency_days asc, user_id asc) as int) as r_score,
+         cast(ntile(4) over (order by frequency asc, user_id asc) as int) as f_score,
+         cast(ntile(4) over (order by monetary asc, user_id asc) as int) as m_score
+  from r
+)
+select user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       cast(r_score * 100 + f_score * 10 + m_score as int) as segment
+from s
+""",
+    survey_ref="an-rfm",
+    doc="RFM customer segmentation (analytics.rfm_segments): one hash agg "
+    "events -> per-user (recency µs-exact vs the in-plan global max "
+    "anchor, count, fsum monetary), three equi-depth ntile scores with "
+    "(metric, user_id) tie-breaks, 3-digit segment code — bitwise "
+    "cross-engine; scale path for >1e8 users documented (KLL edge "
+    "binning instead of the global ntile).",
+)
+def an_rfm_segments(spark, sf_dir):
+    from ..operators.analytics import rfm_segments
+
+    return rfm_segments(T(spark, sf_dir, "events"))
+
+
+@register(
+    "text_keywords",
+    oracle="""
+with t as (select doc_id, unnest(string_split(text, ' ')) as term from documents),
+tf as (select doc_id, term, count(*) as tf from t group by 1, 2),
+dft as (select term, count(*) as df from tf group by 1),
+n as (select cast(count(*) as double) as n_docs from documents),
+scored as (
+  select doc_id, term, tf, df, (tf * ln(n.n_docs / df)) as tfidf
+  from tf join dft using (term), n
+),
+rk as (
+  select *, row_number() over (partition by doc_id
+                               order by tfidf desc, term asc) as rank
+  from scored
+)
+select doc_id, cast(rank as int) as rank, term, tfidf
+from rk where rank <= 3
+""",
+    survey_ref="text-keywords",
+    doc="per-document keyword extraction: top-3 terms by TF-IDF "
+    "(text.tfidf composed with analytics.topk_per_group — row_number "
+    "rewritten to WindowGroupLimit: each map task keeps a 3-row heap "
+    "per doc BEFORE the shuffle), (tfidf desc, term asc) tie-break => "
+    "deterministic selection, bitwise cross-engine scores.",
+)
+def text_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.analytics import topk_per_group
+    from ..operators.text import tfidf
+
+    scored = tfidf(T(spark, sf_dir, "documents"))
+    top = topk_per_group(scored, ["doc_id"], "tfidf", 3, tie_cols=["term"])
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return top.select(
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("rank"),
+        "term",
+        "tfidf",
+    )
