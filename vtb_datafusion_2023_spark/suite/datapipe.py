@@ -3969,3 +3969,45 @@ def text_keywords(spark, sf_dir):
         "term",
         "tfidf",
     )
+
+
+@register(
+    "sink_orc_jsonl_roundtrip",
+    oracle=f"""
+select event_type,
+       count(*) as n,
+       cast(sum(user_id) as bigint) as sum_uid,
+       {sqlgen.fsum("value", "sum_value")}
+from events
+group by event_type
+""",
+    survey_ref="S3,S4",
+    doc="secondary-sink certification: project events -> ORC sink -> "
+    "re-read -> JSONL sink -> schema-pinned re-read -> deterministic "
+    "aggregate.  The oracle aggregates the ORIGINAL table, so any row "
+    "lost/duplicated/corrupted across EITHER format round-trip — "
+    "including JSON double formatting (Spark writes shortest-round-trip "
+    "decimal text) and ORC type mapping — breaks the value hash.  "
+    "Completes sink coverage: CSV+parquet (sink_roundtrip), ORC+JSONL "
+    "(here), versioned manifest tables (tbl_* family).",
+)
+def sink_orc_jsonl_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..sources.writers import write_jsonl, write_orc
+
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="sink-orc-jsonl-")
+    write_orc(ev, os.path.join(tmp, "orc"))
+    back_orc = spark.read.orc(os.path.join(tmp, "orc"))
+    write_jsonl(back_orc, os.path.join(tmp, "jsonl"))
+    back = (
+        spark.read.schema("event_type string, user_id bigint, value double")
+        .json(os.path.join(tmp, "jsonl"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("bigint").alias("sum_uid"),
+        F.expr(sqlgen.fsum("value")).alias("sum_value"),
+    )
