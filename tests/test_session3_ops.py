@@ -221,3 +221,54 @@ def test_text_keywords_rank_and_tiebreak(spark):
     assert terms1 == ["rare", "unique"]
     # every kept term beats or ties the excluded ones deterministically
     assert all(len(v) == 2 for v in got.values())
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user
+            st.integers(min_value=0, max_value=10_000_000), # offset µs
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),  # gap seconds
+)
+def test_sessionize_matches_python_reference(spark, events, gap_s):
+    """Property: session boundaries, counts, and durations equal a
+    pure-Python replay of the strict-gap recurrence on arbitrary
+    microsecond-resolution streams."""
+    from vtb_datafusion_2023_spark.operators.analytics import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(microseconds=off), i + 1)
+        for i, (u, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = sorted(
+        (r.user_id, r.session_idx, r.n_events, r.duration_s)
+        for r in sessionize(df, gap_seconds=gap_s, val_col=None).collect()
+    )
+
+    # python reference: same (ts, event_id) order, strict-gap break
+    per_user = {}
+    for u, ts, eid in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        per_user.setdefault(u, []).append(ts)
+    expect = []
+    gap_us = gap_s * 1_000_000
+    for u, tss in per_user.items():
+        sessions = []
+        for ts in tss:
+            us = (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+            if not sessions or us - sessions[-1][-1] > gap_us:
+                sessions.append([us])
+            else:
+                sessions[-1].append(us)
+        for i, s in enumerate(sessions, start=1):
+            expect.append((u, i, len(s), (s[-1] - s[0]) // 1_000_000))
+    assert got == sorted(expect)

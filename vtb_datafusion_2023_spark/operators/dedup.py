@@ -1124,6 +1124,12 @@ def containment_pairs(
     docs = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     ).withColumn("_sz", F.size("_sh"))
+    # the shingle-array table feeds five plan branches (df frequency,
+    # prefix probe, posting side, both verify sides) — pin it once so
+    # the corpus scan + per-doc shingling doesn't replay per branch
+    # (audited: 5 FileScans without the checkpoint, 0 after the first
+    # materialization; lazy so plain plan construction stays job-free)
+    docs = docs.localCheckpoint(eager=False)
     sh = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
     if prefix_filter:
         dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
