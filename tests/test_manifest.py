@@ -351,3 +351,53 @@ def test_zone_map_mixed_granularity_probe_keeps_boundary_file(spark, tmp_path):
     # pruning still fires when decidable at date granularity
     narrow = read_versioned_range(spark, t, "ts", hi=dt.date(2023, 1, 1))
     assert len(set(narrow.inputFiles())) < 3
+
+
+def test_schema_evolution_appended_column_and_time_travel(spark, tmp_path):
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        read_versioned,
+    )
+
+    td = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, 10), (2, 20)], "id long, a int")
+    commit_versioned(v1, td)
+    v2 = spark.createDataFrame([(3, 30, "x")], "id long, a int, b string")
+    commit_versioned(v2, td, mode="append")
+
+    cur = read_versioned(spark, td)
+    assert [f.name for f in cur.schema.fields] == ["id", "a", "b"]
+    got = {r.id: (r.a, r.b) for r in cur.collect()}
+    # old files scan the evolved column as NULL
+    assert got == {1: (10, None), 2: (20, None), 3: (30, "x")}
+    # time travel sees the schema OF THAT version's manifest
+    old = read_versioned(spark, td, version=1)
+    assert [f.name for f in old.schema.fields] == ["id", "a"]
+    assert old.count() == 2
+
+
+def test_schema_evolution_rejects_type_change_on_append(spark, tmp_path):
+    import pytest
+
+    from vtb_datafusion_2023_spark.sources.manifest import commit_versioned
+
+    td = str(tmp_path / "evolve2")
+    commit_versioned(spark.createDataFrame([(1, 10)], "id long, a int"), td)
+    bad = spark.createDataFrame([(2, "oops")], "id long, a string")
+    with pytest.raises(ValueError, match="schema evolution cannot change"):
+        commit_versioned(bad, td, mode="append")
+
+
+def test_schema_evolution_append_missing_column_keeps_it(spark, tmp_path):
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        read_versioned,
+    )
+
+    td = str(tmp_path / "evolve3")
+    commit_versioned(spark.createDataFrame([(1, 10)], "id long, a int"), td)
+    # an append that DROPS a column keeps it in the union schema —
+    # the new file's rows read it as NULL
+    commit_versioned(spark.createDataFrame([(2,)], "id long"), td, mode="append")
+    got = {r.id: r.a for r in read_versioned(spark, td).collect()}
+    assert got == {1: 10, 2: None}

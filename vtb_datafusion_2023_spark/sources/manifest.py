@@ -59,6 +59,44 @@ def _file_names(manifest: dict) -> list[str]:
     return [e["name"] if isinstance(e, dict) else e for e in manifest["files"]]
 
 
+def _normalized_schema(df: DataFrame) -> dict:
+    """Schema as a manifest-storable dict, nullability normalized to True
+    (files written before a column existed read it as NULL, so a
+    versioned table's columns are nullable by construction)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    ).jsonValue()
+
+
+def _evolved_schema(prev: dict | None, df: DataFrame) -> dict:
+    """SCHEMA EVOLUTION (append mode): the table schema is the previous
+    manifest schema plus any NEW columns the incoming frame adds, in
+    order.  Columns present in both must keep their exact dataType —
+    a type change would silently corrupt rows in files written under
+    the old type, so it raises instead (rewrite via overwrite mode or a
+    migration job).  Old files simply lack the new columns; the reader
+    scans them as NULL under the manifest schema."""
+    new = _normalized_schema(df)
+    if prev is None:
+        return new
+    prev_fields = {f["name"]: f for f in prev["fields"]}
+    new_fields = {f["name"]: f for f in new["fields"]}
+    for name, f in new_fields.items():
+        if name in prev_fields and prev_fields[name]["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {name!r} from "
+                f"{prev_fields[name]['type']} to {f['type']}; use "
+                "mode='overwrite' (full rewrite) for type migrations"
+            )
+    merged = dict(prev)
+    merged["fields"] = prev["fields"] + [
+        f for f in new["fields"] if f["name"] not in prev_fields
+    ]
+    return merged
+
+
 import contextlib
 
 
@@ -162,9 +200,15 @@ def commit_versioned(
         files.append(entry)
     shutil.rmtree(stage, ignore_errors=True)
 
+    schema = _normalized_schema(df)
     if mode == "append" and versions:
-        files = _read_manifest(table_dir, versions[-1])["files"] + files
-    manifest = {"version": version, "mode": mode, "files": files}
+        prev = _read_manifest(table_dir, versions[-1])
+        files = prev["files"] + files
+        # evolve rather than replace: appended files may ADD columns;
+        # existing columns keep their types (validated) and old files
+        # read the new columns as NULL under the manifest schema
+        schema = _evolved_schema(prev.get("schema"), df)
+    manifest = {"version": version, "mode": mode, "files": files, "schema": schema}
     if manifest_extra:
         # caller metadata (e.g. the streaming sink's batch_id txn guard)
         # rides the SAME atomic publish — no stamp-after-commit window
@@ -188,9 +232,19 @@ def read_versioned(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
-    files = _file_names(_read_manifest(table_dir, v))
+    m = _read_manifest(table_dir, v)
+    files = _file_names(m)
     data_dir = os.path.join(table_dir, "data")
-    return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
+    paths = [os.path.join(data_dir, f) for f in files]
+    if "schema" in m:
+        # the manifest-recorded schema IS the table schema (per version —
+        # time travel sees the schema of ITS manifest): files written
+        # before a column evolved in scan it as NULL, and no footer
+        # sniffing/mergeSchema pass is needed at any table size
+        from pyspark.sql import types as T
+
+        return spark.read.schema(T.StructType.fromJson(m["schema"])).parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 def vacuum_versioned(table_dir: str, keep: int = 2) -> list[str]:

@@ -4011,3 +4011,44 @@ def sink_orc_jsonl_roundtrip(spark, sf_dir):
         F.sum("user_id").cast("bigint").alias("sum_uid"),
         F.expr(sqlgen.fsum("value")).alias("sum_value"),
     )
+
+
+@register(
+    "tbl_schema_evolution",
+    oracle="""
+select case when doc_id % 2 = 1 then lang end as lang,
+       count(*) as n,
+       cast(sum(n_chars) as bigint) as sum_chars
+from documents group by 1
+""",
+    survey_ref="table-schema-evolution",
+    doc="schema evolution on manifest-committed tables: v1 commits "
+    "(doc_id, n_chars), v2 APPENDS rows with an added lang column — "
+    "the manifest records the evolved union schema, the reader scans "
+    "v1's files as lang=NULL under that schema (no mergeSchema footer "
+    "sniff at any table size), and time travel to v1 still sees v1's "
+    "own 2-column schema.  The aggregate over the merged read is "
+    "hash-compared against replaying the split on the original table; "
+    "type changes on append raise (pytest).",
+)
+def tbl_schema_evolution(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..sources.manifest import commit_versioned, read_versioned
+
+    docs = T(spark, sf_dir, "documents")
+    td = os.path.join(tempfile.mkdtemp(prefix="tbl-evolve-"), "t")
+    commit_versioned(
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars"), td
+    )
+    commit_versioned(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang"),
+        td,
+        mode="append",
+    )
+    cur = read_versioned(spark, td)
+    return cur.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
