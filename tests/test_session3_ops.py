@@ -272,3 +272,61 @@ def test_sessionize_matches_python_reference(spark, events, gap_s):
         for i, s in enumerate(sessions, start=1):
             expect.append((u, i, len(s), (s[-1] - s[0]) // 1_000_000))
     assert got == sorted(expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=9),   # frame_bytes
+    st.integers(min_value=1, max_value=4),   # every_n
+)
+def test_frame_sample_matches_python_slicing(spark, payloads, fb, ev):
+    from vtb_datafusion_2023_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    got = sorted(
+        (r.media_id, r.frame_idx, bytes(r.frame))
+        for r in frame_sample(df, frame_bytes=fb, every_n=ev).collect()
+    )
+    expect = []
+    for i, p in enumerate(payloads):
+        nf = len(p) // fb
+        for k in range(0, nf, ev):
+            expect.append((i, k, p[k * fb : (k + 1) * fb]))
+    assert got == sorted(expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9, 1.0]),
+)
+def test_containment_matches_python_sets(spark, texts, threshold):
+    from vtb_datafusion_2023_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.containment, 12)
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    sets = [set(t.split(" ")) for t in texts]
+    expect = {}
+    for a, sa in enumerate(sets):
+        for b, sb in enumerate(sets):
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                expect[(a, b)] = round(c, 12)
+    assert got == expect
