@@ -330,3 +330,34 @@ def test_containment_matches_python_sets(spark, texts, threshold):
             if c >= threshold:
                 expect[(a, b)] = round(c, 12)
     assert got == expect
+
+
+def test_throttle_events_keeps_first_per_window(spark):
+    from vtb_datafusion_2023_spark.operators.filtering import throttle_events
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: burst of 4 inside one hour window, then 1 next hour
+        (1, base + dt.timedelta(minutes=m), i + 1)
+        for i, m in enumerate([0, 1, 2, 3, 61])
+    ] + [(2, base, 10)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    kept = sorted(
+        (r.user_id, r.event_id)
+        for r in throttle_events(df, window_seconds=3600, keep=2).collect()
+    )
+    # first 2 of the burst survive, the 61-minute event opens a new window
+    assert kept == [(1, 1), (1, 2), (1, 5), (2, 10)]
+    with pytest.raises(ValueError):
+        throttle_events(df, window_seconds=0)
+    with pytest.raises(ValueError):
+        throttle_events(df, keep=0)
+
+
+def test_throttle_events_window_group_limit_plan(spark):
+    from vtb_datafusion_2023_spark.operators.filtering import throttle_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = throttle_events(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

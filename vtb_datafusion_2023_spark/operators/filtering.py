@@ -424,3 +424,44 @@ def interleave_sources(
     return d.select(
         id_col, source_col, "shard", (pos - 1).cast("bigint").alias("pos")
     )
+
+
+def throttle_events(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    keep: int = 1,
+    tie_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """Rate limiting / windowed dedup: keep each key's FIRST ``keep``
+    events per tumbling ``window_seconds`` window (epoch-aligned) — the
+    standard ingestion throttle for retry storms, bot bursts, and
+    at-least-once upstreams where latest-by-key is too coarse (it keeps
+    one row EVER; this keeps one per window).
+
+    One exchange on ``(key, window)``; the row_number rewrites to
+    WindowGroupLimit, so each map task ships at most ``keep`` rows per
+    (key, window) into the shuffle — under a retry storm the shuffle
+    carries the throttled volume, not the storm.  Window assignment is
+    integer µs floor-division: engine-portable, no session-timezone
+    dependence beyond the NTZ reinterpretation (pinned UTC).
+    """
+    from pyspark.sql import Window
+
+    if window_seconds <= 0 or keep <= 0:
+        raise ValueError(
+            f"window_seconds and keep must be positive, got {window_seconds}, {keep}"
+        )
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    win = F.floor(epoch / F.lit(float(window_seconds) * 1_000_000)).cast("bigint")
+    w = Window.partitionBy(F.col(key), F.col("_win")).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    return (
+        df.withColumn("_win", win)
+        .withColumn("_rn_thr", F.row_number().over(w))
+        .filter(F.col("_rn_thr") <= keep)
+        .drop("_rn_thr")
+        .withColumnRenamed("_win", "window_id")
+    )

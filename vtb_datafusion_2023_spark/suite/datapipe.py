@@ -4052,3 +4052,35 @@ def tbl_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "dp_throttle",
+    oracle="""
+with w as (
+  select *, cast(floor(epoch_us(ts) / 3600000000.0) as bigint) as window_id
+  from events
+),
+r as (
+  select event_id, user_id, window_id,
+         row_number() over (partition by user_id, window_id
+                            order by ts, event_id) as rn
+  from w
+)
+select event_id, user_id, window_id from r where rn <= 2
+""",
+    survey_ref="dp-throttle",
+    doc="windowed rate limiting (filtering.throttle_events): keep each "
+    "user's first 2 events per epoch-aligned hour — the ingestion "
+    "throttle for retry storms where latest-by-key is too coarse.  One "
+    "(key, window) exchange; row_number rewrites to WindowGroupLimit so "
+    "map tasks ship at most `keep` rows per (key, window): under a "
+    "storm the shuffle carries the throttled volume, not the storm.",
+)
+def dp_throttle(spark, sf_dir):
+    from ..operators.filtering import throttle_events
+
+    out = throttle_events(
+        T(spark, sf_dir, "events"), window_seconds=3600, keep=2
+    )
+    return out.select("event_id", "user_id", "window_id")
