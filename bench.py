@@ -82,6 +82,8 @@ HEADLINE = [
     "mm_frame_sample",
     "an_rfm_segments",
     "text_keywords",
+    "dp_throttle",
+    "an_top_paths",
 ]
 
 

@@ -361,3 +361,30 @@ def test_throttle_events_window_group_limit_plan(spark):
     plan = throttle_events(ev)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_paths_hand_computed(spark):
+    from vtb_datafusion_2023_spark.operators.analytics import top_paths
+
+    base = dt.datetime(2024, 1, 1)
+    seq = {
+        1: ["a", "b", "c", "a", "b", "c"],   # paths: a>b>c, b>c>a, c>a>b, a>b>c
+        2: ["a", "b", "c"],                  # a>b>c
+    }
+    rows = []
+    eid = 0
+    for u, types in seq.items():
+        for t in types:
+            eid += 1
+            rows.append((u, base + dt.timedelta(minutes=eid), eid, t))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {r.path: (r.n, r.rank) for r in top_paths(df, k=10).collect()}
+    assert got == {
+        "a > b > c": (3, 1),
+        "b > c > a": (1, 2),
+        "c > a > b": (1, 3),
+    }
+    with pytest.raises(ValueError):
+        top_paths(df, steps=1)

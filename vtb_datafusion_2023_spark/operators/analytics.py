@@ -844,3 +844,43 @@ def rfm_segments(
         "segment",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ord_cols: tuple = ("ts", "event_id"),
+    steps: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent ``steps``-long event-type paths across all
+    per-key sequences — the path-analysis complement of
+    :func:`markov_transitions` (which models single transitions): which
+    WHOLE journeys dominate.
+
+    Plan: one per-key window with ``steps - 1`` stacked leads (one sort,
+    shared spec), one hash count over the path tuples (map-side
+    partials), then a WindowGroupLimit-free global top-k: the path
+    table is |types|^steps rows at most — tiny — so the final
+    row_number over a single-partition window costs nothing after the
+    count collapse.  Ties break on the path itself so the selection is
+    deterministic on any engine.  Returns ``(path, n, rank)``.
+    """
+    if steps < 2:
+        raise ValueError(f"steps must be >= 2, got {steps}")
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in ord_cols])
+    cols = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, steps)
+    ]
+    paths = df.select(F.concat_ws(" > ", *cols).alias("path"), cols[-1].alias("_last"))
+    counted = (
+        paths.filter(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

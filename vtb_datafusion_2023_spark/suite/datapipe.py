@@ -4084,3 +4084,37 @@ def dp_throttle(spark, sf_dir):
         T(spark, sf_dir, "events"), window_seconds=3600, keep=2
     )
     return out.select("event_id", "user_id", "window_id")
+
+
+@register(
+    "an_top_paths",
+    oracle="""
+with s as (
+  select event_type as t1,
+         lead(event_type, 1) over w as t2,
+         lead(event_type, 2) over w as t3
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+c as (
+  select concat_ws(' > ', t1, t2, t3) as path, count(*) as n
+  from s where t3 is not null group by 1
+),
+r as (
+  select path, n,
+         cast(row_number() over (order by n desc, path asc) as int) as rank
+  from c
+)
+select path, n, rank from r where rank <= 20
+""",
+    survey_ref="an-paths",
+    doc="top-20 most frequent 3-step event-type paths "
+    "(analytics.top_paths): stacked leads on ONE per-user window sort, "
+    "one map-side-combined path count (<= |types|^3 rows), "
+    "deterministic (n desc, path asc) top-k — the whole-journey "
+    "complement of the Markov transition matrix.",
+)
+def an_top_paths(spark, sf_dir):
+    from ..operators.analytics import top_paths
+
+    return top_paths(T(spark, sf_dir, "events"))
