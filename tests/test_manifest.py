@@ -401,3 +401,66 @@ def test_schema_evolution_append_missing_column_keeps_it(spark, tmp_path):
     commit_versioned(spark.createDataFrame([(2,)], "id long"), td, mode="append")
     got = {r.id: r.a for r in read_versioned(spark, td).collect()}
     assert got == {1: 10, 2: None}
+
+
+def test_schema_evolution_from_legacy_manifest_keeps_old_columns(spark, tmp_path):
+    """A table committed before schema tracking (manifest without a
+    'schema' key) must evolve by recovering the old files' schema —
+    not by pinning only the new frame's columns (which would silently
+    hide old-only columns and skip the type guard)."""
+    import json
+    import os
+
+    import pytest
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        read_versioned,
+    )
+
+    td = str(tmp_path / "legacy")
+    commit_versioned(spark.createDataFrame([(1, 10)], "id long, a int"), td)
+    # simulate a pre-schema-evolution manifest
+    mp = os.path.join(td, "manifest-v1.json")
+    m = json.load(open(mp))
+    del m["schema"]
+    json.dump(m, open(mp, "w"))
+
+    commit_versioned(
+        spark.createDataFrame([(2, "x")], "id long, b string"), td, mode="append"
+    )
+    cur = read_versioned(spark, td)
+    assert [f.name for f in cur.schema.fields] == ["id", "a", "b"]
+    got = {r.id: (r.a, r.b) for r in cur.collect()}
+    assert got == {1: (10, None), 2: (None, "x")}
+    # and the type guard fires against the RECOVERED schema too
+    mp2 = os.path.join(td, "manifest-v2.json")
+    m2 = json.load(open(mp2))
+    del m2["schema"]
+    json.dump(m2, open(mp2, "w"))
+    with pytest.raises(ValueError, match="schema evolution cannot change"):
+        commit_versioned(
+            spark.createDataFrame([(3, 1.5)], "id long, a double"), td, mode="append"
+        )
+
+
+def test_schema_evolution_rejects_before_writing_data(spark, tmp_path):
+    """A rejected type change must not leave the append's data files
+    behind as orphans — validation happens before the staging write."""
+    import glob
+    import os
+
+    import pytest
+
+    from vtb_datafusion_2023_spark.sources.manifest import commit_versioned
+
+    td = str(tmp_path / "noorphans")
+    commit_versioned(spark.createDataFrame([(1, 10)], "id long, a int"), td)
+    before = set(glob.glob(os.path.join(td, "data", "*")))
+    with pytest.raises(ValueError, match="schema evolution cannot change"):
+        commit_versioned(
+            spark.createDataFrame([(2, "oops")], "id long, a string"),
+            td,
+            mode="append",
+        )
+    assert set(glob.glob(os.path.join(td, "data", "*"))) == before

@@ -61,8 +61,13 @@ def main() -> int:
         return 2
 
     import bench
+    from vtb_datafusion_2023_spark.suite import queries
 
     names = args.names or list(bench.HEADLINE)
+    unknown = [n for n in names if n not in queries()]
+    if unknown:  # fail BEFORE minutes of measurements, not mid-run
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     base = run(names, args.base, args.reps)
     big = run(names, args.big, args.reps)
 

@@ -800,9 +800,10 @@ def rfm_segments(
     conventional 3-digit segment code (``444`` = champions).
 
     Determinism: recency is integer µs -> floor days against the GLOBAL
-    max timestamp (an in-plan broadcast scalar, no collect); monetary is
-    the fixed-point ``fsum``; each ntile orders by (metric, key) so ties
-    split identically on any engine/partitioning.
+    max timestamp (max of the per-key maxes, an in-plan broadcast scalar
+    over the aggregated table — no collect, no second scan of events);
+    monetary is the fixed-point ``fsum``; each ntile orders by
+    (metric, key) so ties split identically on any engine/partitioning.
 
     Scale: stage 1 is one partial-aggregable hash agg over events (the
     big input) down to |keys| rows.  The three scoring ntiles are GLOBAL
@@ -819,7 +820,12 @@ def rfm_segments(
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.expr(sqlgen.fsum(val_col)).alias("monetary"),
     )
-    anchor = df.agg(F.max(epoch).alias("_anchor_us"))
+    # the global anchor is the max of the per-key maxes — derive it from
+    # the tiny aggregated table instead of a second full scan of events;
+    # the aggregate feeds two branches (anchor + scoring), so pin it
+    # once (pagerank's materialize_aux rationale — |keys| rows)
+    per = per.localCheckpoint(eager=True)
+    anchor = per.agg(F.max("_last_us").alias("_anchor_us"))
     per = per.crossJoin(F.broadcast(anchor)).withColumn(
         "recency_days",
         F.floor(

@@ -444,17 +444,20 @@ def throttle_events(
     WindowGroupLimit, so each map task ships at most ``keep`` rows per
     (key, window) into the shuffle — under a retry storm the shuffle
     carries the throttled volume, not the storm.  Window assignment is
-    integer µs floor-division: engine-portable, no session-timezone
-    dependence beyond the NTZ reinterpretation (pinned UTC).
+    TRUE integer µs division (SQL ``div`` — no float regime where a
+    1 µs-pre-boundary event could round across): engine-portable, no
+    session-timezone dependence beyond the NTZ reinterpretation
+    (pinned UTC).
     """
-    from pyspark.sql import Window
-
     if window_seconds <= 0 or keep <= 0:
         raise ValueError(
             f"window_seconds and keep must be positive, got {window_seconds}, {keep}"
         )
     epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    win = F.floor(epoch / F.lit(float(window_seconds) * 1_000_000)).cast("bigint")
+    window_us = int(window_seconds) * 1_000_000
+    win = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {window_us}"
+    ).cast("bigint")
     w = Window.partitionBy(F.col(key), F.col("_win")).orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_cols]
     )

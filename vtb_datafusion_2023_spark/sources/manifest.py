@@ -183,6 +183,31 @@ def commit_versioned(
     versions = table_versions(table_dir)
     version = (versions[-1] + 1) if versions else 1
 
+    # resolve the table schema BEFORE any data is written: a rejected
+    # type change must not leave a full append's worth of orphans in
+    # data/ (it needs only df.schema + the previous manifest)
+    schema = _normalized_schema(df)
+    prev = None
+    if mode == "append" and versions:
+        prev = _read_manifest(table_dir, versions[-1])
+        prev_schema = prev.get("schema")
+        if prev_schema is None and prev["files"]:
+            # pre-schema-evolution manifest: recover the old files'
+            # schema ONCE from their footers — without this, evolving a
+            # legacy table would pin only the new frame's columns and
+            # silently hide old-only columns from every later read (and
+            # skip the type-change guard)
+            old_paths = [
+                os.path.join(data_dir, f) for f in _file_names(prev)
+            ]
+            prev_schema = _normalized_schema(
+                df.sparkSession.read.parquet(*old_paths)
+            )
+        # evolve rather than replace: appended files may ADD columns;
+        # existing columns keep their types (validated) and old files
+        # read the new columns as NULL under the manifest schema
+        schema = _evolved_schema(prev_schema, df)
+
     stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
     with _micros_timestamps(df):
         df.write.mode("overwrite").parquet(stage)
@@ -200,14 +225,8 @@ def commit_versioned(
         files.append(entry)
     shutil.rmtree(stage, ignore_errors=True)
 
-    schema = _normalized_schema(df)
-    if mode == "append" and versions:
-        prev = _read_manifest(table_dir, versions[-1])
+    if prev is not None:
         files = prev["files"] + files
-        # evolve rather than replace: appended files may ADD columns;
-        # existing columns keep their types (validated) and old files
-        # read the new columns as NULL under the manifest schema
-        schema = _evolved_schema(prev.get("schema"), df)
     manifest = {"version": version, "mode": mode, "files": files, "schema": schema}
     if manifest_extra:
         # caller metadata (e.g. the streaming sink's batch_id txn guard)

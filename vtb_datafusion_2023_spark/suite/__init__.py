@@ -113,9 +113,9 @@ _UNCHECKED_TAIL: list[str] = []
 #    sk_approx_distinct / so3_bootstrap_sample (rows-only by design —
 #    a re-run adds no hash evidence) and the three trivial set ops
 #    (so1/so2/so4 — single-operator plans with no drift surface).
-#    The excluded five plus the ~12 tail names past the ~50 cutoff
-#    (positions 51-62) roll to r6 — all hold
-#    r1 greens, so nothing uncertified is at risk.
+#    The excluded five plus the ~22 tail names past the ~50 cutoff
+#    (positions 51-72 after the 10 session-3 inserts) roll to r6 — all
+#    hold r1 greens, so nothing uncertified is at risk.
 _FRONT_R5 = [
     # -- new this round, session 3 (never checked) --
     "an_sessionize",

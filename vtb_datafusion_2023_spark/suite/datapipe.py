@@ -3955,19 +3955,20 @@ from rk where rank <= 3
 def text_keywords(spark, sf_dir):
     from pyspark.sql import Window
 
-    from ..operators.analytics import topk_per_group
     from ..operators.text import tfidf
 
     scored = tfidf(T(spark, sf_dir, "documents"))
-    top = topk_per_group(scored, ["doc_id"], "tfidf", 3, tie_cols=["term"])
+    # one row_number does both the top-3 cut and the rank output —
+    # composing topk_per_group (which drops its rank) and a second
+    # identical window would pay a duplicate exchange+sort; this single
+    # window still rewrites to WindowGroupLimit (plan-asserted)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
-    return top.select(
-        "doc_id",
-        F.row_number().over(w).cast("int").alias("rank"),
-        "term",
-        "tfidf",
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
     )
 
 
@@ -4058,7 +4059,7 @@ def tbl_schema_evolution(spark, sf_dir):
     "dp_throttle",
     oracle="""
 with w as (
-  select *, cast(floor(epoch_us(ts) / 3600000000.0) as bigint) as window_id
+  select *, cast(epoch_us(ts) // 3600000000 as bigint) as window_id
   from events
 ),
 r as (
