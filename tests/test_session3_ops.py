@@ -388,3 +388,29 @@ def test_top_paths_hand_computed(spark):
     }
     with pytest.raises(ValueError):
         top_paths(df, steps=1)
+
+
+def test_embedding_drift_detects_planted_shift(spark):
+    from vtb_datafusion_2023_spark.operators.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    # cohort b: dimension 1 shifted by +0.5, others identical
+    b = spark.createDataFrame(
+        [(i, [1.0, 2.5, 3.0]) for i in range(7)], "vec_id long, embedding array<double>"
+    )
+    got = {r.i: (r.mean_a, r.mean_b, r.delta) for r in embedding_drift(a, b).collect()}
+    assert got[0] == (1.0, 1.0, 0.0)
+    assert got[1] == (2.0, 2.5, -0.5)
+    assert got[2] == (3.0, 3.0, 0.0)
+
+
+def test_embedding_drift_partitioning_invariant(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.similarity import embedding_drift
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    a, b = emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+    one = sorted(map(tuple, embedding_drift(a.repartition(1), b.repartition(1)).collect()))
+    many = sorted(map(tuple, embedding_drift(a.repartition(9), b.repartition(5)).collect()))
+    assert one == many and len(one) > 0

@@ -820,13 +820,16 @@ def rfm_segments(
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.expr(sqlgen.fsum(val_col)).alias("monetary"),
     )
-    # the global anchor is the max of the per-key maxes — derive it from
-    # the tiny aggregated table instead of a second full scan of events;
-    # the aggregate feeds two branches (anchor + scoring), so pin it
-    # once (pagerank's materialize_aux rationale — |keys| rows)
-    per = per.localCheckpoint(eager=True)
-    anchor = per.agg(F.max("_last_us").alias("_anchor_us"))
-    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+    # the global anchor is the max of the per-key maxes — a global
+    # window over the tiny aggregated table, NOT a second scan of the
+    # events input (and not a checkpointed side branch, which costs an
+    # extra synchronous job): the scoring ntiles below already move
+    # this |keys|-row table to a single partition, so the anchor max
+    # rides the same collapse for free
+    anchor_w = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = per.withColumn("_anchor_us", F.max("_last_us").over(anchor_w)).withColumn(
         "recency_days",
         F.floor(
             (F.col("_anchor_us") - F.col("_last_us")) / F.lit(86400.0 * 1_000_000)

@@ -1226,3 +1226,41 @@ def apply_projection(
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(out)})
 
     return df.select(id_col, vec_col).mapInPandas(_proj, schema=out_schema)
+
+
+def embedding_drift(
+    df_a: DataFrame, df_b: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension mean shift between two embedding cohorts — the
+    vector-space counterpart of the scalar PSI monitor
+    (``profile.drift_psi``): an embedding model change, a corpus-mix
+    shift, or an upstream encoder bug moves the per-dimension means
+    long before any downstream metric notices.
+
+    Shape: each cohort is ONE posexplode + one (i)-keyed hash aggregate
+    with map-side partials — the shuffle carries at most d rows per
+    task at any corpus size — then a d-row join.  Means use the
+    fixed-point ``sqlgen.fsum`` accumulation over exact float->double
+    casts, so the output is bitwise cross-engine and
+    partitioning-independent.
+
+    Returns ``(i, mean_a, mean_b, delta)`` for each dimension.
+    """
+    from .. import sqlgen
+
+    def means(df: DataFrame) -> DataFrame:
+        comp = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("i", "_v"))
+            .select("i", F.col("_v").cast("double").alias("_v"))
+        )
+        return comp.groupBy(F.col("i").cast("int").alias("i")).agg(
+            F.expr(sqlgen.fsum("_v")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+
+    a = means(df_a).select("i", (F.col("_s") / F.col("_n")).alias("mean_a"))
+    b = means(df_b).select("i", (F.col("_s") / F.col("_n")).alias("mean_b"))
+    return a.join(b, "i").select(
+        "i", "mean_a", "mean_b", (F.col("mean_a") - F.col("mean_b")).alias("delta")
+    )

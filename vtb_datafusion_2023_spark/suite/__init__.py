@@ -89,13 +89,14 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
-# Round-5 front block (72 names; the driver certifies ~50 in order, so
+# Round-5 front block (73 names; the driver certifies ~50 in order, so
 # the head is budget + a small spill that rolls to r6):
 #
-# 0. The 10 session-3 additions (batch sessionization, containment
+# 0. The 11 session-3 additions (batch sessionization, containment
 #    dedup, label-propagation communities, raw-frame sampling, RFM
 #    segmentation, TF-IDF keyword extraction, ORC+JSONL sink roundtrip,
-#    schema evolution, windowed throttle, top paths) — never
+#    schema evolution, windowed throttle, top paths, embedding
+#    drift) — never
 #    driver-certified, all locally hash-green at sf0.01.
 # 1. The 19 queries added this round, never driver-certified — the
 #    end-to-end submission pipeline (VERDICT r4 item 1), the
@@ -128,6 +129,7 @@ _FRONT_R5 = [
     "tbl_schema_evolution",
     "dp_throttle",
     "an_top_paths",
+    "emb_drift_means",
     # -- new this round (never checked) --
     "pipeline_submission",
     "sk_kmv_distinct",

@@ -4119,3 +4119,34 @@ def an_top_paths(spark, sf_dir):
     from ..operators.analytics import top_paths
 
     return top_paths(T(spark, sf_dir, "events"))
+
+
+@register(
+    "emb_drift_means",
+    oracle=f"""
+with x as (
+  select vec_id % 2 as grp,
+         cast(generate_subscripts(embedding, 1) - 1 as int) as i,
+         cast(unnest(embedding) as double) as v
+  from embeddings where embedding is not null
+),
+m as (select grp, i, {sqlgen.fsum("v", "s")}, count(*) as n from x group by 1, 2)
+select a.i, (a.s / a.n) as mean_a, (b.s / b.n) as mean_b,
+       (a.s / a.n) - (b.s / b.n) as delta
+from m a join m b on a.i = b.i
+where a.grp = 0 and b.grp = 1
+""",
+    survey_ref="emb-drift",
+    doc="embedding-distribution drift monitor (similarity.embedding_drift): "
+    "per-dimension mean shift between two cohorts (vec_id parity split) — "
+    "the vector counterpart of an_drift_psi.  One posexplode + one "
+    "d-keyed map-side-combined aggregate per cohort (shuffle <= d rows/"
+    "task at any corpus size), fsum means => bitwise cross-engine.",
+)
+def emb_drift_means(spark, sf_dir):
+    from ..operators.similarity import embedding_drift
+
+    emb = T(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+    )
