@@ -84,6 +84,7 @@ HEADLINE = [
     "text_keywords",
     "dp_throttle",
     "an_top_paths",
+    "emb_drift_means",
 ]
 
 
