@@ -414,3 +414,18 @@ def test_embedding_drift_partitioning_invariant(spark, sf_small):
     one = sorted(map(tuple, embedding_drift(a.repartition(1), b.repartition(1)).collect()))
     many = sorted(map(tuple, embedding_drift(a.repartition(9), b.repartition(5)).collect()))
     assert one == many and len(one) > 0
+
+
+def test_gap_histogram_buckets(spark):
+    from vtb_datafusion_2023_spark.operators.analytics import gap_histogram
+
+    base = dt.datetime(2024, 1, 1)
+    offsets_s = [0, 0.5, 5, 65, 4000, 100000]  # gaps: 0.5s, 4.5s, 60s, ~1.1h, ~1.1d
+    rows = [
+        (1, base + dt.timedelta(seconds=s), i + 1) for i, s in enumerate(offsets_s)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {r.bucket: r.n for r in gap_histogram(df).collect()}
+    # 0.5s->lt_1s, 4.5s->lt_10s, 60s->lt_10m (a boundary gap: exactly
+    # 1m is NOT < 1m), 3935s->lt_1d, 96000s->ge_1d; empty buckets absent
+    assert got == {"lt_1s": 1, "lt_10s": 1, "lt_10m": 1, "lt_1d": 1, "ge_1d": 1}

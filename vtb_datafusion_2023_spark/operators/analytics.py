@@ -893,3 +893,44 @@ def top_paths(
         counted.withColumn("rank", F.row_number().over(wr).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+GAP_BUCKETS_US = [
+    (1_000_000, "lt_1s"),
+    (10_000_000, "lt_10s"),
+    (60_000_000, "lt_1m"),
+    (600_000_000, "lt_10m"),
+    (3_600_000_000, "lt_1h"),
+    (86_400_000_000, "lt_1d"),
+]
+
+
+def gap_histogram(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    ord_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Histogram of per-key inter-event idle gaps over log-scale time
+    buckets (<1s … <1d, >=1d) — the data-driven way to choose
+    ``sessionize``'s ``gap_seconds``: the session boundary belongs in
+    the valley between the within-burst mode and the between-visit
+    mode of this distribution.
+
+    One exchange on ``key`` (the lag window), then one tiny hash count
+    over at most 7 bucket rows — integer µs thresholds end to end, so
+    counts are bitwise on any engine.  Returns ``(bucket, n)``.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in ord_cols])
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    bucket = F.when(F.lit(False), F.lit(""))
+    for limit, name in GAP_BUCKETS_US:
+        bucket = bucket.when(gap < F.lit(limit), F.lit(name))
+    bucket = bucket.otherwise(F.lit("ge_1d"))
+    return (
+        df.select(bucket.alias("bucket"), gap.alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

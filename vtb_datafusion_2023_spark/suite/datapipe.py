@@ -4150,3 +4150,34 @@ def emb_drift_means(spark, sf_dir):
     return embedding_drift(
         emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
     )
+
+
+@register(
+    "an_gap_histogram",
+    oracle="""
+with g as (
+  select epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id
+                                               order by ts, event_id)) as gap
+  from events
+)
+select case when gap < 1000000 then 'lt_1s'
+            when gap < 10000000 then 'lt_10s'
+            when gap < 60000000 then 'lt_1m'
+            when gap < 600000000 then 'lt_10m'
+            when gap < 3600000000 then 'lt_1h'
+            when gap < 86400000000 then 'lt_1d'
+            else 'ge_1d' end as bucket,
+       count(*) as n
+from g where gap is not null
+group by 1
+""",
+    survey_ref="an-gap-histogram",
+    doc="inter-event idle-gap histogram over log-scale buckets "
+    "(analytics.gap_histogram): the data-driven basis for choosing "
+    "sessionize's gap threshold — one user_id lag window + one 7-row "
+    "count; integer µs thresholds => bitwise cross-engine.",
+)
+def an_gap_histogram(spark, sf_dir):
+    from ..operators.analytics import gap_histogram
+
+    return gap_histogram(T(spark, sf_dir, "events"))
