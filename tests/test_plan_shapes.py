@@ -643,13 +643,14 @@ def test_front_block_registration_order():
     assert names[: len(head)] == head
     assert names[0] == "an_sessionize"
     assert len(set(names)) == len(names)
-    # every never-driver-checked query (the 12 session-3 + 19 earlier
+    # every never-driver-checked query (the 13 session-3 + 19 earlier
     # round-5 additions) must sit inside the driver's ~50-query budget
     never_checked = [
         "an_sessionize", "dd_containment", "gr_label_propagation",
         "mm_frame_sample", "an_rfm_segments", "text_keywords",
         "sink_orc_jsonl_roundtrip", "tbl_schema_evolution", "dp_throttle",
         "an_top_paths", "emb_drift_means", "an_gap_histogram",
+        "dp_softdedup_weights",
         "pipeline_submission", "sk_kmv_distinct", "so3_md5_sample",
         "ml_kmeans", "agg_incremental_quantiles", "dd_semdedup",
         "dp_cluster_sample", "tbl_zorder_roundtrip", "text_pmi",
@@ -664,7 +665,7 @@ def test_front_block_registration_order():
     for q in ("a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
               "clean_transactions_composed", "an_funnel"):
         assert names.index(q) < 40
-    assert len(_FRONT_R5) == 12 + 19 + 43  # s3 + s1/s2 additions + stale r1-only greens
+    assert len(_FRONT_R5) == 13 + 19 + 43  # s3 + s1/s2 additions + stale r1-only greens
 
 
 def test_kll_partial_quantiles_merge_properties(spark):

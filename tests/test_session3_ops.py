@@ -429,3 +429,22 @@ def test_gap_histogram_buckets(spark):
     # 0.5s->lt_1s, 4.5s->lt_10s, 60s->lt_10m (a boundary gap: exactly
     # 1m is NOT < 1m), 3935s->lt_1d, 96000s->ge_1d; empty buckets absent
     assert got == {"lt_1s": 1, "lt_10s": 1, "lt_10m": 1, "lt_1d": 1, "ge_1d": 1}
+
+
+def test_softdedup_weights_group_mass(spark):
+    from vtb_datafusion_2023_spark.operators.dedup import softdedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    # pairs: {1,2,3} one cluster, {4} and {5} singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r.doc_id: (r.cluster_id, r.cluster_size, r.weight)
+           for r in softdedup_weights(docs, pairs).collect()}
+    third = 1.0 / 3.0
+    assert got == {
+        1: (1, 3, third), 2: (1, 3, third), 3: (1, 3, third),
+        4: (4, 1, 1.0), 5: (5, 1, 1.0),
+    }
+    # every duplicate GROUP contributes total mass 1.0
+    assert abs(sum(w for _, _, w in got.values()) - 3.0) < 1e-12

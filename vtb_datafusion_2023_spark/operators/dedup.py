@@ -1165,3 +1165,37 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def softdedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, assign
+    each document the sampling weight ``1 / |its duplicate cluster|`` so
+    a weighted training sampler sees every duplicate GROUP with equal
+    total mass — the down-weighting alternative to hard dedup (preserves
+    within-group variation; total corpus mass = number of distinct
+    groups).  Feed the weights to ``filtering.weighted_sample`` or an
+    epoch sampler.
+
+    Composes :func:`dedup_clusters` (large-star/small-star connected
+    components) with one cluster-size aggregate and a co-keyed join —
+    the only additions to the hard-dedup plan are |docs|-row, and the
+    bigint/bigint double division is bitwise cross-engine.
+
+    Returns ``(id_col, cluster_id, cluster_size, weight)``.
+    """
+    labels = dedup_clusters(docs, pairs, id_col=id_col, id_a=id_a, id_b=id_b)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )

@@ -89,14 +89,14 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
-# Round-5 front block (74 names; the driver certifies ~50 in order, so
+# Round-5 front block (75 names; the driver certifies ~50 in order, so
 # the head is budget + a small spill that rolls to r6):
 #
-# 0. The 12 session-3 additions (batch sessionization, containment
+# 0. The 13 session-3 additions (batch sessionization, containment
 #    dedup, label-propagation communities, raw-frame sampling, RFM
 #    segmentation, TF-IDF keyword extraction, ORC+JSONL sink roundtrip,
 #    schema evolution, windowed throttle, top paths, embedding
-#    drift, gap histogram) — never
+#    drift, gap histogram, soft-dedup weights) — never
 #    driver-certified, all locally hash-green at sf0.01.
 # 1. The 19 queries added this round, never driver-certified — the
 #    end-to-end submission pipeline (VERDICT r4 item 1), the
@@ -131,6 +131,7 @@ _FRONT_R5 = [
     "an_top_paths",
     "emb_drift_means",
     "an_gap_histogram",
+    "dp_softdedup_weights",
     # -- new this round (never checked) --
     "pipeline_submission",
     "sk_kmv_distinct",

@@ -4181,3 +4181,37 @@ def an_gap_histogram(spark, sf_dir):
     from ..operators.analytics import gap_histogram
 
     return gap_histogram(T(spark, sf_dir, "events"))
+
+
+@register(
+    "dp_softdedup_weights",
+    oracle=f"""
+with recursive jp as ({_JACCARD_PAIRS_SQL}),
+edges as (select id_a as src, id_b as dst from jp
+          union all
+          select id_b, id_a from jp),
+reach(id, label) as (
+  select doc_id, doc_id from documents
+  union
+  select e.src, r.label from edges e join reach r on e.dst = r.id
+),
+labels as (select id as doc_id, min(label) as cluster_id from reach group by id),
+sizes as (select cluster_id, cast(count(*) as bigint) as cluster_size
+          from labels group by cluster_id)
+select l.doc_id, l.cluster_id, s.cluster_size,
+       1.0 / cast(s.cluster_size as double) as weight
+from labels l join sizes s using (cluster_id)
+""",
+    survey_ref="dedup-soft-weights",
+    doc="soft deduplication (dedup.softdedup_weights): weight = "
+    "1/|duplicate cluster| instead of dropping — a weighted sampler "
+    "sees each near-dup GROUP with equal total mass while keeping "
+    "within-group variation.  Connected components + one cluster-size "
+    "agg + one co-keyed join; bigint/bigint division => bitwise.",
+)
+def dp_softdedup_weights(spark, sf_dir):
+    from ..operators.dedup import softdedup_weights
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    return softdedup_weights(docs, pairs)
