@@ -464,3 +464,82 @@ def test_schema_evolution_rejects_before_writing_data(spark, tmp_path):
             mode="append",
         )
     assert set(glob.glob(os.path.join(td, "data", "*"))) == before
+
+
+def test_schema_evolution_legacy_multifile_merges_all_columns(spark, tmp_path):
+    """Legacy-schema recovery must mergeSchema across the old files: a
+    pre-tracking table that accumulated appends with DIFFERENT column
+    sets recovers the union, not whichever single file's footer the
+    reader happened to pick (ADVICE r5, manifest.py:204)."""
+    import json
+    import os
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        read_versioned,
+    )
+
+    td = str(tmp_path / "legacy_multi")
+    commit_versioned(spark.createDataFrame([(1, 10)], "id long, a int"), td)
+    commit_versioned(
+        spark.createDataFrame([(2, "x")], "id long, b string"), td, mode="append"
+    )
+    # simulate both commits predating schema tracking
+    mp = os.path.join(td, "manifest-v2.json")
+    m = json.load(open(mp))
+    del m["schema"]
+    json.dump(m, open(mp, "w"))
+
+    commit_versioned(
+        spark.createDataFrame([(3, 1.5)], "id long, c double"), td, mode="append"
+    )
+    cur = read_versioned(spark, td)
+    assert [f.name for f in cur.schema.fields] == ["id", "a", "b", "c"]
+    got = {r.id: (r.a, r.b, r.c) for r in cur.collect()}
+    assert got == {1: (10, None, None), 2: (None, "x", None), 3: (None, None, 1.5)}
+
+
+def test_schema_evolution_nested_nullability_is_not_a_type_change(spark, tmp_path):
+    """Inner-field nullability (array containsNull, struct-field nullable)
+    differs between createDataFrame inference and a parquet round-trip;
+    the evolution guard must normalize it recursively instead of
+    rejecting a compatible append (ADVICE r5, manifest.py:87)."""
+    from pyspark.sql import types as T
+
+    from vtb_datafusion_2023_spark.sources.manifest import (
+        commit_versioned,
+        read_versioned,
+    )
+
+    strict = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "xs",
+                T.ArrayType(
+                    T.StructType([T.StructField("v", T.LongType(), False)]), False
+                ),
+                False,
+            ),
+        ]
+    )
+    loose = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField(
+                "xs",
+                T.ArrayType(
+                    T.StructType([T.StructField("v", T.LongType(), True)]), True
+                ),
+                True,
+            ),
+        ]
+    )
+    td = str(tmp_path / "nested_null")
+    commit_versioned(spark.createDataFrame([(1, [{"v": 7}])], strict), td)
+    # same dataTypes, every nullability flag flipped: must append cleanly
+    commit_versioned(
+        spark.createDataFrame([(2, [{"v": 8}])], loose), td, mode="append"
+    )
+    got = {r.id: [x.v for x in r.xs] for r in read_versioned(spark, td).collect()}
+    assert got == {1: [7], 2: [8]}

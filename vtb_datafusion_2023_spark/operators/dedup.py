@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 31) - 1  # 31-bit domain: affine products stay < 2^63 (ANSI-safe)
 
 
+def _prefix_keep(threshold: float, sz) -> "Column":
+    """AllPairs prefix length ``|d| - s_min + 1`` where ``s_min`` is the
+    minimal integer overlap ``threshold`` implies for a doc of ``sz``
+    shingles.  ``threshold * sz`` is double arithmetic: if the product
+    rounded UP across an integer relative to the verify predicate's
+    differently-rounded division, ``ceil`` would shrink the prefix by one
+    and prune a pair the verify (and the oracle) keep — so subtract an
+    epsilon far above double ulp at shingle-count magnitudes but far
+    below 1/sz granularity before the ceil.  The filter bound can only
+    get LOOSER (at most one extra probed shingle per doc), provably
+    never tighter than the verify comparison."""
+    return sz - F.ceil(F.lit(threshold) * sz - F.lit(1e-9)) + 1
+
+
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
     """Exact duplicate clustering: md5 over the content columns; keeps the
     minimum id as the cluster representative (hash-groupBy A-style)."""
@@ -649,7 +663,7 @@ def ngram_jaccard_pairs(
     prefix = (
         sh.join(dfreq, "_s")
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .filter(F.col("_rn") <= _prefix_keep(threshold, F.col("_sz")))
         .select("_id", "_s")
     )
     cand = (
@@ -1137,10 +1151,7 @@ def containment_pairs(
         probe = (
             sh.join(dfreq, "_s")
             .withColumn("_rn", F.row_number().over(w))
-            .filter(
-                F.col("_rn")
-                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-            )
+            .filter(F.col("_rn") <= _prefix_keep(threshold, F.col("_sz")))
             .select(F.col("_id").alias("id_a"), "_s")
         )
     else:

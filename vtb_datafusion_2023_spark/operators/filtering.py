@@ -444,8 +444,12 @@ def throttle_events(
     WindowGroupLimit, so each map task ships at most ``keep`` rows per
     (key, window) into the shuffle — under a retry storm the shuffle
     carries the throttled volume, not the storm.  Window assignment is
-    TRUE integer µs division (SQL ``div`` — no float regime where a
-    1 µs-pre-boundary event could round across): engine-portable, no
+    TRUE integer µs division, truncating toward zero on BOTH engines
+    (Spark ``%`` keeps the dividend's sign, so ``(e - e % w) / w`` is
+    an exact-multiple double division = trunc division; DuckDB BIGINT
+    ``//`` also truncates — verified ``(-5)//2 = -2``), so pre-1970
+    timestamps assign the same window_id cross-engine.  No float
+    regime where a 1 µs-pre-boundary event could round across; no
     session-timezone dependence beyond the NTZ reinterpretation
     (pinned UTC).
     """
@@ -454,10 +458,11 @@ def throttle_events(
             f"window_seconds and keep must be positive, got {window_seconds}, {keep}"
         )
     epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    window_us = int(window_seconds) * 1_000_000
-    win = F.expr(
-        f"unix_micros(cast({ts_col} as timestamp)) div {window_us}"
-    ).cast("bigint")
+    window_us = F.lit(int(window_seconds) * 1_000_000)
+    # built from the Column, not an interpolated identifier: ts_col names
+    # needing backticks stay safe, and the remainder-subtracted numerator
+    # is an exact multiple of window_us so the double division is exact
+    win = ((epoch - epoch % window_us) / window_us).cast("bigint")
     w = Window.partitionBy(F.col(key), F.col("_win")).orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_cols]
     )

@@ -59,14 +59,36 @@ def _file_names(manifest: dict) -> list[str]:
     return [e["name"] if isinstance(e, dict) else e for e in manifest["files"]]
 
 
+def _nullable_type(dt):
+    """Recursively normalize nullability flags inside nested types:
+    struct-field nullable, array containsNull, map valueContainsNull all
+    forced True.  Without this, _evolved_schema would reject an append
+    whose nested inner-field nullability differs from the committed
+    version's (createDataFrame inference vs a parquet round-trip disagree
+    on exactly these flags) as a type change, even though the data is
+    compatible."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _nullable_type(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_nullable_type(dt.keyType), _nullable_type(dt.valueType), True)
+    return dt
+
+
 def _normalized_schema(df: DataFrame) -> dict:
     """Schema as a manifest-storable dict, nullability normalized to True
-    (files written before a column existed read it as NULL, so a
-    versioned table's columns are nullable by construction)."""
+    at every nesting level (files written before a column existed read it
+    as NULL, so a versioned table's columns are nullable by construction;
+    inner-field flags are observational noise — see _nullable_type)."""
     from pyspark.sql import types as T
 
     return T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+        [T.StructField(f.name, _nullable_type(f.dataType), True) for f in df.schema.fields]
     ).jsonValue()
 
 
@@ -200,8 +222,12 @@ def commit_versioned(
             old_paths = [
                 os.path.join(data_dir, f) for f in _file_names(prev)
             ]
+            # mergeSchema: a legacy table may have accumulated appends
+            # whose files carry different column sets — a plain read
+            # would pin ONE file's schema and silently drop the other
+            # files' old-only columns from the evolved schema
             prev_schema = _normalized_schema(
-                df.sparkSession.read.parquet(*old_paths)
+                df.sparkSession.read.option("mergeSchema", "true").parquet(*old_paths)
             )
         # evolve rather than replace: appended files may ADD columns;
         # existing columns keep their types (validated) and old files
