@@ -242,3 +242,71 @@ def test_kmeans_raises_on_dim_mismatch(spark):
     )
     with _pytest.raises(SparkRuntimeException, match="expected dim 8"):
         kmeans(df, dim=8, k=2, iterations=1).collect()
+
+
+def test_derived_fanout_routing():
+    """fanout follows the measured hottest cluster: ceil(max²/budget),
+    clamped to [1, cap] (SCALE.md skew runbook -> semdedup wiring)."""
+    import pytest
+
+    from vtb_datafusion_2023_spark.operators.clustering import derived_fanout
+
+    assert derived_fanout(0) == 1
+    assert derived_fanout(1_000, pair_budget=2_000_000) == 1
+    assert derived_fanout(500, pair_budget=250_000) == 1
+    assert derived_fanout(1_000, pair_budget=250_000) == 4
+    assert derived_fanout(2_000, pair_budget=2_000_000) == 2
+    assert derived_fanout(10_000, pair_budget=2_000_000) == 50
+    # cap: a degenerate single-cluster corpus can't demand unbounded salt
+    assert derived_fanout(1_000_000, pair_budget=2_000_000) == 64
+    assert derived_fanout(1_000_000, pair_budget=2_000_000, cap=16) == 16
+    with pytest.raises(ValueError):
+        derived_fanout(10, pair_budget=0)
+
+
+def test_semdedup_hot_cluster_derives_wider_fanout_same_result(spark):
+    """A hot-cluster corpus (nearly all vectors land in one k-means
+    cluster) must derive a WIDER salt than the uniform case, and the
+    kept set must be identical at any fanout (the salt only reroutes
+    pair evaluation, never changes the pair set)."""
+    from vtb_datafusion_2023_spark.operators.clustering import (
+        derived_fanout,
+        kmeans,
+        semdedup,
+    )
+
+    dim, k = 4, 3
+    # 3 tight blobs: ids 0..59 near (10,0,0,0), 60..62 near (0,10,0,0),
+    # 63..65 near (0,0,10,0) -> hottest cluster has 60 members
+    rows = []
+    for i in range(60):
+        rows.append((i, [10.0 + (i % 7) * 0.01, float(i % 3) * 0.01, 0.0, 0.0]))
+    for j, base in enumerate(([0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0])):
+        for m in range(3):
+            i = 60 + j * 3 + m
+            rows.append((i, [b + m * 0.01 for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sizes = (
+        kmeans(df, dim=dim, k=k, iterations=2)
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    hot = max(r["count"] for r in sizes)
+    assert hot >= 55  # the fixture really is skewed
+    assert derived_fanout(hot, pair_budget=500) > derived_fanout(
+        3, pair_budget=500
+    )
+
+    kept_derived = {
+        r["vec_id"]
+        for r in semdedup(df, dim=dim, k=k, iterations=2, pair_budget=500).collect()
+    }
+    kept_fixed = {
+        r["vec_id"]
+        for r in semdedup(df, dim=dim, k=k, iterations=2, fanout=2).collect()
+    }
+    assert kept_derived == kept_fixed
+    # the tight blobs really dedup: far fewer survivors than vectors
+    assert len(kept_derived) < 66

