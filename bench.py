@@ -88,6 +88,62 @@ HEADLINE = [
 ]
 
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _steal_seconds() -> float:
+    """Cumulative hypervisor steal time (seconds) from /proc/stat.  On the
+    Firecracker sandbox this accumulates in multi-second jumps during
+    bursts (BASELINE.md round-5 protocol section); reading it around each
+    rep tells us whether THAT rep's window overlapped a burst."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / _CLK_TCK
+    except (OSError, IndexError, ValueError):  # pragma: no cover - non-linux
+        return 0.0
+
+
+# a rep is burst-contaminated when its window accumulated more steal than
+# this floor or than 10% of its own wall time; contaminated reps are
+# RE-RUN (up to _MAX_EXTRA extra attempts) instead of silently averaged in
+_STEAL_FLOOR_S = 0.25
+_MAX_EXTRA = 4
+
+
+def _bench_query(run, base_reps: int = 3) -> tuple[float, bool]:
+    """min over steal-clean reps of ``run()``; heads at >= 2 s extend to 5
+    clean reps (longer windows carry more burst exposure — VERDICT r5
+    item 1).  Returns (best_sec, clean): ``clean=False`` means every rep
+    overlapped a burst and the min is an upper bound, not a measurement."""
+    clean: list[float] = []
+    dirty: list[float] = []
+    attempts = 0
+    target = base_reps
+    while len(clean) < target and attempts < target + _MAX_EXTRA:
+        attempts += 1
+        s0 = _steal_seconds()
+        t0 = time.time()
+        run()
+        elapsed = time.time() - t0
+        stolen = _steal_seconds() - s0
+        if stolen > max(_STEAL_FLOOR_S, 0.10 * elapsed):
+            dirty.append(elapsed)
+            print(
+                f"bench:   rep {attempts} contaminated ({stolen:.2f}s steal "
+                f"in {elapsed:.2f}s) — rerun",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
+        clean.append(elapsed)
+        if len(clean) >= base_reps and min(clean) >= 2.0:
+            target = max(target, 5)
+    if clean:
+        return min(clean), True
+    return min(dirty), False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from vtb_datafusion_2023_spark.session import get_spark
@@ -104,24 +160,28 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
-    # three runs per query, report the min: the first run pays one-time
-    # whole-stage-codegen compilation (~2-4s of JIT per distinct plan),
-    # which on a real cluster amortizes across executors/queries, and
-    # this sandbox's hypervisor exhibits multi-second CPU-steal bursts
-    # (measured round 5: 5-rep arrays like [0.98, 0.98, 1.33, 1.96,
-    # 22.18] on an unchanged query — BASELINE.md) that can contaminate
-    # two adjacent runs; a third sample makes min() survive one burst.
+    # min of 3 steal-clean runs per query (5 for >= 2 s heads): the first
+    # run pays one-time whole-stage-codegen compilation (~2-4s of JIT per
+    # distinct plan), which on a real cluster amortizes across
+    # executors/queries, and this sandbox's hypervisor exhibits
+    # multi-second CPU-steal bursts (measured round 5: 5-rep arrays like
+    # [0.98, 0.98, 1.33, 1.96, 22.18] on an unchanged query — BASELINE.md)
+    # — _bench_query probes /proc/stat steal around each rep and RERUNS
+    # burst-overlapped reps, so the recorded min is a clean measurement,
+    # not a min-of-N gamble (VERDICT r5 item 1).
     timings: dict[str, float] = {}
+    flagged: list[str] = []
     for name in HEADLINE:
         # stderr marker so any Spark ERROR lines in the log are
         # attributable to a query (stdout stays one JSON line)
         print(f"bench: {name} @ {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+        q = qs[name]
+        best, is_clean = _bench_query(
+            lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        )
         timings[name] = round(best, 3)
+        if not is_clean:
+            flagged.append(name)
         # localCheckpoint block-manager RDDs are only released when their
         # Python DataFrames are garbage-collected (ContextCleaner); with
         # 45 queries in one JVM the accumulation was degrading the
@@ -131,17 +191,18 @@ def main() -> None:
         gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if flagged:
+        # every rep of these heads overlapped a steal burst even after
+        # reruns: their numbers are upper bounds, not measurements
+        out["steal_flagged"] = flagged
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

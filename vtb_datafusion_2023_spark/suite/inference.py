@@ -103,6 +103,189 @@ def u4_vrae_latents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# U4 hash twin (VERDICT r5 item 4): the SAME VraeEncoder/encode_with_vrae
+# code path — numpy lstm_layer recurrence + hidden_to_mean projection in
+# mapInPandas — but with FIXED small dyadic weights (hidden=2, features=2,
+# latent=2, T=3), so the DuckDB oracle can replay the recurrence unrolled
+# (the gr_pagerank/ml_kmeans pattern) and the VRAE code path gets a
+# driver HASH row instead of rows-only.  Pre-activation arithmetic is
+# dyadic-exact on both engines; exp/tanh agree to ulp and the surface's
+# 5-digit rounding (encode_with_vrae round_digits) absorbs that, exactly
+# as for the real-checkpoint surfaces.  Reference semantics:
+# /root/reference/vrae/vrae.py:420-455 (Encoder.forward + hidden_to_mean).
+
+_TW_T = 3  # timesteps per user
+# all weights are multiples of 1/16: exact in float32/float64 and in the
+# SQL literal text, so the only inexact ops are exp/tanh and the final
+# IEEE sums — whose op order the oracle replays exactly.  No bias is 0,
+# so no gate pre-activation can be a signed zero (see step-1 note below).
+_TW_WIH = [[0.25, -0.5], [-0.375, 0.125], [0.5, 0.25], [-0.125, -0.25],
+           [0.375, -0.0625], [-0.5, 0.3125], [0.125, 0.4375], [-0.25, -0.375]]
+_TW_WHH = [[-0.3125, 0.25], [0.4375, -0.125], [-0.0625, 0.375], [0.1875, -0.5],
+           [-0.4375, 0.0625], [0.3125, -0.1875], [-0.25, 0.5], [0.125, -0.3125]]
+_TW_BIH = [-0.5, 0.25, -0.125, 0.375, -0.25, 0.125, 0.5, -0.375]
+_TW_BHH = [0.1875, -0.3125, 0.0625, -0.1875, 0.3125, -0.0625, 0.4375, -0.4375]
+_TW_WM = [[0.5, -0.25], [0.375, 0.125]]
+_TW_BM = [0.0625, -0.125]
+
+
+def _twin_state_dict():
+    import numpy as np
+
+    return {
+        "encoder.model.weight_ih_l0": np.array(_TW_WIH, dtype=np.float64),
+        "encoder.model.weight_hh_l0": np.array(_TW_WHH, dtype=np.float64),
+        "encoder.model.bias_ih_l0": np.array(_TW_BIH, dtype=np.float64),
+        "encoder.model.bias_hh_l0": np.array(_TW_BHH, dtype=np.float64),
+        "lmbd.hidden_to_mean.weight": np.array(_TW_WM, dtype=np.float64),
+        "lmbd.hidden_to_mean.bias": np.array(_TW_BM, dtype=np.float64),
+    }
+
+
+def _twin_oracle() -> str:
+    """Unrolled 3-step LSTM recurrence + latent projection, following
+    nn_numpy.lstm_layer's exact IEEE op order: gates =
+    ((x·w_ih + b_ih) + h·w_hh) + b_hh (step 1 omits the h·w_hh term —
+    h0 = +0.0 makes it a signed-zero-safe IEEE identity because no gate
+    pre-activation can be ±0.0 with the nonzero biases above);
+    c' = (f*c) + (i*g); h' = o*tanh(c'); sigmoid in _sigmoid's
+    stable-branch form."""
+
+    def sig(g: str) -> str:
+        return (
+            f"(case when {g} >= 0 then 1.0/(1.0 + exp(-abs({g}))) "
+            f"else exp(-abs({g}))/(1.0 + exp(-abs({g}))) end)"
+        )
+
+    def th(g: str) -> str:
+        # DuckDB 1.0.0 ships no tanh: the stable exp identity
+        # tanh(x) = sign(x) * (1 - e^-2|x|)/(1 + e^-2|x|) agrees with
+        # np.tanh to ~1-2 ulp, absorbed by the surface's 5-digit rounding
+        return (
+            f"(case when {g} >= 0 then (1.0 - exp(-2.0*abs({g})))/(1.0 + exp(-2.0*abs({g}))) "
+            f"else -((1.0 - exp(-2.0*abs({g})))/(1.0 + exp(-2.0*abs({g})))) end)"
+        )
+
+    sql = f"""
+with e as (
+  select user_id,
+         row_number() over (partition by user_id order by ts, event_id) as rn,
+         cast(event_id % 16 as double)/16.0 as x1,
+         cast((event_id * 7) % 16 as double)/16.0 as x2
+  from events
+),
+s as (
+  select user_id,
+         {", ".join(f"max(case when rn={t} then x1 end) as x1_{t}, max(case when rn={t} then x2 end) as x2_{t}" for t in range(1, _TW_T + 1))}
+  from e where rn <= {_TW_T}
+  group by user_id having count(*) = {_TW_T}
+)"""
+    prev = "s"
+    for t in range(1, _TW_T + 1):
+        gates = []
+        for r in range(8):
+            gx = (
+                f"(((x1_{t} * {_TW_WIH[r][0]!r}) + (x2_{t} * {_TW_WIH[r][1]!r}))"
+                f" + {_TW_BIH[r]!r})"
+            )
+            if t == 1:
+                g = f"({gx} + {_TW_BHH[r]!r})"
+            else:
+                hw = (
+                    f"((h{t-1}_1 * {_TW_WHH[r][0]!r})"
+                    f" + (h{t-1}_2 * {_TW_WHH[r][1]!r}))"
+                )
+                g = f"(({gx} + {hw}) + {_TW_BHH[r]!r})"
+            gates.append(f"{g} as g{t}_{r}")
+        sql += f""",
+g{t} as (
+  select *, {", ".join(gates)}
+  from {prev}
+)"""
+        cells = []
+        for j in range(1, 3):
+            i_ = sig(f"g{t}_{j-1}")
+            f_ = sig(f"g{t}_{j+1}")
+            gc = th(f"g{t}_{j+3}")
+            o_ = sig(f"g{t}_{j+5}")
+            if t == 1:
+                c = f"({i_} * {gc})"
+            else:
+                c = f"(({f_} * c{t-1}_{j}) + ({i_} * {gc}))"
+            cells.append(f"{c} as c{t}_{j}")
+            cells.append(f"({o_} * {th(f'c{t}_{j}')}) as h{t}_{j}")
+        # two chained selects so h can reference the just-defined c
+        sql += f""",
+c{t} as (
+  select *, {", ".join(c for c in cells if " as c" in c)} from g{t}
+),
+h{t} as (
+  select *, {", ".join(c for c in cells if " as h" in c)} from c{t}
+)"""
+        prev = f"h{t}"
+    lats = []
+    for j in range(2):
+        lats.append(
+            f"round(((h{_TW_T}_1 * {_TW_WM[j][0]!r}) + (h{_TW_T}_2 * {_TW_WM[j][1]!r}))"
+            f" + {_TW_BM[j]!r}, 5) as lat{j}"
+        )
+    return sql + f""",
+lat as (select user_id, {", ".join(lats)} from {prev})
+select user_id, cast(0 as int) as dim, lat0 as value from lat
+union all
+select user_id, cast(1 as int) as dim, lat1 as value from lat
+"""
+
+
+@register(
+    "u4_vrae_twin",
+    oracle=_twin_oracle(),
+    survey_ref="U4,W7",
+    doc="U4 hash twin: the real VraeEncoder/encode_with_vrae code path "
+    "(numpy LSTM recurrence + hidden_to_mean in mapInPandas) under fixed "
+    "dyadic 2x2 weights over each user's first 3 events, so the DuckDB "
+    "oracle replays the recurrence unrolled (gr_pagerank pattern) and "
+    "the VRAE path gets a driver hash row (vrae/vrae.py:420-455).",
+)
+def u4_vrae_twin(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..inference.udfs import BroadcastModel, encode_with_vrae
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TW_T)
+        .select(
+            "user_id",
+            "_rn",
+            (F.pmod(F.col("event_id"), F.lit(16)).cast("double") / F.lit(16.0)).alias("_x1"),
+            (F.pmod(F.col("event_id") * 7, F.lit(16)).cast("double") / F.lit(16.0)).alias("_x2"),
+        )
+    )
+    seqs = (
+        steps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(_rn, _x1, _x2))), "
+                "s -> array(s._x1, s._x2))"
+            ).alias("seq"),
+        )
+        .filter(F.col("_n") == _TW_T)
+        .select("user_id", "seq")
+    )
+    lat = encode_with_vrae(
+        seqs,
+        BroadcastModel(kind="numpy_vrae", payload=_twin_state_dict()),
+        id_col="user_id",
+        seq_col="seq",
+    )
+    return lat.select("user_id", F.posexplode("latent").alias("dim", "value"))
+
+
+# ---------------------------------------------------------------------------
 # U6 with the REAL CatBoost model: the reference's .cbm parsed from the
 # public flatbuffers format (inference/cbm.py) and scored as exact int64
 # leaf sums — which makes GBDT inference SQL-replayable, so this entry is
