@@ -72,11 +72,12 @@ HEADLINE = [
     "emb_gram_matrix",
     "dp_negative_sample",
     # round-5 session-3 additions: batch sessionization, LPA communities,
-    # raw-frame sampling.  dd_containment is correctness-only like
-    # dd_ngram_jaccard: the synthetic word-soup corpus makes unigram
+    # raw-frame sampling.  dd_containment / dd_ngram_jaccard stay
+    # correctness-only: the raw word-soup corpus makes UNIGRAM
     # containment near-all-pairs at sf0.1 (8.3M directed pairs — a data
-    # artifact, ROADMAP item 6), so benching it times the degenerate
-    # output materialization, not the operator.
+    # artifact), so benching them times degenerate output
+    # materialization; their benchable twins over the planted-density
+    # corpus are below (round 6).
     "an_sessionize",
     "gr_label_propagation",
     "mm_frame_sample",
@@ -85,6 +86,13 @@ HEADLINE = [
     "dp_throttle",
     "an_top_paths",
     "emb_drift_means",
+    # round-6 additions: the dedup pair operators over the duplicate-
+    # density-controlled corpus (VERDICT r5 item 3 / ROADMAP item 6) —
+    # trigram shingles + 10% planted near-dups keep candidates linear,
+    # so these finally time the AllPairs prefix filter, not a data
+    # artifact.
+    "dd_containment_planted",
+    "dd_jaccard_planted",
 ]
 
 

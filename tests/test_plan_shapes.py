@@ -628,44 +628,39 @@ def test_funnel_scan_two_shuffles(spark, sf_small):
 
 def test_front_block_registration_order():
     """The driver certifies ~50 queries per round in registration order.
-    Pin the round-5 front block (this round's never-certified additions
-    first, then the stale round-1-only greens for re-verification) so a
-    module reshuffle can't silently push an uncertified query out of the
-    gate's reach."""
-    from vtb_datafusion_2023_spark.suite import _FRONT_R4, _FRONT_R5, _UNCHECKED_TAIL
+    Pin the round-6 front block (this round's never-certified additions
+    first, then changed-code-path re-certs, then the stale r1/r2-era
+    greens) so a module reshuffle can't silently push an uncertified
+    query out of the gate's reach."""
+    from vtb_datafusion_2023_spark.suite import (
+        _FRONT_R4,
+        _FRONT_R5,
+        _FRONT_R6,
+        _UNCHECKED_TAIL,
+    )
 
     names = list(QS)
     head = (
-        _FRONT_R5
-        + [n for n in _FRONT_R4 if n not in _FRONT_R5]
+        _FRONT_R6
+        + [n for n in _FRONT_R5 if n not in _FRONT_R6]
+        + [n for n in _FRONT_R4 if n not in _FRONT_R6 and n not in _FRONT_R5]
         + _UNCHECKED_TAIL
     )
     assert names[: len(head)] == head
-    assert names[0] == "an_sessionize"
     assert len(set(names)) == len(names)
-    # every never-driver-checked query (the 13 session-3 + 19 earlier
-    # round-5 additions) must sit inside the driver's ~50-query budget
+    # every never-driver-checked query (the r6 additions) plus the
+    # changed-code-path re-certs must sit inside the driver's ~50 budget
     never_checked = [
-        "an_sessionize", "dd_containment", "gr_label_propagation",
-        "mm_frame_sample", "an_rfm_segments", "text_keywords",
-        "sink_orc_jsonl_roundtrip", "tbl_schema_evolution", "dp_throttle",
-        "an_top_paths", "emb_drift_means", "an_gap_histogram",
-        "dp_softdedup_weights",
-        "pipeline_submission", "sk_kmv_distinct", "so3_md5_sample",
-        "ml_kmeans", "agg_incremental_quantiles", "dd_semdedup",
-        "dp_cluster_sample", "tbl_zorder_roundtrip", "text_pmi",
-        "dp_negative_sample", "emb_gram_matrix", "text_hash_classifier",
-        "dp_url_dedup", "p_variant_extract", "gj_proximity_pairs",
-        "an_markov_transitions", "an_ohlc_bars", "dp_dataset_card",
-        "dp_interleave_sources",
+        "u4_vrae_twin", "dd_containment_planted", "dd_jaccard_planted",
+        "dd_ngram_jaccard", "dd_containment", "dd_semdedup",
+        "an_top_paths", "dp_throttle", "tbl_schema_evolution",
     ]
     assert names[: len(never_checked)] == never_checked
-    # ... followed by the changed-code-path cleaning family, well inside
-    # the budget
-    for q in ("a7_group_percentiles", "a8_winsorize", "a9_rare_rewrite",
-              "clean_transactions_composed", "an_funnel"):
+    # the r1-only-green block re-certifies inside the budget too
+    for q in ("agg_grouping_sets", "q1_pricing_summary", "tbl_profile",
+              "sk_approx_distinct"):
         assert names.index(q) < 40
-    assert len(_FRONT_R5) == 13 + 19 + 43  # s3 + s1/s2 additions + stale r1-only greens
+    assert len(_FRONT_R6) == 3 + 6 + 30 + 43  # new + changed + r1-era + r2-era
 
 
 def test_kll_partial_quantiles_merge_properties(spark):

@@ -642,6 +642,13 @@ def ngram_jaccard_pairs(
     docs = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     ).withColumn("_sz", F.size("_sh"))
+    # the shingle-array table feeds five plan branches (df frequency,
+    # prefix, both candidate sides, both verify sides) — pin it once so
+    # the upstream scan + per-doc shingling doesn't replay per branch
+    # (same rationale as containment_pairs; measured on the planted
+    # corpus at sf0.1: 20.4 -> ~4 s, where the upstream derivation is
+    # nontrivial).  Lazy: plan construction stays job-free.
+    docs = docs.localCheckpoint(eager=False)
     sh = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
     if not prefix_filter:
         l, r = sh.alias("l"), sh.alias("r")

@@ -89,8 +89,66 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
-# Round-5 front block (75 names; the driver certifies ~50 in order, so
-# the head is budget + a small spill that rolls to r6):
+# Round-6 front block (82 names; the driver certifies ~50 in order, so
+# the head is budget + a spill that rolls to r7).  Goal (VERDICT r5
+# item 2): walk every query whose NEWEST green predates r3 back through
+# the gate — after r5, 74 registered queries' newest green was r1/r2-era
+# (25 r1-only + 49 r2-only, computed by tools/plan_next_round.py over
+# CORRECTNESS_r01..05).  Order:
+#
+# 0. The 3 queries added this round, never driver-certified: the U4
+#    hash twin (VERDICT item 4) and the two planted-density dedup
+#    twins (VERDICT item 3).
+# 1. The 6 queries whose code path changed this round (prefix-filter
+#    epsilon, derived semdedup fanout, top_paths TakeOrdered rewrite,
+#    throttle window-id rebuild, manifest schema recovery) — newest
+#    green notwithstanding.
+# 2. The 30 queries whose ONLY green is r1-era (oldest first; includes
+#    the trivial set ops and rows-only entries excluded from the r5
+#    rotation — a fresh driver row is still what retires them from the
+#    stale list).
+# 3. The r2-era tail in registration order; positions past the ~50
+#    budget roll to r7 — all hold r2 greens, nothing uncertified is at
+#    risk.
+_FRONT_R6 = [
+    # -- new this round (never checked) --
+    "u4_vrae_twin",
+    "dd_containment_planted",
+    "dd_jaccard_planted",
+    # -- changed code path this round --
+    "dd_ngram_jaccard", "dd_containment", "dd_semdedup",
+    "an_top_paths", "dp_throttle", "tbl_schema_evolution",
+    # -- newest green is r1 --
+    "agg_grouping_sets", "agg_incremental_merge", "agg_time_rollup",
+    "agg_topk_per_group", "an_retention", "clean_expectations",
+    "clean_mad_outliers", "f1_f2_filters", "f3_frequency_filter",
+    "m1_m2_null_handling", "p1_time_parts", "p2_seconds_since_midnight",
+    "p3_hours_since_anchor", "p4_p10_debit_credit_ratio",
+    "p5_p9_onehot_conform", "p6_bucket_floor_div", "p7_bin_by_edges",
+    "p_array_battery", "p_json_extract", "p_melt_unpivot",
+    "p_temporal_battery", "q1_pricing_summary", "sk_heavy_hitters",
+    "tbl_histogram", "tbl_profile", "so1_distinct_users",
+    "so2_set_difference", "so3_bootstrap_sample", "so4_intersect",
+    "sk_approx_distinct",
+    # -- newest green is r2 --
+    "sj_salted_join", "j6_bloom_prune_join", "w1_cumsum",
+    "w2_reanchor_first", "w3_zscore_per_user", "w4_keep_last_n",
+    "w6_w7_sequence_assembly", "w8_rolling_stats", "w9_event_deltas",
+    "w10_quantile_bin", "w11_minmax_scale", "w12_rank_functions",
+    "w13_rolling_time_window", "w14_ewma", "w15_gap_fill",
+    "pipeline_user_profile", "u1_rnn_scores", "u4_vrae_latents",
+    "u6_catboost_cbm", "dd_exact_dedup", "dd_dedup_clusters",
+    "dd_minhash_lsh", "dd_minhash_md5", "dd_simhash", "text_quality",
+    "text_langid", "text_fingerprint", "text_token_count",
+    "sim_topk_bruteforce", "ann_gemm_topk", "pq_encode_codes",
+    "ann_pq_topk", "ann_lsh_buckets", "ann_lsh_topk", "ann_lsh_pq_topk",
+    "dd_embedding_cosine", "dd_semantic_dedup", "ann_ivf_topk",
+    "mm_binary_metadata", "mm_decode_png", "mm_audio_wav",
+    "u6_mapinpandas_inference", "text_chunking",
+]
+
+# Round-5 front block (75 names; the driver certified the first 50 —
+# r5 came back 50/50 green):
 #
 # 0. The 13 session-3 additions (batch sessionization, containment
 #    dedup, label-propagation communities, raw-frame sampling, RFM
@@ -114,9 +172,9 @@ _UNCHECKED_TAIL: list[str] = []
 #    sk_approx_distinct / so3_bootstrap_sample (rows-only by design —
 #    a re-run adds no hash evidence) and the three trivial set ops
 #    (so1/so2/so4 — single-operator plans with no drift surface).
-#    The excluded five plus the ~22 tail names past the ~50 cutoff
-#    (positions 51-72 after the 10 session-3 inserts) roll to r6 — all
-#    hold r1 greens, so nothing uncertified is at risk.
+#    The excluded five plus the 25 tail names past the 50-query budget
+#    (positions 51-75 after the 13 session-3 inserts) rolled to r6 — all
+#    held r1 greens, so nothing uncertified was at risk.
 _FRONT_R5 = [
     # -- new this round, session 3 (never checked) --
     "an_sessionize",
@@ -195,7 +253,12 @@ def _load_all() -> None:
     from . import submission_e2e  # noqa: F401
     from . import ml  # noqa: F401
 
-    head = _FRONT_R5 + [n for n in _FRONT_R4 if n not in _FRONT_R5] + _UNCHECKED_TAIL
+    head = (
+        _FRONT_R6
+        + [n for n in _FRONT_R5 if n not in _FRONT_R6]
+        + [n for n in _FRONT_R4 if n not in _FRONT_R6 and n not in _FRONT_R5]
+        + _UNCHECKED_TAIL
+    )
     missing = [n for n in head if n not in REGISTRY]
     if missing:  # a rename would silently break the certification plan
         raise RuntimeError(f"priority list names unknown queries: {missing}")
