@@ -465,3 +465,48 @@ def test_softdedup_weights_group_mass(spark):
     }
     # every duplicate GROUP contributes total mass 1.0
     assert abs(sum(w for _, _, w in got.values()) - 3.0) < 1e-12
+
+
+def test_planted_corpus_controlled_density(spark):
+    """The in-plan planted-density corpus (ROADMAP item 6 fix) must (a)
+    plant exactly one 90%-prefix near-dup per doc_id%10==0 doc, (b) keep
+    base docs shingle-disjoint across salt groups (candidates linear),
+    and (c) make every planted variant fully contained in its base."""
+    from vtb_datafusion_2023_spark.operators.dedup import containment_pairs
+    from vtb_datafusion_2023_spark.suite.datapipe import (
+        _PLANTED_OFFSET,
+        _planted_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _planted_corpus(spark, sf).cache()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    n_planted = corpus.filter(f"doc_id >= {_PLANTED_OFFSET}").count()
+    assert corpus.count() == n_docs + n_planted
+    assert n_planted == (n_docs + 9) // 10
+
+    rows = {r.doc_id: r.text for r in corpus.collect()}
+    import math
+
+    for did, text in rows.items():
+        if did < _PLANTED_OFFSET:
+            continue
+        base = rows[did - _PLANTED_OFFSET].split(" ")
+        var = text.split(" ")
+        # the variant is a prefix of its base, ~90% of the tokens
+        assert var == base[: len(var)]
+        assert len(var) == max((len(base) * 9) // 10, 3)
+    # base docs from different salt groups share zero tokens (=> zero
+    # shingles): doc 0/1 share the '#0' salt, doc 2 is '#1'
+    t0, t2 = set(rows[0].split(" ")), set(rows[2].split(" "))
+    assert not (t0 & t2)
+
+    # every planted variant is containment-1.0 inside its base
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    for did in rows:
+        if did >= _PLANTED_OFFSET:
+            assert pairs[(did, did - _PLANTED_OFFSET)] == 1.0
+    corpus.unpersist()
