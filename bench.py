@@ -196,7 +196,18 @@ def main() -> None:
         # checkpoint-heavy tail (dd_incremental_md5 2.9 -> 8.2 s by
         # position 39).  Collect between queries so each runs against a
         # clean block manager — real deployments run one query per job.
+        # The JVM side needs the same treatment: ContextCleaner reclaims
+        # asynchronously on weak-reference processing, so a
+        # checkpoint-heavy head late in the suite can pay the PREVIOUS
+        # heads' deferred cleanup inside its own reps (measured r6:
+        # agg_incremental_quantiles 2.3 s in-suite with zero steal vs
+        # 1.24 s isolated) — one synchronous System.gc() between queries
+        # drains the reference queue outside any timed window.
         gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
