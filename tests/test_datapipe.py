@@ -1732,3 +1732,31 @@ def test_interleave_sources_order_properties(spark, sf_small):
     c = {(r.doc_id, r.shard, r.pos)
          for r in interleave_sources(d, weights=w, n_shards=2, salt="mix2").collect()}
     assert c != a
+
+
+def test_prefix_keep_never_tighter_than_verify():
+    """The AllPairs prefix bound (ADVICE r5 fix): for every (threshold,
+    doc size) the epsilon-adjusted ceil must keep a prefix at least as
+    long as the exact rational bound |d| - s_min + 1, where s_min is the
+    smallest integer overlap with s/|d| >= t — a too-short prefix can
+    prune a pair the verify predicate (and the oracle) keeps.  Checked
+    exhaustively over a dense threshold grid x sizes 1..400 with
+    fractions.Fraction as the exact reference."""
+    from fractions import Fraction
+
+    import math
+
+    def prefix_keep_py(threshold: float, sz: int) -> int:
+        # mirrors operators.dedup._prefix_keep's arithmetic
+        return sz - math.ceil(threshold * sz - 1e-9) + 1
+
+    thresholds = [i / 100 for i in range(1, 100)] + [0.3333333333333333, 0.9999]
+    for t in thresholds:
+        ft = Fraction(t)  # the exact rational the float threshold denotes
+        for sz in range(1, 401):
+            s_min = math.ceil(ft * sz)  # exact: smallest s with s/sz >= t
+            exact_keep = sz - s_min + 1
+            got = prefix_keep_py(t, sz)
+            assert got >= exact_keep, (t, sz, got, exact_keep)
+            # and never looser than one extra shingle (perf guard)
+            assert got <= exact_keep + 1, (t, sz, got, exact_keep)
