@@ -381,3 +381,38 @@ def test_clean_transactions_fused_equals_two_step(spark):
     assert u97 and u97[0]["cat"] == 9 and u97[0]["value"] is None
     for ra, rb in zip(a, b):
         assert ra == rb, (ra, rb)
+
+
+def test_kmv_set_ops_tracks_exact_overlaps(spark, sf_small):
+    """KMV union/intersection/Jaccard estimates vs exact pairwise
+    overlaps on the events table: union error inside the KMV k=64
+    envelope (~1/sqrt(k-2) ≈ 13%, allow 3 sigma), intersection/Jaccard
+    within an additive band (ρ adds binomial noise on top).  Also the
+    exact regime: sets whose combined sketch fits in k must come back
+    EXACT."""
+    from vtb_datafusion_2023_spark.functions.sketches import kmv_set_ops
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    got = {
+        (r.set_a, r.set_b): r
+        for r in kmv_set_ops(ev, "event_type", "user_id", k=64).collect()
+    }
+    assert got  # events has >= 2 types
+    pairs = {k: v for k, v in got.items()}
+    exact = {}
+    rows = ev.select("event_type", "user_id").distinct().collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    for (a, b), r in pairs.items():
+        ua, ub = by_type[a], by_type[b]
+        exact[(a, b)] = (len(ua | ub), len(ua & ub))
+    for key, r in pairs.items():
+        tu, ti = exact[key]
+        if tu < 64:  # exact regime
+            assert r.union_est == float(tu)
+            assert r.inter_est == float(ti)
+        else:
+            assert abs(r.union_est - tu) / tu < 0.40  # 3x the k=64 sigma
+            assert abs(r.inter_est - ti) <= max(10, 0.5 * tu ** 0.5 * 6)
+        assert 0.0 <= r.jaccard_est <= 1.0

@@ -125,3 +125,98 @@ def kmv_distinct(
         f"else cast({k - 1} as double) * cast(4294967296 as double) / cast(_hk as double) end"
     )
     return agg.select(*g, F.expr(est).alias("kmv_nd"))
+
+
+def kmv_set_ops_final_sql(k: int) -> list[str]:
+    """The shared float grammar for the KMV set-operation estimators —
+    ONE text both engines evaluate over the combined-sketch aggregate
+    columns ``(_nl, _hk, _both)``, so equal operand bits give equal
+    result bits (the engine's cross-engine float contract).  Returns the
+    three aliased select expressions."""
+    union = (
+        f"case when _nl < {k} then cast(_nl as double) "
+        f"else cast({k - 1} as double) * cast(4294967296 as double) "
+        f"/ cast(_hk as double) end"
+    )
+    rho = f"(cast(_both as double) / cast(least(_nl, {k}) as double))"
+    return [
+        f"{union} as union_est",
+        f"({rho} * ({union})) as inter_est",
+        f"{rho} as jaccard_est",
+    ]
+
+
+def kmv_set_ops(
+    df: DataFrame, set_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """KMV set-operation estimates for every unordered pair of sets
+    (Beyer et al., SIGMOD'07 "On synopses for distinct-value estimation
+    under multiset operations"): from each set's k-minimum-values sketch,
+    the k smallest hashes of the COMBINED sketch estimate |A∪B| (same
+    estimator as :func:`kmv_distinct`), and the fraction ρ of those that
+    appear in BOTH sketches estimates Jaccard — so |A∩B| ≈ ρ·|A∪B|.
+    The corpus-curation use: estimating user/document overlap between
+    sources, snapshots, or shards WITHOUT a pairwise distinct join over
+    the raw data.
+
+    Scale shape: the only corpus-sized work is one (set, hash) distinct
+    with map-side partials and one per-set group-limit window; everything
+    pairwise runs on the sketch table — |sets|·k rows, broadcastable.
+    Exact regime: when the combined sketch holds fewer than k hashes both
+    inputs were exact, and the estimators return exact counts.
+
+    md5-hashed like :func:`kmv_distinct`, so the whole result is exactly
+    replayable by the DuckDB oracle (deterministic, hash-certifiable).
+    Returns ``(set_a, set_b, union_est, inter_est, jaccard_est)``.
+    """
+    h = F.expr(
+        f"cast(conv(substring(md5((({value_col}) || '')), 1, 8), 16, 10) as bigint)"
+    )
+    hashed = df.select(F.col(set_col).alias("_s"), h.alias("_h")).distinct()
+    w = Window.partitionBy("_s").orderBy(F.col("_h").asc())
+    sk = (
+        hashed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("_s", "_h")
+    )
+    sets = sk.select("_s").distinct()
+    pairs = sets.select(F.col("_s").alias("set_a")).join(
+        sets.select(F.col("_s").alias("set_b")), F.col("set_a") < F.col("set_b")
+    )
+    # per pair, the union of both sketches with membership flags; the
+    # OR-join is a broadcast nested loop over the TINY sketch table
+    # (|sets|·k rows) — never the corpus
+    comb = (
+        pairs.join(
+            sk, (F.col("_s") == F.col("set_a")) | (F.col("_s") == F.col("set_b"))
+        )
+        .groupBy("set_a", "set_b", "_h")
+        .agg(
+            F.max(F.when(F.col("_s") == F.col("set_a"), 1).otherwise(0)).alias("_ina"),
+            F.max(F.when(F.col("_s") == F.col("set_b"), 1).otherwise(0)).alias("_inb"),
+        )
+    )
+    w2 = Window.partitionBy("set_a", "set_b").orderBy(F.col("_h").asc())
+    w2a = Window.partitionBy("set_a", "set_b")
+    r2 = comb.select(
+        "set_a",
+        "set_b",
+        "_h",
+        "_ina",
+        "_inb",
+        F.row_number().over(w2).alias("_rk"),
+        F.count(F.lit(1)).over(w2a).alias("_nl"),
+    )
+    agg = r2.groupBy("set_a", "set_b").agg(
+        F.max("_nl").alias("_nl"),
+        F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk"),
+        F.sum(
+            F.when(
+                (F.col("_rk") <= F.least(F.lit(k), F.col("_nl")))
+                & (F.col("_ina") == 1)
+                & (F.col("_inb") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("_both"),
+    )
+    return agg.selectExpr("set_a", "set_b", *kmv_set_ops_final_sql(k))

@@ -115,6 +115,7 @@ _FRONT_R6 = [
     "u4_vrae_twin",
     "dd_containment_planted",
     "dd_jaccard_planted",
+    "sk_kmv_overlap",
     # -- changed code path this round --
     "dd_ngram_jaccard", "dd_containment", "dd_semdedup",
     "an_top_paths", "dp_throttle", "tbl_schema_evolution",

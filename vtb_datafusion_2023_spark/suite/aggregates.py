@@ -375,6 +375,69 @@ def sk_kmv_distinct(spark, sf_dir):
     return kmv_distinct(T(spark, sf_dir, "events"), ["event_type"], "user_id", k=_KMV_K)
 
 
+def _kmv_set_ops_oracle() -> str:
+    from ..functions.sketches import kmv_set_ops_final_sql
+
+    finals = ",\n       ".join(kmv_set_ops_final_sql(_KMV_K))
+    return f"""
+with hashed as (
+  select distinct event_type as _s, {_KMV_H} as _h from events
+),
+sk as (
+  select _s, _h from (
+    select _s, _h, row_number() over (partition by _s order by _h asc) as _rk
+    from hashed
+  ) where _rk <= {_KMV_K}
+),
+sets as (select distinct _s from sk),
+pairs as (
+  select a._s as set_a, b._s as set_b
+  from sets a join sets b on a._s < b._s
+),
+comb as (
+  select p.set_a, p.set_b, s._h,
+         max(case when s._s = p.set_a then 1 else 0 end) as _ina,
+         max(case when s._s = p.set_b then 1 else 0 end) as _inb
+  from pairs p join sk s on s._s = p.set_a or s._s = p.set_b
+  group by 1, 2, 3
+),
+r2 as (
+  select set_a, set_b, _h, _ina, _inb,
+         row_number() over (partition by set_a, set_b order by _h asc) as _rk,
+         count(*) over (partition by set_a, set_b) as _nl
+  from comb
+),
+agg as (
+  select set_a, set_b, max(_nl) as _nl,
+         max(case when _rk = {_KMV_K} then _h end) as _hk,
+         sum(case when _rk <= least({_KMV_K}, _nl)
+                   and _ina = 1 and _inb = 1 then 1 else 0 end) as _both
+  from r2 group by set_a, set_b
+)
+select set_a, set_b,
+       {finals}
+from agg
+"""
+
+
+@register(
+    "sk_kmv_overlap",
+    oracle=_kmv_set_ops_oracle(),
+    survey_ref="sketch-approx-distinct",
+    doc="KMV set-operation estimates (Beyer et al. SIGMOD'07) for every "
+    "event-type pair: |A∪B| from the combined sketch's k-th minimum, "
+    "Jaccard from the both-members fraction of the first k, |A∩B| as "
+    "their product — source/shard overlap estimation WITHOUT a pairwise "
+    "distinct join over raw data.  Pairwise work runs on the |sets|·k "
+    "sketch table only; md5 hashing keeps the estimate engine-agnostic "
+    "(exactly replayed by the oracle, shared float grammar).",
+)
+def sk_kmv_overlap(spark, sf_dir):
+    from ..functions.sketches import kmv_set_ops
+
+    return kmv_set_ops(T(spark, sf_dir, "events"), "event_type", "user_id", k=_KMV_K)
+
+
 @register(
     "agg_cube_source_lang",
     oracle=f"""
