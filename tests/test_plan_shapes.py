@@ -652,7 +652,7 @@ def test_front_block_registration_order():
     # changed-code-path re-certs must sit inside the driver's ~50 budget
     never_checked = [
         "u4_vrae_twin", "dd_containment_planted", "dd_jaccard_planted",
-        "sk_kmv_overlap",
+        "sk_kmv_overlap", "gr_kcore",
         "dd_ngram_jaccard", "dd_containment", "dd_semdedup",
         "an_top_paths", "dp_throttle", "tbl_schema_evolution",
     ]
@@ -660,8 +660,8 @@ def test_front_block_registration_order():
     # the r1-only-green block re-certifies inside the budget too
     for q in ("agg_grouping_sets", "q1_pricing_summary", "tbl_profile",
               "sk_approx_distinct"):
-        assert names.index(q) < 41
-    assert len(_FRONT_R6) == 4 + 6 + 30 + 43  # new + changed + r1-era + r2-era
+        assert names.index(q) < 42
+    assert len(_FRONT_R6) == 5 + 6 + 30 + 43  # new + changed + r1-era + r2-era
 
 
 def test_kll_partial_quantiles_merge_properties(spark):

@@ -510,3 +510,37 @@ def test_planted_corpus_controlled_density(spark):
         if did >= _PLANTED_OFFSET:
             assert pairs[(did, did - _PLANTED_OFFSET)] == 1.0
     corpus.unpersist()
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    from vtb_datafusion_2023_spark.operators.graph import kcore
+
+    # 4-clique (1-4) with a tail 4-5-6: k=3 peels the tail in one round
+    # (deg(6)=1, deg(5)=2), the clique survives at degree 3 exactly
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r.node: r.degree for r in kcore(edges, k=3, iterations=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above the densest core empties the graph
+    assert kcore(edges, k=4, iterations=3).count() == 0
+    with pytest.raises(ValueError):
+        kcore(edges, k=0)
+
+
+def test_kcore_cascading_peel_needs_multiple_rounds(spark):
+    from vtb_datafusion_2023_spark.operators.graph import kcore
+
+    # chain hung off a triangle: each round peels one more chain node —
+    # the truncated recursion's round count is observable
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    # k=2: round1 peels 6, round2 peels 5, round3 peels 4 -> triangle
+    got3 = {r.node for r in kcore(edges, k=2, iterations=3).collect()}
+    assert got3 == {1, 2, 3}
+    # with only 1 round, the truncation keeps the not-yet-peeled 4 and 5
+    got1 = {r.node for r in kcore(edges, k=2, iterations=1).collect()}
+    assert got1 == {1, 2, 3, 4, 5}

@@ -210,3 +210,64 @@ def label_propagation(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int | None = 2,
+) -> DataFrame:
+    """Iterative k-core peeling (Seidman 1983; the distributed peel of
+    Montresor et al. 2013): repeatedly drop every node whose degree in
+    the SURVIVING subgraph is below ``k``, ``iterations`` rounds.  The
+    data-curation use: bot rings, spam farms, and citation/link cores
+    are dense subgraphs that survive peeling while incidental one-off
+    connections fall away — the graph-side complement of frequency
+    filtering.
+
+    FIXED iterations keep the recursion oracle-expressible (the
+    pagerank/LPA pattern): each round is pure integer arithmetic —
+    degree count over the distinct symmetrized edge set, threshold,
+    semi-join both endpoints — so the unrolled SQL replays it bitwise.
+    A graph whose peel has not stabilized in ``iterations`` rounds
+    returns the round-N overapproximation (documented truncation, same
+    contract as ``pagerank``'s fixed step count; peeling converges in
+    at most |V| rounds, in practice a handful).
+
+    Scale: per round one map-side-partial degree count + two semi-joins
+    of the edge set against the shrinking |survivors|-row node table —
+    no operator holds a neighborhood in one row, no driver-side state.
+    Lineage truncates every ``checkpoint_every`` rounds.
+
+    Returns surviving ``(node, degree)`` — degree within the final core.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    deg = None
+    for i in range(iterations):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            cur = cur.localCheckpoint(eager=True)
+    # final degrees within the surviving subgraph (post-round-N edges);
+    # no extra threshold here — a survivor whose degree fell below k
+    # AFTER the round-N edge removal is exactly the truncation state the
+    # oracle replays (another round would peel it)
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -116,6 +116,7 @@ _FRONT_R6 = [
     "dd_containment_planted",
     "dd_jaccard_planted",
     "sk_kmv_overlap",
+    "gr_kcore",
     # -- changed code path this round --
     "dd_ngram_jaccard", "dd_containment", "dd_semdedup",
     "an_top_paths", "dp_throttle", "tbl_schema_evolution",

@@ -3967,6 +3967,54 @@ def gr_label_propagation(spark, sf_dir):
     return label_propagation(edges)
 
 
+_KCORE_K = 3
+
+
+def _kcore_oracle(k: int = _KCORE_K, iterations: int = 3) -> str:
+    """Unrolled k-core peel — pure integer degrees and semi-joins,
+    bitwise cross-engine (the LPA/pagerank recursion pattern)."""
+    sql = """
+with e0 as (
+  select l_orderkey as u, l_partkey as v from lineitem where l_orderkey <= 600
+),
+g0 as (
+  select u, v from (select u, v from e0 union select v, u from e0)
+  where u <> v
+)"""
+    prev = "g0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+d{i} as (select u, count(*) as degree from {prev} group by u),
+k{i} as (select u from d{i} where degree >= {k}),
+g{i} as (select g.u, g.v from {prev} g
+         join k{i} a on g.u = a.u join k{i} b on g.v = b.u)"""
+        prev = f"g{i}"
+    return sql + f"""
+select u as node, cast(count(*) as bigint) as degree
+from {prev} group by u
+"""
+
+
+@register(
+    "gr_kcore",
+    oracle=_kcore_oracle(),
+    survey_ref="graph-kcore",
+    doc=f"iterative {_KCORE_K}-core peeling (graph.kcore, Seidman 1983 / "
+    "distributed peel) over the order->part bipartite edges: 3 rounds of "
+    "drop-degree<k + both-endpoint semi-joins — the graph-side dense-"
+    "subgraph filter for bot-ring/spam-farm curation; integer-only, "
+    "oracle = the unrolled recursion, bitwise.",
+)
+def gr_kcore(spark, sf_dir):
+    from ..operators.graph import kcore
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") <= 600).select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return kcore(edges, k=_KCORE_K, iterations=3)
+
+
 @register(
     "mm_frame_sample",
     oracle="""
