@@ -93,6 +93,10 @@ HEADLINE = [
     # artifact.
     "dd_containment_planted",
     "dd_jaccard_planted",
+    # round-6 session-2 additions: KMV pairwise set-operation estimates
+    # and co-purchase k-core peeling
+    "sk_kmv_overlap",
+    "gr_kcore",
 ]
 
 

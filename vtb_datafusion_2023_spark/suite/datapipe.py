@@ -3972,13 +3972,21 @@ _KCORE_K = 3
 
 def _kcore_oracle(k: int = _KCORE_K, iterations: int = 3) -> str:
     """Unrolled k-core peel — pure integer degrees and semi-joins,
-    bitwise cross-engine (the LPA/pagerank recursion pattern)."""
+    bitwise cross-engine (the LPA/pagerank recursion pattern).  The
+    graph is part CO-PURCHASE (parts sharing an order form a clique):
+    per-order cliques give the peel real structure at EVERY sf — the
+    bipartite order->part graph collapses to 0 survivors at sf0.1
+    because parts spread thinner as the catalog grows."""
     sql = """
 with e0 as (
-  select l_orderkey as u, l_partkey as v from lineitem where l_orderkey <= 600
+  select a.l_partkey as u, b.l_partkey as v
+  from lineitem a join lineitem b
+    on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+  where a.l_orderkey <= 600
 ),
 g0 as (
-  select u, v from (select u, v from e0 union select v, u from e0)
+  select distinct u, v
+  from (select u, v from e0 union all select v, u from e0)
   where u <> v
 )"""
     prev = "g0"
@@ -4000,18 +4008,20 @@ from {prev} group by u
     oracle=_kcore_oracle(),
     survey_ref="graph-kcore",
     doc=f"iterative {_KCORE_K}-core peeling (graph.kcore, Seidman 1983 / "
-    "distributed peel) over the order->part bipartite edges: 3 rounds of "
-    "drop-degree<k + both-endpoint semi-joins — the graph-side dense-"
-    "subgraph filter for bot-ring/spam-farm curation; integer-only, "
-    "oracle = the unrolled recursion, bitwise.",
+    "distributed peel) over the part co-purchase graph (parts sharing "
+    "an order form a clique): 3 rounds of drop-degree<k + both-endpoint "
+    "semi-joins — the graph-side dense-subgraph filter for bot-ring/"
+    "spam-farm curation; integer-only, oracle = the unrolled recursion, "
+    "bitwise; non-degenerate peel at every sf (sf0.01: 1145/1354 nodes "
+    "survive, sf0.1: 1851/2283).",
 )
 def gr_kcore(spark, sf_dir):
     from ..operators.graph import kcore
 
-    li = T(spark, sf_dir, "lineitem")
-    edges = li.filter(F.col("l_orderkey") <= 600).select(
-        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
-    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+    a = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "_o").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return kcore(edges, k=_KCORE_K, iterations=3)
 
 
