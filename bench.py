@@ -126,19 +126,26 @@ _MAX_EXTRA = 4
 def _bench_query(run, base_reps: int = 3) -> tuple[float, bool]:
     """min over steal-clean reps of ``run()``; heads at >= 2 s extend to 5
     clean reps (longer windows carry more burst exposure — VERDICT r5
-    item 1).  Returns (best_sec, clean): ``clean=False`` means every rep
+    item 1).  Sub-second heads get twice the rerun budget: their reps
+    are cheap and the 0.25 s steal floor flags them easily during
+    sustained-burst windows, so spending a few more retries buys a clean
+    measurement where a flagged upper bound would otherwise be recorded.
+    Returns (best_sec, clean): ``clean=False`` means every rep
     overlapped a burst and the min is an upper bound, not a measurement."""
     clean: list[float] = []
     dirty: list[float] = []
     attempts = 0
     target = base_reps
-    while len(clean) < target and attempts < target + _MAX_EXTRA:
+    extra = _MAX_EXTRA
+    while len(clean) < target and attempts < target + extra:
         attempts += 1
         s0 = _steal_seconds()
         t0 = time.time()
         run()
         elapsed = time.time() - t0
         stolen = _steal_seconds() - s0
+        if elapsed < 1.0:
+            extra = 2 * _MAX_EXTRA  # cheap reps: buy more chances at clean
         if stolen > max(_STEAL_FLOOR_S, 0.10 * elapsed):
             dirty.append(elapsed)
             print(
