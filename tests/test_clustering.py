@@ -310,3 +310,56 @@ def test_semdedup_hot_cluster_derives_wider_fanout_same_result(spark):
     assert kept_derived == kept_fixed
     # the tight blobs really dedup: far fewer survivors than vectors
     assert len(kept_derived) < 66
+
+
+def test_kmeans_gemm_assignment_matches_fold_on_separated_blobs(spark):
+    """The Arrow-GEMM assignment (scale path for k grown with the
+    corpus) must agree with the oracle-certified fold path whenever
+    distances aren't ulp-ties — i.e. on any real clustering — and must
+    be partitioning-invariant (row-independent math)."""
+    from vtb_datafusion_2023_spark.operators.clustering import kmeans
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(120):
+        center = [(i % 4) * 50.0] * 6
+        rows.append((i, [c + float(rng.uniform(-1, 1)) for c in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    fold = {
+        (r.vec_id, r.cid)
+        for r in kmeans(df, dim=6, k=4, iterations=2).collect()
+    }
+    gemm = {
+        (r.vec_id, r.cid)
+        for r in kmeans(df, dim=6, k=4, iterations=2, assign_strategy="gemm").collect()
+    }
+    assert fold == gemm
+    gemm13 = {
+        (r.vec_id, r.cid)
+        for r in kmeans(
+            df.repartition(13), dim=6, k=4, iterations=2, assign_strategy="gemm"
+        ).collect()
+    }
+    assert gemm13 == gemm
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmeans(df, dim=6, k=4, assign_strategy="nope")
+
+
+def test_kmeans_gemm_exact_duplicate_ties_pick_smallest_cid(spark):
+    """np.argmin keeps the FIRST minimum: exact-duplicate vectors (the
+    clone-heavy corpus regime the gemm path exists for) tie-break to
+    the smallest cid, same rule as the fold path's (dist, cid) order."""
+    from vtb_datafusion_2023_spark.operators.clustering import kmeans
+
+    # vectors 0 and 1 identical -> centroids 0 and 1 identical; every
+    # point is equidistant from both, so all must land in cid 0
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0]), (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.cid for r in kmeans(df, dim=2, k=2, iterations=1, assign_strategy="gemm").collect()}
+    assert got == {0}

@@ -62,6 +62,7 @@ def kmeans(
     id_col: str = "vec_id",
     k: int = 8,
     iterations: int = 2,
+    assign_strategy: str = "fold",
 ) -> DataFrame:
     """Lloyd k-means with deterministic init: centroids 0..k-1 are the
     vectors with the k smallest ids (cheap, reproducible, and at corpus
@@ -69,7 +70,28 @@ def kmeans(
     matters for few-iteration convergence speed, not for the fixed-
     iteration semantics pinned here).  Returns the assignment after
     ``iterations`` centroid updates: ``(id_col, cid int)``.
+
+    ``assign_strategy`` picks the nearest-centroid engine:
+
+    - ``"fold"`` (default, oracle-certified): corpus × broadcast
+      centroids with the interpreted zip_with/aggregate distance — the
+      exact IEEE op sequence the DuckDB oracle unrolls, bitwise.  HOF
+      folds are interpreted, so per-assignment cost is ~|corpus|·k·dim
+      interpreted ops — fine at the certified k=8, the bottleneck once
+      k grows with the corpus (SemDeDup's regime: measured 18.5 min at
+      200k × k=256, sf10).
+    - ``"gemm"`` (scale path): Arrow-batched numpy
+      ``||x||² - 2·X@Cᵀ + ||c||²`` argmin in mapInPandas (SCALE.md rule
+      8: large fan-outs leave the interpreted path).  BLAS reassociates
+      the sums, so near-tie assignments can differ from the fold path
+      at ulp level — row-independent and partitioning-invariant, but
+      NOT oracle-replayable; exact duplicates still tie-break to the
+      smallest cid (np.argmin keeps the first minimum).  Measured at
+      200k × k=256 (sf10): the 3 assignment passes drop from the
+      dominant term to seconds.
     """
+    if assign_strategy not in ("fold", "gemm"):
+        raise ValueError(f"assign_strategy must be fold|gemm, got {assign_strategy!r}")
     # Every DuckDB oracle unrolls exactly ``dim`` distance terms, so a
     # ragged/NULL vector must fail LOUDLY here rather than silently
     # diverge cross-engine (a NULL distance would even order differently:
@@ -101,7 +123,7 @@ def kmeans(
         "cast(0 as double), (acc, x) -> acc + x)"
     )
 
-    def assign(cents_df: DataFrame) -> DataFrame:
+    def assign_fold(cents_df: DataFrame) -> DataFrame:
         scored = (
             emb.crossJoin(F.broadcast(cents_df))
             .withColumn("_d", F.expr(dist))
@@ -112,6 +134,44 @@ def kmeans(
             .filter(F.col("_rn") == 1)
             .select(id_col, "_v", "cid")
         )
+
+    def assign_gemm(cents_df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        rows = cents_df.orderBy("cid").collect()  # k × dim: driver-tiny
+        C = np.array([list(r["_c"]) for r in rows], dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+        b = df.sparkSession.sparkContext.broadcast((C, cn))
+        id_field = next(f for f in emb.schema.fields if f.name == id_col)
+        schema = T.StructType(
+            [
+                id_field,
+                T.StructField("_v", T.ArrayType(T.DoubleType()), True),
+                T.StructField("cid", T.IntegerType(), False),
+            ]
+        )
+
+        def run(batches):
+            Cv, cnv = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cv.T) + cnv[None, :]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "_v": pdf["_v"],
+                        # first minimum = smallest cid on exact ties
+                        "cid": d2.argmin(axis=1).astype("int32"),
+                    }
+                )
+
+        return emb.mapInPandas(run, schema=schema)
+
+    assign = assign_fold if assign_strategy == "fold" else assign_gemm
 
     for _ in range(iterations):
         assigned = assign(cents)
@@ -174,6 +234,7 @@ def semdedup(
     threshold: float = 0.4,
     fanout: int | None = None,
     pair_budget: int = 250_000,
+    assign_strategy: str = "fold",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     corpus scale by k-means sharding — pairwise cosine is computed only
@@ -221,7 +282,8 @@ def semdedup(
     from .similarity import dot, norm
 
     assigned = kmeans(
-        df, dim=dim, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations
+        df, dim=dim, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations,
+        assign_strategy=assign_strategy,
     ).localCheckpoint(eager=True)
     if fanout is None:
         max_cluster = (
@@ -268,6 +330,7 @@ def cluster_sample(
     k: int = 8,
     iterations: int = 2,
     salt: str = "cs:",
+    assign_strategy: str = "fold",
 ) -> DataFrame:
     """Cluster-balanced corpus sampling: keep ``per_cluster`` documents
     from each semantic (k-means) cluster — the topic-balancing step of a
@@ -283,7 +346,8 @@ def cluster_sample(
     exchange, so no cluster's full membership ever converges on one
     task.  Returns ``(id_col, cid)`` of the kept sample."""
     assigned = kmeans(
-        df, dim=dim, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations
+        df, dim=dim, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations,
+        assign_strategy=assign_strategy,
     )
     h = F.expr(f"md5({salt!r} || ({id_col} || ''))")
     w = Window.partitionBy("cid").orderBy(h.asc(), F.col(id_col).asc())
