@@ -363,3 +363,34 @@ def test_kmeans_gemm_exact_duplicate_ties_pick_smallest_cid(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r.cid for r in kmeans(df, dim=2, k=2, iterations=1, assign_strategy="gemm").collect()}
     assert got == {0}
+
+
+def test_semdedup_grouped_gemm_matches_fold(spark, sf_small):
+    """The grouped-GEMM pair stage (scale path: cluster vectors through
+    Arrow, m x m Gram in BLAS, no pair row materialized) must keep the
+    same set as the oracle-certified salted-join fold path away from
+    ulp-ties, and must enforce its cluster-size bound loudly."""
+    import pytest
+
+    from vtb_datafusion_2023_spark.operators.clustering import semdedup
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    fold = {
+        r.vec_id for r in semdedup(emb, dim=64, k=4, iterations=2, threshold=0.4).collect()
+    }
+    gemm = {
+        r.vec_id
+        for r in semdedup(
+            emb, dim=64, k=4, iterations=2, threshold=0.4,
+            pair_strategy="grouped_gemm",
+        ).collect()
+    }
+    assert fold == gemm and 0 < len(gemm) < emb.count()
+
+    with pytest.raises(Exception, match="max_gemm_cluster"):
+        semdedup(
+            emb, dim=64, k=4, iterations=2,
+            pair_strategy="grouped_gemm", max_gemm_cluster=3,
+        ).count()
+    with pytest.raises(ValueError):
+        semdedup(emb, dim=64, pair_strategy="nope")

@@ -235,6 +235,8 @@ def semdedup(
     fanout: int | None = None,
     pair_budget: int = 250_000,
     assign_strategy: str = "fold",
+    pair_strategy: str = "fold",
+    max_gemm_cluster: int = 20_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     corpus scale by k-means sharding — pairwise cosine is computed only
@@ -278,13 +280,69 @@ def semdedup(
     most of the cluster (measured at sf0.1: k=8, 32 cores — fanout 1
     runs the pair stage on 8 tasks, fanout 8 on 64; 5.06 -> 4.51 s).
     The salt never changes the pair SET, only its task layout, so
-    results are fanout-invariant."""
+    results are fanout-invariant.
+
+    ``pair_strategy`` picks the within-cluster cosine engine:
+
+    - ``"fold"`` (default, oracle-certified): the salted self-join with
+      the interpreted dot/norm predicate — bitwise the oracle's cosine.
+    - ``"grouped_gemm"`` (scale path, pairs with
+      ``assign_strategy="gemm"``): one applyInPandas per cluster ships
+      the cluster's VECTORS (not pairs) through Arrow and finds dropped
+      ids from the m×m normalized Gram matrix — BLAS instead of
+      ~sum|c|² interpreted folds, and no pair row ever materializes.
+      Bounded by ``max_gemm_cluster`` rows per cluster (the m×m matrix
+      must fit an Arrow group; past the bound the call raises with the
+      paper's own remedy: raise k).  Measured at sf10 (200k vectors,
+      k=256, with gemm assignment): see SCALE.md.
+    """
     from .similarity import dot, norm
 
+    if pair_strategy not in ("fold", "grouped_gemm"):
+        raise ValueError(f"pair_strategy must be fold|grouped_gemm, got {pair_strategy!r}")
     assigned = kmeans(
         df, dim=dim, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations,
         assign_strategy=assign_strategy,
     ).localCheckpoint(eager=True)
+    if pair_strategy == "grouped_gemm":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        jv = assigned.join(
+            df.select(F.col(id_col), F.col(vec_col).alias("_v")), on=id_col
+        )
+        id_field = next(f for f in jv.schema.fields if f.name == id_col)
+        out_schema = T.StructType([id_field])
+        t, bound = float(threshold), int(max_gemm_cluster)
+
+        def drop_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = len(pdf)
+            if m > bound:
+                raise ValueError(
+                    f"semdedup grouped_gemm: cluster of {m} rows exceeds "
+                    f"max_gemm_cluster={bound}; raise k so clusters stay "
+                    "bounded (the SemDeDup scaling knob) or use "
+                    "pair_strategy='fold'"
+                )
+            if m < 2:
+                return pdf.iloc[0:0][[id_field.name]]
+            order = pdf[id_field.name].to_numpy().argsort(kind="stable")
+            ids = pdf[id_field.name].to_numpy()[order]
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )[order]
+            n = np.sqrt((X * X).sum(axis=1))
+            n[n == 0.0] = 1.0  # zero vectors: cosine 0 to everything
+            C = (X / n[:, None]) @ (X / n[:, None]).T
+            # drop j if any i<j has cos >= t: strict upper triangle max
+            iu = np.triu_indices(m, 1)
+            hit = np.zeros(m, dtype=bool)
+            np.logical_or.at(hit, iu[1], C[iu] >= t)
+            return pd.DataFrame({id_field.name: ids[hit]})
+
+        dropped_g = jv.groupBy("cid").applyInPandas(drop_in_cluster, schema=out_schema)
+        return assigned.join(dropped_g, on=id_col, how="left_anti")
     if fanout is None:
         max_cluster = (
             assigned.groupBy("cid")
