@@ -394,3 +394,51 @@ def test_semdedup_grouped_gemm_matches_fold(spark, sf_small):
         ).count()
     with pytest.raises(ValueError):
         semdedup(emb, dim=64, pair_strategy="nope")
+
+
+def test_semdedup_grouped_gemm_tiled_block_invariant(spark, sf_small):
+    """The strip-tiled Gram reduction (r7: O(m·blk) memory, never m×m)
+    is block-size invariant: a pathologically tiny block that forces
+    many strip boundaries — including blocks that straddle the
+    rows<j0 / local-square split — keeps the exact drop set of the
+    single-strip run and of the oracle-certified fold path."""
+    from vtb_datafusion_2023_spark.operators.clustering import semdedup
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    fold = {
+        r.vec_id for r in semdedup(emb, dim=64, k=4, iterations=2, threshold=0.4).collect()
+    }
+    for blk in (1, 3, 7, 1024):
+        got = {
+            r.vec_id
+            for r in semdedup(
+                emb, dim=64, k=4, iterations=2, threshold=0.4,
+                pair_strategy="grouped_gemm", gemm_block=blk,
+            ).collect()
+        }
+        assert got == fold, blk
+
+
+def test_semdedup_grouped_gemm_cluster_at_2x_old_bound(spark):
+    """A single 40_000-row cluster — 2× the pre-r7 bound, where the
+    untiled path materialized a 12.8 GB Gram plus same-order
+    triu_indices scratch — dedups through the tiled path with the
+    analytically known kept set (VERDICT r6 item 2 'done' criterion).
+
+    Corpus: vec i = one-hot e_{i mod 8} in dim 8, so cosine is 1 within
+    a direction group and 0 across; k=1 puts everything in one cluster;
+    kept must be exactly the 8 smallest ids 0..7."""
+    from vtb_datafusion_2023_spark.operators.clustering import semdedup
+
+    m, dim = 40_000, 8
+    df = spark.range(m).selectExpr(
+        "id as vec_id",
+        f"transform(sequence(0, {dim - 1}), "
+        f"j -> cast(if(j = id % {dim}, 1.0, 0.0) as double)) as embedding",
+    )
+    kept = semdedup(
+        df, dim=dim, k=1, iterations=1, threshold=0.5,
+        assign_strategy="gemm", pair_strategy="grouped_gemm",
+        max_gemm_cluster=40_000,
+    )
+    assert {r.vec_id for r in kept.collect()} == set(range(dim))
