@@ -1760,3 +1760,88 @@ def test_prefix_keep_never_tighter_than_verify():
             assert got >= exact_keep, (t, sz, got, exact_keep)
             # and never looser than one extra shingle (perf guard)
             assert got <= exact_keep + 1, (t, sz, got, exact_keep)
+
+
+def test_jaccard_alpha_never_tighter_than_verify():
+    """The PPJoin minimal-overlap bound (r7): for every (threshold,
+    |A|, |B|) the epsilon-adjusted ceil(t/(1+t)·(|A|+|B|)) must sit at
+    or below the exact rational s_min — the smallest integer overlap
+    with s/(|A|+|B|-s) >= t — or the position/length filters could
+    prune a pair the verify division (and the oracle) keeps.  Exact
+    reference via fractions.Fraction, like the _prefix_keep sweep."""
+    import math
+    from fractions import Fraction
+
+    def alpha_py(threshold: float, s: int) -> int:
+        # mirrors operators.dedup._jaccard_alpha's arithmetic
+        return math.ceil(threshold / (1.0 + threshold) * s - 1e-9)
+
+    thresholds = [i / 100 for i in range(1, 100)] + [0.3333333333333333, 0.9999]
+    for t in thresholds:
+        ft = Fraction(t)
+        for s in range(2, 801):  # s = |A| + |B|
+            # exact smallest integer overlap with ov/(s-ov) >= ft
+            s_min = math.ceil(ft * s / (1 + ft))
+            got = alpha_py(t, s)
+            assert got <= s_min, (t, s, got, s_min)
+            # perf guard: at most one below the exact bound
+            assert got >= s_min - 1, (t, s, got, s_min)
+
+
+def test_position_filter_output_invariant(spark, sf_small):
+    """PPJoin position/length pruning must not change the verified
+    output of either AllPairs operator — at a low threshold (alpha
+    rounding exercised hard) and at the operator defaults."""
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = docs(spark, sf_small)
+    for thr, ng in ((0.3, 3), (0.6, 1)):
+        on = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", n=ng, threshold=thr).collect()
+        }
+        off = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                d, "doc_id", "text", n=ng, threshold=thr, position_filter=False
+            ).collect()
+        }
+        assert on == off and len(on) > 0, (thr, ng)
+    c_on = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(d, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    c_off = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            d, "doc_id", "text", n=3, threshold=0.7, position_filter=False
+        ).collect()
+    }
+    assert c_on == c_off and len(c_on) > 0
+
+
+def test_planted_corpus_offset_guard_fires_on_collision(spark, sf_small, monkeypatch):
+    """_PLANTED_OFFSET collision guard (ADVICE r6): if real doc_ids ever
+    reach the planted-id offset, the in-plan raise_error must turn the
+    silent corpus corruption (identical on Spark and oracle — the gate
+    would stay green) into a loud failure.  Normal-scale corpus passes
+    through unchanged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import vtb_datafusion_2023_spark.suite.datapipe as dp
+
+    ok = dp._planted_corpus(spark, sf_small)
+    assert ok.agg(F.max("doc_id")).first()[0] >= dp._PLANTED_OFFSET  # planted ids minted
+    orig = dp.T
+    monkeypatch.setattr(
+        dp, "T",
+        lambda s, d, t: orig(s, d, t).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(dp._PLANTED_OFFSET)
+        ),
+    )
+    with pytest.raises(Exception, match="planted corpus"):
+        dp._planted_corpus(spark, sf_small).agg(F.max("doc_id")).collect()

@@ -628,39 +628,44 @@ def test_funnel_scan_two_shuffles(spark, sf_small):
 
 def test_front_block_registration_order():
     """The driver certifies ~50 queries per round in registration order.
-    Pin the round-6 front block (this round's never-certified additions
-    first, then changed-code-path re-certs, then the stale r1/r2-era
-    greens) so a module reshuffle can't silently push an uncertified
-    query out of the gate's reach."""
+    Pin the round-7 front block (this round's changed-code-path
+    re-certs first, then the 34 r2-era stale greens, then the r3-era
+    tail) so a module reshuffle can't silently push a stale query out
+    of the gate's reach (VERDICT r6 item 1: the rotation must retire
+    every r2-era green this round)."""
     from vtb_datafusion_2023_spark.suite import (
         _FRONT_R4,
         _FRONT_R5,
         _FRONT_R6,
+        _FRONT_R7,
         _UNCHECKED_TAIL,
     )
 
     names = list(QS)
-    head = (
-        _FRONT_R6
-        + [n for n in _FRONT_R5 if n not in _FRONT_R6]
-        + [n for n in _FRONT_R4 if n not in _FRONT_R6 and n not in _FRONT_R5]
-        + _UNCHECKED_TAIL
-    )
+    head = _FRONT_R7 + [
+        n
+        for block in (_FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
+        for n in block
+        if n not in _FRONT_R7
+    ]
+    seen: set = set()
+    head = [n for n in head if not (n in seen or seen.add(n))]
     assert names[: len(head)] == head
     assert len(set(names)) == len(names)
-    # every never-driver-checked query (the r6 additions) plus the
-    # changed-code-path re-certs must sit inside the driver's ~50 budget
-    never_checked = [
-        "u4_vrae_twin", "dd_containment_planted", "dd_jaccard_planted",
-        "sk_kmv_overlap", "gr_kcore",
-        "dd_ngram_jaccard", "dd_containment", "dd_semdedup",
-        "an_top_paths", "dp_throttle", "tbl_schema_evolution",
+    # this round's changed-code-path re-certs lead
+    changed = [
+        "dd_jaccard_planted", "dd_containment_planted",
+        "dd_ngram_jaccard", "dd_containment",
+        "sk_kmv_overlap", "dd_semdedup",
     ]
-    assert names[: len(never_checked)] == never_checked
-    # the r1-only-green block re-certifies inside the budget too
-    for q in ("agg_grouping_sets", "q1_pricing_summary", "tbl_profile",
-              "sk_approx_distinct"):
-        assert names.index(q) < 42
+    assert names[: len(changed)] == changed
+    # the 34 r2-era stale greens (VERDICT item 1 + item 3's real-weight
+    # inference paths) all sit inside the driver's ~50 budget
+    for q in ("u1_rnn_scores", "u4_vrae_latents", "u6_catboost_cbm",
+              "u6_mapinpandas_inference", "pipeline_user_profile",
+              "text_chunking", "mm_audio_wav", "ann_ivf_topk"):
+        assert names.index(q) < 40, q
+    assert len(_FRONT_R7) == 6 + 34 + 49  # changed + r2-era + r3-era
     assert len(_FRONT_R6) == 5 + 6 + 30 + 43  # new + changed + r1-era + r2-era
 
 

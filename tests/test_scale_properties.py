@@ -416,3 +416,22 @@ def test_kmv_set_ops_tracks_exact_overlaps(spark, sf_small):
             assert abs(r.union_est - tu) / tu < 0.40  # 3x the k=64 sigma
             assert abs(r.inter_est - ti) <= max(10, 0.5 * tu ** 0.5 * 6)
         assert 0.0 <= r.jaccard_est <= 1.0
+
+
+def test_kmv_set_ops_guards_high_cardinality_set_key(spark, sf_small):
+    """The pairwise estimate stage is all-pairs over SET KEYS — right
+    for source/shard/snapshot keys, quadratic poison for a user-grade
+    key (VERDICT r6 item 5).  Past max_sets the call must raise with
+    the remedy instead of planning |sets|² pairs; at or under the
+    bound it runs unchanged."""
+    import pytest
+
+    from vtb_datafusion_2023_spark.functions.sketches import kmv_set_ops
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    with pytest.raises(ValueError, match="max_sets"):
+        kmv_set_ops(ev, "user_id", "event_id", k=8, max_sets=10)
+    # at the bound: normal result shape
+    n_types = ev.select("event_type").distinct().count()
+    out = kmv_set_ops(ev, "event_type", "user_id", k=8, max_sets=n_types)
+    assert out.count() == n_types * (n_types - 1) // 2

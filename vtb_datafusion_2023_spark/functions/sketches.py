@@ -147,7 +147,8 @@ def kmv_set_ops_final_sql(k: int) -> list[str]:
 
 
 def kmv_set_ops(
-    df: DataFrame, set_col: str, value_col: str, k: int = 64
+    df: DataFrame, set_col: str, value_col: str, k: int = 64,
+    max_sets: int = 1_000,
 ) -> DataFrame:
     """KMV set-operation estimates for every unordered pair of sets
     (Beyer et al., SIGMOD'07 "On synopses for distinct-value estimation
@@ -168,6 +169,15 @@ def kmv_set_ops(
     md5-hashed like :func:`kmv_distinct`, so the whole result is exactly
     replayable by the DuckDB oracle (deterministic, hash-certifiable).
     Returns ``(set_a, set_b, union_est, inter_est, jaccard_est)``.
+
+    ``max_sets`` guards the pair stage (VERDICT r6 item 5): all-pairs
+    over the SET KEYS is the operator's design point for source / shard
+    / snapshot grade keys (tens to hundreds of sets — the pair table is
+    |sets|²/2 × k sketch rows, broadcastable), but quadratic poison if
+    pointed at a user-grade key.  The sketch table is pinned (it feeds
+    three plan branches) and the set count — a 1-row aggregate over it —
+    is checked eagerly; past the bound the call raises with the remedy
+    instead of silently planning |users|² pairs.
     """
     h = F.expr(
         f"cast(conv(substring(md5((({value_col}) || '')), 1, 8), 16, 10) as bigint)"
@@ -178,7 +188,19 @@ def kmv_set_ops(
         hashed.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .select("_s", "_h")
+        # pinned: feeds the set list (twice, via the pair build) and the
+        # combined-sketch join — and the eager guard count below
+        .localCheckpoint(eager=True)
     )
+    n_sets = sk.select(F.countDistinct("_s").alias("_n")).first()["_n"]
+    if n_sets > max_sets:
+        raise ValueError(
+            f"kmv_set_ops: {n_sets} distinct sets exceeds max_sets="
+            f"{max_sets}; the pairwise estimate stage is all-pairs over "
+            "set keys (meant for source/shard/snapshot-grade keys). "
+            "Group the key coarser, or raise max_sets only if "
+            "|sets|^2 * k sketch rows is genuinely the workload."
+        )
     sets = sk.select("_s").distinct()
     pairs = sets.select(F.col("_s").alias("set_a")).join(
         sets.select(F.col("_s").alias("set_b")), F.col("set_a") < F.col("set_b")

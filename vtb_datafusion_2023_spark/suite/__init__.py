@@ -89,16 +89,17 @@ _FRONT_R4 = [
 # after the front block.
 _UNCHECKED_TAIL: list[str] = []
 
-# Round-6 front block (82 names; the driver certifies ~50 in order, so
-# the head is budget + a spill that rolls to r7).  Goal (VERDICT r5
-# item 2): walk every query whose NEWEST green predates r3 back through
-# the gate — after r5, 74 registered queries' newest green was r1/r2-era
-# (25 r1-only + 49 r2-only, computed by tools/plan_next_round.py over
+# Round-6 front block (84 names = 5 new + 6 changed + 30 r1-era + 43
+# r2-era; the driver certifies ~50 in order, so the head is budget + a
+# spill that rolls to r7).  Goal (VERDICT r5 item 2): walk every query
+# whose NEWEST green predates r3 back through the gate — after r5, 74
+# registered queries' newest green was r1/r2-era (25 r1-only + 49
+# r2-only, computed by tools/plan_next_round.py over
 # CORRECTNESS_r01..05).  Order:
 #
-# 0. The 3 queries added this round, never driver-certified: the U4
-#    hash twin (VERDICT item 4) and the two planted-density dedup
-#    twins (VERDICT item 3).
+# 0. The 5 queries added this round, never driver-certified: the U4
+#    hash twin (VERDICT item 4), the two planted-density dedup twins
+#    (VERDICT item 3), the KMV pairwise set-op estimates, and k-core.
 # 1. The 6 queries whose code path changed this round (prefix-filter
 #    epsilon, derived semdedup fanout, top_paths TakeOrdered rewrite,
 #    throttle window-id rebuild, manifest schema recovery) — newest
@@ -147,6 +148,63 @@ _FRONT_R6 = [
     "dd_embedding_cosine", "dd_semantic_dedup", "ann_ivf_topk",
     "mm_binary_metadata", "mm_decode_png", "mm_audio_wav",
     "u6_mapinpandas_inference", "text_chunking",
+]
+
+# Round-7 front block (89 names; the driver certifies ~50 in order).
+# Goal (VERDICT r6 item 1 — "the only gap between all-green and all
+# freshly green"): walk the 83 registered queries whose newest driver
+# green predates r4 (tools/plan_next_round.py --stale-after 2) back
+# through the gate, r2-era names first.  Order:
+#
+# 0. The 6 queries whose code path changed this round, newest green
+#    notwithstanding: the PPJoin position/length filters on the
+#    AllPairs candidates (dd_jaccard_planted / dd_containment_planted /
+#    dd_ngram_jaccard / dd_containment), the kmv_set_ops pinned-sketch
+#    cardinality guard (sk_kmv_overlap), and the grouped-GEMM tiling
+#    module (dd_semdedup — its certified fold path is untouched, but
+#    clustering.py changed, so re-certify).
+# 1. The 34 r2-era names, oldest-certification-first (VERDICT item 3's
+#    real-weight inference paths u1/u4/u6 included) — these plus block
+#    0 fit the ~50 budget, meeting the round's "zero r2-era greens
+#    remain" done-criterion.
+# 2. The r3-era tail in registration order; positions past the budget
+#    roll to r8 — all hold greens, nothing uncertified is at risk.
+_FRONT_R7 = [
+    # -- changed code path this round --
+    "dd_jaccard_planted", "dd_containment_planted",
+    "dd_ngram_jaccard", "dd_containment",
+    "sk_kmv_overlap", "dd_semdedup",
+    # -- newest green is r2 --
+    "w10_quantile_bin", "w11_minmax_scale", "w12_rank_functions",
+    "w13_rolling_time_window", "w14_ewma", "w15_gap_fill",
+    "pipeline_user_profile", "u1_rnn_scores", "u4_vrae_latents",
+    "u6_catboost_cbm", "dd_exact_dedup", "dd_dedup_clusters",
+    "dd_minhash_lsh", "dd_minhash_md5", "dd_simhash",
+    "text_quality", "text_langid", "text_fingerprint",
+    "text_token_count", "sim_topk_bruteforce", "ann_gemm_topk",
+    "pq_encode_codes", "ann_pq_topk", "ann_lsh_buckets",
+    "ann_lsh_topk", "ann_lsh_pq_topk", "dd_embedding_cosine",
+    "dd_semantic_dedup", "ann_ivf_topk", "mm_binary_metadata",
+    "mm_decode_png", "mm_audio_wav", "u6_mapinpandas_inference",
+    "text_chunking",
+    # -- newest green is r3 --
+    "text_surprisal", "sql_surface", "dd_incremental_md5",
+    "sink_roundtrip", "tbl_maintenance_roundtrip",
+    "tbl_merge_time_travel", "tbl_zone_map_range", "sql_udtf_chunking",
+    "gr_pagerank", "an_drift_psi", "dd_simhash_md5",
+    "text_bigram_surprisal", "gr_triangles", "text_entropy",
+    "text_stupid_backoff", "an_pattern_spans", "st_windowed_counts",
+    "st_windowed_spend", "st_stream_dedup", "st_stream_dedup_wm",
+    "sw_session_window", "st_attribution_join", "st_static_enrich",
+    "st_attribution_outer", "st_attribution_full", "st_dedup_ingest",
+    "st_dedup_ingest_md5", "st_drift_psi", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q10_returned_items", "q4_order_priority",
+    "q18_large_orders", "q17_small_quantity_revenue", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q12_late_shipments", "q14_promo_revenue", "q16_supplier_cnt",
+    "q19_disjunctive_revenue", "q20_promo_suppliers", "q21_waiting_supplier",
+    "q22_idle_customers", "q13_order_distribution", "q15_top_supplier",
+    "q11_important_parts", "q2_min_cost_supplier",
 ]
 
 # Round-5 front block (75 names; the driver certified the first 50 —
@@ -255,12 +313,14 @@ def _load_all() -> None:
     from . import submission_e2e  # noqa: F401
     from . import ml  # noqa: F401
 
-    head = (
-        _FRONT_R6
-        + [n for n in _FRONT_R5 if n not in _FRONT_R6]
-        + [n for n in _FRONT_R4 if n not in _FRONT_R6 and n not in _FRONT_R5]
-        + _UNCHECKED_TAIL
-    )
+    head = _FRONT_R7 + [
+        n
+        for block in (_FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
+        for n in block
+        if n not in _FRONT_R7
+    ]
+    seen: set[str] = set()
+    head = [n for n in head if not (n in seen or seen.add(n))]
     missing = [n for n in head if n not in REGISTRY]
     if missing:  # a rename would silently break the certification plan
         raise RuntimeError(f"priority list names unknown queries: {missing}")

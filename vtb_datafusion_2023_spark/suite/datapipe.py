@@ -3830,7 +3830,24 @@ def _planted_corpus(spark, sf_dir):
         lambda t: F.concat(t, F.lit("#"), F.expr("cast(doc_id div 2 as string)")),
     )
     d = docs.withColumn("_st", stoks)
-    base = d.select("doc_id", F.array_join("_st", " ").alias("text"))
+    # in-plan guard (ADVICE r6): planted ids are minted at doc_id +
+    # _PLANTED_OFFSET — if a scale factor ever pushes real doc_ids past
+    # the offset, planted ids would collide with base ids and corrupt
+    # Spark result and oracle IDENTICALLY (gate stays green on a broken
+    # corpus).  raise_error turns that into a loud red row instead;
+    # distributed, no extra job.
+    guarded_id = F.when(
+        F.col("doc_id") < F.lit(_PLANTED_OFFSET), F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("planted corpus: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" >= _PLANTED_OFFSET {_PLANTED_OFFSET}; raise the offset"),
+            )
+        ).cast("long")
+    )
+    base = d.select(guarded_id.alias("doc_id"), F.array_join("_st", " ").alias("text"))
     planted = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
         (F.col("doc_id") + F.lit(_PLANTED_OFFSET)).alias("doc_id"),
         F.array_join(
