@@ -1786,6 +1786,14 @@ def test_jaccard_alpha_never_tighter_than_verify():
             assert got <= s_min, (t, s, got, s_min)
             # perf guard: at most one below the exact bound
             assert got >= s_min - 1, (t, s, got, s_min)
+        # length bound: every qualifying (|A|, |B|) pair has
+        # min >= ceil(t*max) exactly (overlap <= min, >= t*union >=
+        # t*max) — the float ceil with epsilon must never exceed it
+        for mx in range(1, 401):
+            exact_floor = math.ceil(ft * mx)  # smallest admissible min
+            got_len = math.ceil(t * mx - 1e-9)  # mirrors the operator
+            assert got_len <= exact_floor, (t, mx, got_len, exact_floor)
+            assert got_len >= exact_floor - 1, (t, mx, got_len, exact_floor)
 
 
 def test_position_filter_output_invariant(spark, sf_small):
