@@ -714,6 +714,15 @@ def ngram_jaccard_pairs(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _prefix_keep(threshold, F.col("_sz")))
         .select("_id", "_s", "_rn", "_sz")
+        # the prefix table feeds BOTH sides of the candidate self-join;
+        # without the pin the dfreq shuffle join + rarity window
+        # executes twice — ReuseExchange only dedups the exchange below
+        # the window, not the window sort above it.  Measured on the
+        # planted corpus at sf0.1: 4.0 -> 3.6 s end-to-end (the window
+        # is ~10% of this query; with the corpus itself pre-pinned the
+        # same change measures 3.0 -> 0.57 s — the saving scales with
+        # the candidate-generation share).  Lazy, like the docs pin.
+        .localCheckpoint(eager=False)
     )
     raw = (
         prefix.select(
