@@ -122,6 +122,27 @@ def _steal_seconds() -> float:
 _STEAL_FLOOR_S = 0.25
 _MAX_EXTRA = 4
 
+# quiet-window wait: bursts arrive in multi-second clumps, so a rerun
+# fired immediately after a contaminated rep often lands inside the SAME
+# burst and burns rerun budget for nothing.  Before each rerun, poll
+# steal over short windows until a window comes back quiet (or the wait
+# budget runs out — never stall the whole bench on a pathological host).
+_QUIET_PROBE_S = 0.5
+_QUIET_MAX_WAIT_S = 15.0
+
+
+def _wait_for_quiet_window() -> float:
+    """Block until a _QUIET_PROBE_S window accumulates no steal, up to
+    _QUIET_MAX_WAIT_S total.  Returns seconds actually waited."""
+    waited = 0.0
+    while waited < _QUIET_MAX_WAIT_S:
+        s0 = _steal_seconds()
+        time.sleep(_QUIET_PROBE_S)
+        waited += _QUIET_PROBE_S
+        if _steal_seconds() - s0 < 0.02:
+            break
+    return waited
+
 
 def _bench_query(run, base_reps: int = 3) -> tuple[float, bool, int, int]:
     """min over steal-clean reps of ``run()``; heads at >= 2 s extend to 5
@@ -159,6 +180,13 @@ def _bench_query(run, base_reps: int = 3) -> tuple[float, bool, int, int]:
                 file=sys.stderr,
                 flush=True,
             )
+            waited = _wait_for_quiet_window()
+            if waited > _QUIET_PROBE_S:
+                print(
+                    f"bench:   waited {waited:.1f}s for a quiet window",
+                    file=sys.stderr,
+                    flush=True,
+                )
             continue
         clean.append(elapsed)
         if len(clean) >= base_reps and min(clean) >= 2.0:
