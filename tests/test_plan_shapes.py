@@ -657,6 +657,7 @@ def test_front_block_registration_order():
         "dd_jaccard_planted", "dd_containment_planted",
         "dd_ngram_jaccard", "dd_containment",
         "sk_kmv_overlap", "dd_semdedup",
+        "pipeline_submission", "a1_pivot_count", "a11_horizontal_stats",
     ]
     assert names[: len(changed)] == changed
     # the 34 r2-era stale greens (VERDICT item 1 + item 3's real-weight
@@ -664,8 +665,8 @@ def test_front_block_registration_order():
     for q in ("u1_rnn_scores", "u4_vrae_latents", "u6_catboost_cbm",
               "u6_mapinpandas_inference", "pipeline_user_profile",
               "text_chunking", "mm_audio_wav", "ann_ivf_topk"):
-        assert names.index(q) < 40, q
-    assert len(_FRONT_R7) == 6 + 34 + 49  # changed + r2-era + r3-era
+        assert names.index(q) < 43, q
+    assert len(_FRONT_R7) == 9 + 34 + 49  # changed + r2-era + r3-era
     assert len(_FRONT_R6) == 5 + 6 + 30 + 43  # new + changed + r1-era + r2-era
 
 

@@ -47,6 +47,44 @@ def test_branch_c_features_shape(tx):
     assert dropped.count() == 0  # sf0.001 users all survive trim+blacklist
 
 
+def test_branch_c_fused_matches_blocks_bitwise(tx):
+    """The fused single-aggregate branch C must reproduce the 8-block
+    composition bit-for-bit (counts / decimal sums / exact percentiles
+    are order-insensitive, so fusion is a pure plan change) — including
+    column order, which the FEATURE_COLS contract pins downstream."""
+    import numpy as np
+
+    fused, d1 = branch_c_features(tx, cat_vocab=CAT_VOCAB, fused=True)
+    blocks, d2 = branch_c_features(tx, cat_vocab=CAT_VOCAB, fused=False)
+    pa = fused.orderBy("user_id").toPandas()
+    pb = blocks.orderBy("user_id").toPandas()
+    assert list(pa.columns) == list(pb.columns)
+    assert len(pa) == len(pb) > 0
+    for c in pa.columns:
+        va, vb = pa[c].values, pb[c].values
+        if va.dtype.kind == "f":
+            eq = (np.isnan(va.astype(float)) & np.isnan(vb.astype(float))) | (va == vb)
+        else:
+            eq = va == vb
+        assert eq.all(), (c, va[~eq][:3], vb[~eq][:3])
+    assert d1.count() == d2.count()
+
+
+def test_branch_c_fused_plan_is_narrow(tx):
+    """The point of fusion: 2 exchanges and 1 join leg where the block
+    form plans ~19 exchanges and a 7-leg SMJ chain — at 100 TB that is
+    the difference between shuffling the row set once and nine times."""
+    from vtb_datafusion_2023_spark.operators.cleaning import clean_transactions
+
+    cleaned = clean_transactions(
+        tx, user_col="user_id", cat_col="cat", value_col="amt", n_amt=10, n_mcc=10
+    ).localCheckpoint(eager=True)
+    feats, _ = branch_c_features(cleaned, cat_vocab=CAT_VOCAB, fused=True)
+    p = feats._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") <= 3, p.count("Exchange")
+    assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 2
+
+
 def test_vrae_sequences(tx):
     seqs = vrae_input_sequences(tx, cat_vocab=CAT_VOCAB + [6012]).collect()
     assert len(seqs) > 0

@@ -45,23 +45,42 @@ def horizontal_stats(
     NaN->0 like the reference's ``fillna(0)`` — while genuine ``inf``
     (none possible here: masked min > 0) would be preserved (§7.4.4).
     """
-    masked = f"(case when {value_col} > 0 then {value_col} end)"
-    frags = sqlgen.moment_stats(masked, prefix, percentile_fn="percentile")
+    return horizontal_stats_multi(df_long, group_col, [(value_col, prefix)])
+
+
+def horizontal_stats_multi(
+    df_long: DataFrame,
+    group_col: str,
+    specs: list[tuple[str, str]],
+) -> DataFrame:
+    """``horizontal_stats`` for several (value_col, prefix) families in
+    ONE hash aggregate: every stat is an order-insensitive aggregate
+    (exact decimal moment sums, exact percentile, min/max), so N families
+    over the same long table fuse into a single exchange instead of N —
+    the submission pipeline's cnt_b + freq stats share one shuffle.
+    Output per family is bitwise-identical to ``horizontal_stats``."""
+    frags: list[str] = []
+    for value_col, prefix in specs:
+        masked = f"(case when {value_col} > 0 then {value_col} end)"
+        frags += sqlgen.moment_stats(masked, prefix, percentile_fn="percentile")
     agg = df_long.groupBy(group_col).agg(*[F.expr(s) for s in frags])
-    p = prefix
-    derived = [
-        f"({p}_max - {p}_min) as {p}_amplitude1",
-        f"({p}_max - {p}_median) as {p}_amplitude2",
-        f"({p}_max - {p}_mean) as {p}_amplitude3",
-        f"({p}_median - {p}_min) as {p}_amplitude4",
-        f"({p}_mean - {p}_min) as {p}_amplitude5",
-        f"({p}_max / {p}_min) as {p}_divmm1",
-        f"({p}_max / {p}_mean) as {p}_divmm2",
-        f"({p}_max / {p}_median) as {p}_divmm3",
-        f"({p}_mean / {p}_min) as {p}_divmm4",
-        f"({p}_median / {p}_min) as {p}_divmm5",
-    ]
-    out = agg.select("*", *[F.expr(s) for s in derived]).drop(f"{p}_n", f"{p}_sum", f"{p}_amplitude")
+    derived: list[str] = []
+    for _, p in specs:
+        derived += [
+            f"({p}_max - {p}_min) as {p}_amplitude1",
+            f"({p}_max - {p}_median) as {p}_amplitude2",
+            f"({p}_max - {p}_mean) as {p}_amplitude3",
+            f"({p}_median - {p}_min) as {p}_amplitude4",
+            f"({p}_mean - {p}_min) as {p}_amplitude5",
+            f"({p}_max / {p}_min) as {p}_divmm1",
+            f"({p}_max / {p}_mean) as {p}_divmm2",
+            f"({p}_max / {p}_median) as {p}_divmm3",
+            f"({p}_mean / {p}_min) as {p}_divmm4",
+            f"({p}_median / {p}_min) as {p}_divmm5",
+        ]
+    out = agg.select("*", *[F.expr(s) for s in derived])
+    for _, p in specs:
+        out = out.drop(f"{p}_n", f"{p}_sum", f"{p}_amplitude")
     # pandas fillna(0): NaN -> 0 across every stat column.  The inner cast
     # keeps bigint min/max as double (coalesce with a bare 0.0 literal
     # would promote the whole thing to DECIMAL in Spark).

@@ -20,6 +20,33 @@ from .. import sqlgen
 from ..functions.stats import dsum
 
 
+def pivot_exprs(
+    pivot_col: str,
+    vocab: Sequence,
+    agg: str = "count",
+    value_col: str | None = None,
+    prefix: str | None = None,
+) -> list:
+    """The conditional-aggregate expression list behind ``pivot_agg`` —
+    exposed so multiple pivot blocks can FUSE into one hash aggregate
+    (plans.features.branch_c_features): the expressions are identical
+    whether they run in their own groupBy or alongside 200 others, and
+    counts / decimal sums are order-insensitive, so fusion is
+    bitwise-free."""
+    prefix = prefix or f"{pivot_col}_{agg}"
+    aggs = []
+    for v in vocab:
+        cond = F.col(pivot_col) == F.lit(v)
+        if agg == "count":
+            e = F.count(F.when(cond, 1))
+        elif agg == "sum":
+            e = dsum(F.when(cond, F.col(value_col)))
+        else:
+            raise ValueError(f"unsupported agg: {agg}")
+        aggs.append(e.alias(f"{prefix}-{v}"))
+    return aggs
+
+
 def pivot_agg(
     df: DataFrame,
     group_col: str,
@@ -42,17 +69,7 @@ def pivot_agg(
     that to a SINGLE shuffle on ``group_col`` with map-side partials —
     plan-shape-tested in tests/test_plan_shapes.py.
     """
-    prefix = prefix or f"{pivot_col}_{agg}"
-    aggs = []
-    for v in vocab:
-        cond = F.col(pivot_col) == F.lit(v)
-        if agg == "count":
-            e = F.count(F.when(cond, 1))
-        elif agg == "sum":
-            e = dsum(F.when(cond, F.col(value_col)))
-        else:
-            raise ValueError(f"unsupported agg: {agg}")
-        aggs.append(e.alias(f"{prefix}-{v}"))
+    aggs = pivot_exprs(pivot_col, vocab, agg, value_col, prefix)
     return df.groupBy(group_col).agg(*aggs).na.fill(fill)
 
 

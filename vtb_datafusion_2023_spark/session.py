@@ -53,6 +53,15 @@ _RUNTIME_CONFS = {
     # caps split size and a lower open-cost only packs many small files
     # more densely per task — safe in both regimes.
     "spark.sql.files.openCostInBytes": "524288",
+    # The fused branch-C aggregate (plans.features) carries one
+    # conditional-agg column per vocabulary entry; at the reference's
+    # real MCC vocabulary (~70 codes) that is ~250 aggregate fields —
+    # past the default 100-field bound whole-stage codegen silently
+    # bails to the interpreted operator path, which at 100 TB is the
+    # difference between codegen'd conditional counts and per-row
+    # interpretation.  Spark splits oversized generated functions
+    # automatically, so a higher bound is safe.
+    "spark.sql.codegen.maxFields": "512",
     # NOTE on events.ts: the driver's events.parquet stores
     # TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 scans as
     # TIMESTAMP_NTZ (bit-identical to DuckDB's read of the same file).

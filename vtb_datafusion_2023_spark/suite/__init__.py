@@ -150,7 +150,7 @@ _FRONT_R6 = [
     "u6_mapinpandas_inference", "text_chunking",
 ]
 
-# Round-7 front block (89 names; the driver certifies ~50 in order).
+# Round-7 front block (92 names; the driver certifies ~50 in order).
 # Goal (VERDICT r6 item 1 — "the only gap between all-green and all
 # freshly green"): walk the 83 registered queries whose newest driver
 # green predates r4 (tools/plan_next_round.py --stale-after 2) back
@@ -162,7 +162,11 @@ _FRONT_R6 = [
 #    dd_ngram_jaccard / dd_containment), the kmv_set_ops pinned-sketch
 #    cardinality guard (sk_kmv_overlap), and the grouped-GEMM tiling
 #    module (dd_semdedup — its certified fold path is untouched, but
-#    clustering.py changed, so re-certify).
+#    clustering.py changed, so re-certify), plus the fused branch-C
+#    rewrite (pipeline_submission — ONE kept-level hash aggregate in
+#    place of the 8-block join; pivot_agg / horizontal_stats now
+#    delegate to the shared expression builders, so their flagship
+#    consumers a1_pivot_count / a11_horizontal_stats re-certify too).
 # 1. The 34 r2-era names, oldest-certification-first (VERDICT item 3's
 #    real-weight inference paths u1/u4/u6 included) — these plus block
 #    0 fit the ~50 budget, meeting the round's "zero r2-era greens
@@ -174,6 +178,7 @@ _FRONT_R7 = [
     "dd_jaccard_planted", "dd_containment_planted",
     "dd_ngram_jaccard", "dd_containment",
     "sk_kmv_overlap", "dd_semdedup",
+    "pipeline_submission", "a1_pivot_count", "a11_horizontal_stats",
     # -- newest green is r2 --
     "w10_quantile_bin", "w11_minmax_scale", "w12_rank_functions",
     "w13_rolling_time_window", "w14_ewma", "w15_gap_fill",
