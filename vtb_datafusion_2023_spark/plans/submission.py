@@ -278,8 +278,15 @@ def run_submission(
         # at sf0.1).  Block-manager materialization, not disk; pass
         # ``bucket_dir`` for the durable bucketed form instead.
         cleaned = cleaned.localCheckpoint(eager=True)
+    # no kept-row materialization: the FUSED branch C has only three
+    # consumers of the trimmed row set (wide aggregate, long aggregate,
+    # dropped-users anti-join) and they all sit above the SAME trim-window
+    # exchange, which ReuseExchange shares — replaying the post-shuffle
+    # window beats a full block-manager barrier of the row set (measured:
+    # 6.25 -> 5.90 s at sf0.1, 63.4 -> 38.3 s at sf10).  The 8-block
+    # unfused form is where the checkpoint paid for itself.
     feats, dropped = branch_c_features(
-        cleaned, cat_vocab=cat_vocab, blacklist_cats=blacklist_cats, materialize=True
+        cleaned, cat_vocab=cat_vocab, blacklist_cats=blacklist_cats, materialize=False
     )
 
     # Assembly J2 + strict dropna M1 (run.py:435-465)
