@@ -53,6 +53,10 @@ from .features import branch_c_features
 
 REFERENCE_BINS = "/root/reference/nn_bins.pickle"
 
+# pin the cleaned log in the block manager (see run_submission); module
+# flag so the pin-vs-replay tradeoff stays A/B-able in one warm JVM
+_PIN_CLEANED = False
+
 # --- deterministic certification stand-ins (driver t2 gate) -------------
 #
 # The production pipeline has two non-SQL-expressible stages: the seeded
@@ -270,13 +274,19 @@ def run_submission(
             path=f"{bucket_dir}/cleaned_tx",
             bucket_cols=["user_id"],
         )
-    else:
+    elif _PIN_CLEANED:
         # The cleaned log is the reference's ONE named intermediate
-        # (run.py:84-90, written to disk and re-read): branch C fans out
-        # to ~8 per-user blocks, and without pinning, EVERY block replays
-        # the 5-scan/6-exchange cleaning chain (measured 17.7 s -> 5.5 s
-        # at sf0.1).  Block-manager materialization, not disk; pass
-        # ``bucket_dir`` for the durable bucketed form instead.
+        # (run.py:84-90, written to disk and re-read): with the 8-block
+        # branch C this pin was the r5 headline (17.7 -> 5.5 s at
+        # sf0.1: every block replayed the 6-exchange cleaning chain).
+        # The FUSED branch C leaves ``cleaned`` exactly ONE consumer
+        # subtree (the trim window; everything else sits above that
+        # window's exchange and shares it via ReuseExchange), so the pin
+        # buys nothing — same-JVM interleaved A/B: 6.57 vs 6.51 s at
+        # sf0.1, 36.5 vs 35.1 s at sf10 — while costing a job barrier
+        # and a block-manager copy of the corpus (prohibitive at 100 TB).
+        # Default OFF; the flag keeps the tradeoff re-measurable, and
+        # ``bucket_dir`` remains the durable cross-pipeline form.
         cleaned = cleaned.localCheckpoint(eager=True)
     # no kept-row materialization: the FUSED branch C has only three
     # consumers of the trimmed row set (wide aggregate, long aggregate,
