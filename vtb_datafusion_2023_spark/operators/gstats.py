@@ -52,18 +52,25 @@ def horizontal_stats_multi(
     df_long: DataFrame,
     group_col: str,
     specs: list[tuple[str, str]],
+    extra_aggs: list = (),
 ) -> DataFrame:
     """``horizontal_stats`` for several (value_col, prefix) families in
     ONE hash aggregate: every stat is an order-insensitive aggregate
     (exact decimal moment sums, exact percentile, min/max), so N families
     over the same long table fuse into a single exchange instead of N —
     the submission pipeline's cnt_b + freq stats share one shuffle.
-    Output per family is bitwise-identical to ``horizontal_stats``."""
+    Output per family is bitwise-identical to ``horizontal_stats``.
+
+    ``extra_aggs``: additional aggregate Columns to ride the same
+    exchange (e.g. a frequency pivot over the same long table); their
+    output columns lead the result verbatim — no stat post-processing."""
     frags: list[str] = []
     for value_col, prefix in specs:
         masked = f"(case when {value_col} > 0 then {value_col} end)"
         frags += sqlgen.moment_stats(masked, prefix, percentile_fn="percentile")
-    agg = df_long.groupBy(group_col).agg(*[F.expr(s) for s in frags])
+    agg = df_long.groupBy(group_col).agg(*extra_aggs, *[F.expr(s) for s in frags])
+    n_extra = len(list(extra_aggs))
+    extra_cols = agg.columns[1 : 1 + n_extra]
     derived: list[str] = []
     for _, p in specs:
         derived += [
@@ -84,9 +91,10 @@ def horizontal_stats_multi(
     # pandas fillna(0): NaN -> 0 across every stat column.  The inner cast
     # keeps bigint min/max as double (coalesce with a bare 0.0 literal
     # would promote the whole thing to DECIMAL in Spark).
-    stat_cols = [c for c in out.columns if c != group_col]
+    stat_cols = [c for c in out.columns if c != group_col and c not in extra_cols]
     return out.select(
         group_col,
+        *[F.col(f"`{c}`") for c in extra_cols],
         *[F.expr(f"coalesce(cast({c} as double), cast(0 as double)) as {c}") for c in stat_cols],
     )
 

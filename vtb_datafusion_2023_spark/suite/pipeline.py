@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from .. import sqlgen
 from ..functions.temporal import seconds_since_midnight
 from ..operators.filtering import blacklist, positional_trim
-from ..operators.gstats import horizontal_stats, vertical_stats
+from ..operators.gstats import horizontal_stats_multi, vertical_stats
 from ..operators.joins import assemble_features
 from ..operators.pivots import row_normalize
 from . import register
@@ -93,20 +93,26 @@ def pipeline_user_profile(spark, sf_dir):
 
     long = trimmed.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     freq_long = row_normalize(long, "user_id", "cnt", out_col="freq")
-    # conditional aggregation, not DataFrame.pivot — single shuffle
-    freq_wide = freq_long.groupBy("user_id").agg(
-        *[
+    # the frequency pivot (conditional aggregation, not DataFrame.pivot)
+    # and the A11 stats are both per-user aggregates over the same long
+    # table — FUSE them into one hash aggregate riding the freq window's
+    # user partitioning (same pattern as plans.features.branch_c_features;
+    # bitwise-identical, one exchange + one join leg fewer).
+    freq_and_hs = horizontal_stats_multi(
+        freq_long,
+        "user_id",
+        [("cnt", "hs")],
+        extra_aggs=[
             F.expr(
                 f"coalesce(max(case when event_type = '{v}' then freq end), cast(0 as double))"
             ).alias(f"freq-{v}")
             for v in _PROFILE_VOCAB
-        ]
+        ],
     )
-    hs = horizontal_stats(long, "user_id", "cnt", "hs")
     td = vertical_stats(
         trimmed.withColumn("time_day", seconds_since_midnight(F.col("ts"))),
         ["user_id"],
         "time_day",
         "td",
     )
-    return assemble_features([freq_wide, hs, td], key="user_id", how="inner", fill=None)
+    return assemble_features([freq_and_hs, td], key="user_id", how="inner", fill=None)
