@@ -70,6 +70,38 @@ def test_branch_c_fused_matches_blocks_bitwise(tx):
     assert d1.count() == d2.count()
 
 
+def test_horizontal_stats_multi_extras_match_separate_blocks(tx):
+    """horizontal_stats_multi with pass-through extra_aggs must equal the
+    two separate aggregates joined: same values bitwise, extras leading."""
+    import numpy as np
+
+    from vtb_datafusion_2023_spark.operators.gstats import (
+        horizontal_stats,
+        horizontal_stats_multi,
+    )
+
+    long = tx.groupBy("user_id", "cat").agg(F.count(F.lit(1)).alias("cnt"))
+    extras = [
+        F.expr(f"coalesce(max(case when cat = {v} then cnt end), 0) as cnt_{v}")
+        for v in (742, 4111)
+    ]
+    fused = horizontal_stats_multi(long, "user_id", [("cnt", "hs")], extra_aggs=extras)
+    wide = long.groupBy("user_id").agg(*extras)
+    hs = horizontal_stats(long, "user_id", "cnt", "hs")
+    joined = wide.join(hs, "user_id", "inner")
+    pa = fused.orderBy("user_id").toPandas()
+    pb = joined.orderBy("user_id").toPandas()
+    assert list(pa.columns) == list(pb.columns)  # extras lead, stats follow
+    assert len(pa) == len(pb) > 0
+    for c in pa.columns:
+        va, vb = pa[c].values, pb[c].values
+        if va.dtype.kind == "f":
+            eq = (np.isnan(va) & np.isnan(vb)) | (va == vb)
+        else:
+            eq = va == vb
+        assert eq.all(), c
+
+
 def test_branch_c_fused_plan_is_narrow(tx):
     """The point of fusion: 2 exchanges and 1 join leg where the block
     form plans ~19 exchanges and a 7-leg SMJ chain — at 100 TB that is
