@@ -196,12 +196,17 @@ def score_rnn_sequences(
     once rounded (``round_digits`` absorbs the float32-ulp batch-shape
     sensitivity of BLAS — see nn_numpy module docstring).
     """
+    # imported HERE (driver side) so the class ships by value inside the
+    # closure — an import statement inside ``run`` would execute on the
+    # executor worker, which only resolves the package when the session's
+    # cwd/PYTHONPATH happens to expose it (encode_with_vrae always used
+    # this pattern; exposed by the round-7 vanilla-session front-50 sim).
+    from .nn_numpy import TransactionsRnnScorer
+
     sc = df.sparkSession.sparkContext
     b = sc.broadcast({"sd": model.payload})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .nn_numpy import TransactionsRnnScorer
-
         scorer = TransactionsRnnScorer(b.value["sd"])
         for pdf in batches:
             if not len(pdf):

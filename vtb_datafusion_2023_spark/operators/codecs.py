@@ -47,6 +47,14 @@ import zlib
 
 import numpy as np
 
+# module-level so executor closures capture the decoders by value
+# (cloudpickle pickle-by-value on the package): an import statement
+# inside decode_media would run on the worker, which only resolves the
+# package when the session's cwd/PYTHONPATH exposes it (round-7
+# vanilla-session sim finding — same fix as inference.udfs).
+from .flac import decode_flac
+from .jpeg import decode_jpeg
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -531,8 +539,6 @@ def decode_media(payload: bytes) -> dict:
         samples, rate = decode_wav(payload)
         return _audio_features(samples, rate)
     elif payload[:3] == b"\xff\xd8\xff":
-        from .jpeg import decode_jpeg
-
         img = decode_jpeg(payload)  # baseline or progressive
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         img = decode_gif(payload)  # first frame
@@ -545,8 +551,6 @@ def decode_media(payload: bytes) -> dict:
         samples, rate = decode_au(payload)
         return _audio_features(samples, rate)
     elif payload[:4] == b"fLaC":
-        from .flac import decode_flac
-
         samples, rate = decode_flac(payload)
         return _audio_features(samples, rate)
     else:

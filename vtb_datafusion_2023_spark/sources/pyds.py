@@ -29,6 +29,11 @@ from __future__ import annotations
 import glob
 import os
 
+# module-level so the executor-side MediaFileReader.read captures the
+# decoder by value (cloudpickle pickle-by-value on the package) instead
+# of importing the package on the worker, which only resolves when the
+# session's cwd/PYTHONPATH exposes it (round-7 vanilla-session finding)
+from ..operators.codecs import decode_media
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -63,8 +68,6 @@ class MediaDirReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        from ..operators.codecs import decode_media
-
         for p in partition.paths:
             with open(p, "rb") as f:
                 payload = f.read()
