@@ -129,18 +129,31 @@ _MAX_EXTRA = 4
 # budget runs out — never stall the whole bench on a pathological host).
 _QUIET_PROBE_S = 0.5
 _QUIET_MAX_WAIT_S = 15.0
+# Aggregate cap across the whole bench run (ADVICE r7): a persistently
+# noisy host could otherwise add up to 15 s x _MAX_EXTRA per head of
+# pure sleeping across 59 heads.  Once exhausted, contaminated reps
+# rerun immediately — they were going to rerun anyway; the wait only
+# improves the odds the rerun lands clean.
+_QUIET_GLOBAL_BUDGET_S = 180.0
+_quiet_spent_s = 0.0
 
 
 def _wait_for_quiet_window() -> float:
     """Block until a _QUIET_PROBE_S window accumulates no steal, up to
-    _QUIET_MAX_WAIT_S total.  Returns seconds actually waited."""
+    _QUIET_MAX_WAIT_S total and a run-wide _QUIET_GLOBAL_BUDGET_S.
+    Returns seconds actually waited (0.0 once the global budget is out)."""
+    global _quiet_spent_s
+    budget_left = _QUIET_GLOBAL_BUDGET_S - _quiet_spent_s
+    if budget_left <= 0:
+        return 0.0
     waited = 0.0
-    while waited < _QUIET_MAX_WAIT_S:
+    while waited < min(_QUIET_MAX_WAIT_S, budget_left):
         s0 = _steal_seconds()
         time.sleep(_QUIET_PROBE_S)
         waited += _QUIET_PROBE_S
         if _steal_seconds() - s0 < 0.02:
             break
+    _quiet_spent_s += waited
     return waited
 
 

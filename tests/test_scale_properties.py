@@ -435,3 +435,8 @@ def test_kmv_set_ops_guards_high_cardinality_set_key(spark, sf_small):
     n_types = ev.select("event_type").distinct().count()
     out = kmv_set_ops(ev, "event_type", "user_id", k=8, max_sets=n_types)
     assert out.count() == n_types * (n_types - 1) // 2
+    # max_sets=None: guard count skipped entirely (caller vouches for the
+    # cardinality) — identical output, no ValueError even on a key that
+    # would trip a finite bound
+    out_none = kmv_set_ops(ev, "event_type", "user_id", k=8, max_sets=None)
+    assert sorted(map(tuple, out_none.collect())) == sorted(map(tuple, out.collect()))

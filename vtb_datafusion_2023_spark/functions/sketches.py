@@ -148,7 +148,7 @@ def kmv_set_ops_final_sql(k: int) -> list[str]:
 
 def kmv_set_ops(
     df: DataFrame, set_col: str, value_col: str, k: int = 64,
-    max_sets: int = 1_000,
+    max_sets: int | None = 1_000,
 ) -> DataFrame:
     """KMV set-operation estimates for every unordered pair of sets
     (Beyer et al., SIGMOD'07 "On synopses for distinct-value estimation
@@ -178,6 +178,14 @@ def kmv_set_ops(
     three plan branches) and the set count — a 1-row aggregate over it —
     is checked eagerly; past the bound the call raises with the remedy
     instead of silently planning |users|² pairs.
+
+    CONTRACT NOTE — this function is EAGER, not a pure plan builder: it
+    always localCheckpoints the sketch table (it feeds three plan
+    branches), and with ``max_sets`` set it additionally runs a 1-row
+    count action at build time to enforce the guard.  Pass
+    ``max_sets=None`` when the caller already knows the set-key
+    cardinality (e.g. an enumerated source list, or an oracle replay of
+    a pinned input) to skip the guard count; the checkpoint remains.
     """
     h = F.expr(
         f"cast(conv(substring(md5((({value_col}) || '')), 1, 8), 16, 10) as bigint)"
@@ -192,15 +200,18 @@ def kmv_set_ops(
         # combined-sketch join — and the eager guard count below
         .localCheckpoint(eager=True)
     )
-    n_sets = sk.select(F.countDistinct("_s").alias("_n")).first()["_n"]
-    if n_sets > max_sets:
-        raise ValueError(
-            f"kmv_set_ops: {n_sets} distinct sets exceeds max_sets="
-            f"{max_sets}; the pairwise estimate stage is all-pairs over "
-            "set keys (meant for source/shard/snapshot-grade keys). "
-            "Group the key coarser, or raise max_sets only if "
-            "|sets|^2 * k sketch rows is genuinely the workload."
-        )
+    if max_sets is not None:
+        n_sets = sk.select(F.countDistinct("_s").alias("_n")).first()["_n"]
+        if n_sets > max_sets:
+            raise ValueError(
+                f"kmv_set_ops: {n_sets} distinct sets exceeds max_sets="
+                f"{max_sets}; the pairwise estimate stage is all-pairs over "
+                "set keys (meant for source/shard/snapshot-grade keys). "
+                "Group the key coarser, raise max_sets only if "
+                "|sets|^2 * k sketch rows is genuinely the workload, or "
+                "pass max_sets=None to skip this guard count when the "
+                "cardinality is already known."
+            )
     sets = sk.select("_s").distinct()
     pairs = sets.select(F.col("_s").alias("set_a")).join(
         sets.select(F.col("_s").alias("set_b")), F.col("set_a") < F.col("set_b")

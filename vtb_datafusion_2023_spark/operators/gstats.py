@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 
 from .. import sqlgen
 
+# Every column name ``horizontal_stats_multi`` generates for a family
+# prefix ``p``: the moment_stats aggregate outputs (``_n``/``_sum``/
+# ``_amplitude`` are dropped post-derivation but exist in the
+# intermediate, so extras may not collide with them either) plus the
+# derived amplitude/ratio columns.
+_HSTAT_GENERATED = (
+    "n", "mean", "median", "min", "max", "std", "sem", "skew", "var",
+    "sum", "amplitude",
+    "amplitude1", "amplitude2", "amplitude3", "amplitude4", "amplitude5",
+    "divmm1", "divmm2", "divmm3", "divmm4", "divmm5",
+)
+
 
 def vertical_stats(
     df: DataFrame, group_cols: list[str], value_col: str, prefix: str
@@ -71,6 +83,17 @@ def horizontal_stats_multi(
     agg = df_long.groupBy(group_col).agg(*extra_aggs, *[F.expr(s) for s in frags])
     n_extra = len(list(extra_aggs))
     extra_cols = agg.columns[1 : 1 + n_extra]
+    # Extras are identified by this positional slice and later excluded
+    # from the NaN->0 pass BY NAME — an extra aliased to a generated stat
+    # name (or a duplicate / the group key) would silently misclassify
+    # the real stat column and skip its coalesce.  Fail loudly instead.
+    generated = {f"{p}_{s}" for _, p in specs for s in _HSTAT_GENERATED}
+    bad = [c for c in extra_cols if c in generated or c == group_col]
+    if bad or len(set(extra_cols)) != n_extra:
+        raise ValueError(
+            f"extra_aggs aliases must be unique and disjoint from the group "
+            f"key and generated stat names; offending: {bad or extra_cols}"
+        )
     derived: list[str] = []
     for _, p in specs:
         derived += [

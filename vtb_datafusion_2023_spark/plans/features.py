@@ -38,6 +38,22 @@ from ..operators.joins import anti_join_missing, assemble_features
 from ..operators.pivots import pivot_agg, pivot_exprs, row_normalize
 from ..schema import DAYS_OF_MONTH, DAYS_OF_WEEK, HOURS
 
+# Explicit output orders for the fused projection (the FEATURE_COLS
+# contract).  Built from the known suffix lists rather than prefix scans
+# of the intermediate schemas: a future family prefix that is a string
+# prefix of another (e.g. "mcc_freq_stats" / "mcc_freq_stats_v2") would
+# make a startswith() scan double-select columns and silently break the
+# contract order.
+_HSTAT_SUFFIXES = (
+    "mean", "median", "min", "max", "std", "sem", "skew", "var",
+    "amplitude1", "amplitude2", "amplitude3", "amplitude4", "amplitude5",
+    "divmm1", "divmm2", "divmm3", "divmm4", "divmm5",
+)
+_MOMENT_SUFFIXES = (
+    "n", "mean", "median", "min", "max", "std", "sem", "skew", "var",
+    "sum", "amplitude",
+)
+
 
 def _long_counts(kept: DataFrame, freq_divisor: int) -> DataFrame:
     """The (user, cat) long aggregate feeding the A11 stat blocks."""
@@ -118,12 +134,12 @@ def branch_c_features(
         ordered = (
             [f"mcc_freq-{v}" for v in cat_vocab]
             + [f"mcc_sum-{v}" for v in cat_vocab]
-            + [c for c in stats_block.columns if c.startswith("mcc_freq_stats_")]
-            + [c for c in stats_block.columns if c.startswith("mcc_freq_proc_stats_")]
+            + [f"mcc_freq_stats_{s}" for s in _HSTAT_SUFFIXES]
+            + [f"mcc_freq_proc_stats_{s}" for s in _HSTAT_SUFFIXES]
             + [f"dom-{d}" for d in DAYS_OF_MONTH]
             + [f"dow-{d}" for d in DAYS_OF_WEEK]
             + [f"hod-{h}" for h in HOURS]
-            + [c for c in kept_block.columns if c.startswith("time_day_")]
+            + [f"time_day_{s}" for s in _MOMENT_SUFFIXES]
         )
         feats = feats.select("user_id", *[F.col(f"`{c}`") for c in ordered])
         return feats, dropped
