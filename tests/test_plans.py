@@ -117,6 +117,35 @@ def test_branch_c_fused_plan_is_narrow(tx):
     assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 2
 
 
+def test_corpus_prep_fused_matches_blocks_bitwise(spark, sf_small):
+    """The r8 corpus-prep rewrite (window-based exact-dedup + pinned
+    substring-dedup fan-out) must reproduce the block composition
+    bit-for-bit, including the shard/pos assignment (order-sensitive
+    through the md5 sort keys).  Measured: sf1 6.5 -> 3.5 s, sf10
+    39-47 -> 13-14 s (the unfused form replays the window-dedup subtree
+    twice — ReuseExchange can't cover it because column pruning makes
+    the two consumers' subtrees non-identical)."""
+    from vtb_datafusion_2023_spark.suite.datapipe import _corpus_prep
+
+    pa = _corpus_prep(spark, sf_small, fused=True).orderBy("doc_id").toPandas()
+    pb = _corpus_prep(spark, sf_small, fused=False).orderBy("doc_id").toPandas()
+    assert list(pa.columns) == list(pb.columns)
+    assert len(pa) == len(pb) > 0
+    assert pa.equals(pb)
+
+
+def test_corpus_prep_fused_plan_is_narrow(spark, sf_small):
+    """Post-rewrite plan shape: the window-dedup subtree executes once
+    (pinned), exact dedup is one window exchange, no SMJ legs remain —
+    10 exchanges + 2 SMJ in the block form, <= 5 + 0 fused."""
+    from vtb_datafusion_2023_spark.suite.datapipe import _corpus_prep
+
+    df = _corpus_prep(spark, sf_small, fused=True)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") <= 5, p.count("Exchange")
+    assert p.count("SortMergeJoin") == 0
+
+
 def test_vrae_sequences(tx):
     seqs = vrae_input_sequences(tx, cat_vocab=CAT_VOCAB + [6012]).collect()
     assert len(seqs) > 0

@@ -212,6 +212,72 @@ _FRONT_R7 = [
     "q11_important_parts", "q2_min_cost_supplier",
 ]
 
+# Round-8 front block (98 names; the driver certifies ~50 in order).
+# Goal (VERDICT r7 items 1-3): finish the certification rotation — walk
+# the 42 r3-era stale greens through the gate this round and queue the
+# 50 r4-era names so r9 closes the walk (after r8: zero queries whose
+# newest green predates r4).  Order:
+#
+# 0. dd_simhash_md5 at the VERY front (VERDICT item 2): it is the hash
+#    twin that carries the rows-only dd_simhash's parity claim, and its
+#    newest green is r3 — four rounds of code drift behind the operator
+#    it vouches for.
+# 1. The 6 queries whose code path changed this round, newest green
+#    notwithstanding: pipeline_corpus_prep (r8 rewrite — window-based
+#    exact dedup + pinned substring-dedup fan-out, 10 exchanges + 2 SMJ
+#    -> 5 + 0, bitwise-pinned), sk_kmv_overlap (kmv_set_ops guard made
+#    optional via max_sets=None), and the horizontal_stats_multi /
+#    branch-C projection consumers (collision guard + explicit
+#    FEATURE_COLS order): pipeline_submission, pipeline_user_profile,
+#    a1_pivot_count, a11_horizontal_stats.
+# 2. The remaining 41 r3-era names (tools/plan_next_round.py order):
+#    the 12 streaming replay oracles re-certify on the CURRENT session
+#    confs (maxFields/openCostInBytes changed since r3 — VERDICT item
+#    3), then TPC-H q2-q22 and the text/graph/analytics tail.  With
+#    blocks 0-1 this fills the ~50 budget exactly.
+# 3. The 50 r4-era names in planner order; positions past the budget
+#    roll to r9 — all hold r4 greens, nothing uncertified is at risk.
+_FRONT_R8 = [
+    # -- the stale hash twin carrying dd_simhash's parity claim --
+    "dd_simhash_md5",
+    # -- changed code path this round --
+    "pipeline_corpus_prep", "sk_kmv_overlap", "pipeline_submission",
+    "pipeline_user_profile", "a1_pivot_count", "a11_horizontal_stats",
+    # -- newest green is r3 --
+    "sql_udtf_chunking", "gr_pagerank", "an_drift_psi",
+    "text_bigram_surprisal", "gr_triangles", "text_entropy",
+    "text_stupid_backoff", "an_pattern_spans", "st_windowed_counts",
+    "st_windowed_spend", "st_stream_dedup", "st_stream_dedup_wm",
+    "sw_session_window", "st_attribution_join", "st_static_enrich",
+    "st_attribution_outer", "st_attribution_full", "st_dedup_ingest",
+    "st_dedup_ingest_md5", "st_drift_psi", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q10_returned_items", "q4_order_priority",
+    "q18_large_orders", "q17_small_quantity_revenue", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q12_late_shipments", "q14_promo_revenue", "q16_supplier_cnt",
+    "q19_disjunctive_revenue", "q20_promo_suppliers", "q21_waiting_supplier",
+    "q22_idle_customers", "q13_order_distribution", "q15_top_supplier",
+    "q11_important_parts", "q2_min_cost_supplier",
+    # -- newest green is r4 (queued; spill rolls to r9) --
+    "tbl_key_skew", "an_pair_affinity", "an_seasonal_decompose",
+    "an_seasonal_anomaly", "agg_incremental_distinct", "text_repetition",
+    "dp_corpus_mix", "text_normalize", "text_tfidf",
+    "dp_modulo_split", "text_pack_sequences", "text_scrub_pii",
+    "text_strip_html", "text_top_ngrams", "emb_l2_normalize",
+    "emb_quantize_int8", "mm_resize", "dd_fuzzy_pairs",
+    "dp_latest_by_key", "text_decontaminate", "dp_cap_per_source",
+    "dp_weighted_sample", "dp_quality_percentile", "dd_segment_dedup",
+    "dp_shard_assign", "text_bm25", "dp_token_budget",
+    "dd_incremental_minhash", "dp_cluster_safe_split", "dp_scd2_intervals",
+    "text_bpe_tokens", "dd_pq_dedup", "dd_substring_dedup",
+    "mm_audio_g711", "mm_decode_gif", "dp_cdc_diff",
+    "text_chunk_overlap", "dp_feature_hash", "agg_incremental_cms",
+    "mm_audio_flac", "dp_pseudonymize", "dp_k_anonymity",
+    "mm_decode_tiff", "j1_join_enrich", "j3_anti_join",
+    "j4_union_fill_max", "tj_asof_join", "tj_range_join",
+    "j2_j5_feature_assembly",
+]
+
 # Round-5 front block (75 names; the driver certified the first 50 —
 # r5 came back 50/50 green):
 #
@@ -318,11 +384,11 @@ def _load_all() -> None:
     from . import submission_e2e  # noqa: F401
     from . import ml  # noqa: F401
 
-    head = _FRONT_R7 + [
+    head = _FRONT_R8 + [
         n
-        for block in (_FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
+        for block in (_FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
         for n in block
-        if n not in _FRONT_R7
+        if n not in _FRONT_R8
     ]
     seen: set[str] = set()
     head = [n for n in head if not (n in seen or seen.add(n))]

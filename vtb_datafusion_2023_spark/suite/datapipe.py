@@ -4,6 +4,7 @@ extensions; BASELINE.json)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .. import sqlgen
@@ -3410,6 +3411,34 @@ where doc_id not in (select doc_id from bad)
     "too, not just the stages in isolation.",
 )
 def pipeline_corpus_prep(spark, sf_dir):
+    return _corpus_prep(spark, sf_dir, fused=True)
+
+
+def _corpus_prep(spark, sf_dir, fused: bool = True):
+    """``fused=True`` (the certified/bench path, r8): two plan rewrites
+    with bitwise-identical output, pinned by
+    tests/test_plans.py::test_corpus_prep_fused_matches_blocks_bitwise —
+
+    1. The exact-dedup stage (min-id representative per md5(text)) runs
+       as ONE ``row_number`` window over ``md5(text)`` instead of
+       groupBy + join-back: same survivor set (doc_id is unique, so
+       rank-1-by-doc_id == min(doc_id) per content key), but 1 exchange
+       where the block form paid 3 (agg + both SMJ legs).
+    2. The substring-dedup output is PINNED at its fan-out point: the
+       decontamination ban set derives from POST-dedup trigrams, so
+       ``sd`` feeds both the anti-join probe and the ban-set build —
+       unpinned, column pruning makes the two subtrees non-identical
+       and ReuseExchange cannot cover them, so the ENTIRE window-dedup
+       (explode + shuffle-on-hash + reassembly) executed twice
+       (plan-audited r8: 10 exchanges + 2 SMJ -> 5 exchanges + 0 SMJ).
+
+    Measured (interleaved A/B, same host): sf0.1 flat (overhead-bound),
+    sf1 6.5 -> 3.4-3.9 s, sf10 39-47 -> 13-14 s (~3x) — at 100 TB the
+    unfused form replays the dominant window-dedup term twice per run.
+
+    ``fused=False`` keeps the original block composition as the
+    differential-test baseline.
+    """
     from ..operators.dedup import exact_dedup, substring_dedup
     from ..operators.filtering import shard_assign
     from ..operators.text import decontaminate_drop
@@ -3423,17 +3452,29 @@ def pipeline_corpus_prep(spark, sf_dir):
     dup_ratio = (n - F.size(F.array_distinct(toks))) / n.cast("double")
     q = corpus.filter((n >= 20) & (n <= 200) & (dup_ratio < 0.4))
 
-    reps = exact_dedup(q, "doc_id", ["text"]).select(F.col("keep_id").alias("doc_id"))
-    # S4 checkpoint at the pipeline's fan-out point (the reference's own
-    # write-then-reread of its cleaned intermediate, run.py:84-90): the
-    # exact-dedup survivors feed substring-dedup's window AND reassembly
-    # branches plus decontamination — unpinned, each branch replays
-    # scan -> quality filter -> dedup agg -> join (9 scans audited).
-    s2 = q.join(reps, "doc_id").localCheckpoint(eager=False)
+    if fused:
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+        s2 = (
+            q.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        reps = exact_dedup(q, "doc_id", ["text"]).select(F.col("keep_id").alias("doc_id"))
+        # S4 checkpoint at the pipeline's fan-out point (the reference's
+        # own write-then-reread of its cleaned intermediate,
+        # run.py:84-90): the exact-dedup survivors feed substring-dedup's
+        # window AND reassembly branches plus decontamination — unpinned,
+        # each branch replays scan -> quality filter -> dedup agg -> join
+        # (9 scans audited).
+        s2 = q.join(reps, "doc_id").localCheckpoint(eager=False)
 
     sd = substring_dedup(s2, window_tokens=_PREP_W).withColumnRenamed(
         "text_dedup", "text_final"
     )
+    if fused:
+        sd = sd.localCheckpoint(eager=False)
     s4 = decontaminate_drop(
         sd, bench.withColumnRenamed("text", "text_final"), "doc_id", "text_final", n=3
     )
