@@ -212,7 +212,7 @@ _FRONT_R7 = [
     "q11_important_parts", "q2_min_cost_supplier",
 ]
 
-# Round-8 front block (98 names; the driver certifies ~50 in order).
+# Round-8 front block (99 names; the driver certifies ~50 in order).
 # Goal (VERDICT r7 items 1-3): finish the certification rotation — walk
 # the 42 r3-era stale greens through the gate this round and queue the
 # 50 r4-era names so r9 closes the walk (after r8: zero queries whose
@@ -222,19 +222,21 @@ _FRONT_R7 = [
 #    twin that carries the rows-only dd_simhash's parity claim, and its
 #    newest green is r3 — four rounds of code drift behind the operator
 #    it vouches for.
-# 1. The 6 queries whose code path changed this round, newest green
+# 1. The 7 queries whose code path changed this round, newest green
 #    notwithstanding: pipeline_corpus_prep (r8 rewrite — window-based
 #    exact dedup + pinned substring-dedup fan-out, 10 exchanges + 2 SMJ
 #    -> 5 + 0, bitwise-pinned), sk_kmv_overlap (kmv_set_ops guard made
-#    optional via max_sets=None), and the horizontal_stats_multi /
+#    optional via max_sets=None), the horizontal_stats_multi /
 #    branch-C projection consumers (collision guard + explicit
 #    FEATURE_COLS order): pipeline_submission, pipeline_user_profile,
-#    a1_pivot_count, a11_horizontal_stats.
+#    a1_pivot_count, a11_horizontal_stats, and emb_gram_matrix (the
+#    registered query now runs the arrow partial-state path — bitwise
+#    twin of the expr form, ~4x at sf0.1).
 # 2. The remaining 41 r3-era names (tools/plan_next_round.py order):
 #    the 12 streaming replay oracles re-certify on the CURRENT session
 #    confs (maxFields/openCostInBytes changed since r3 — VERDICT item
 #    3), then TPC-H q2-q22 and the text/graph/analytics tail.  With
-#    blocks 0-1 this fills the ~50 budget exactly.
+#    blocks 0-1 this fills the ~50 budget exactly (49 names).
 # 3. The 50 r4-era names in planner order; positions past the budget
 #    roll to r9 — all hold r4 greens, nothing uncertified is at risk.
 _FRONT_R8 = [
@@ -243,6 +245,7 @@ _FRONT_R8 = [
     # -- changed code path this round --
     "pipeline_corpus_prep", "sk_kmv_overlap", "pipeline_submission",
     "pipeline_user_profile", "a1_pivot_count", "a11_horizontal_stats",
+    "emb_gram_matrix",  # r8: registered query switched to the arrow path
     # -- newest green is r3 --
     "sql_udtf_chunking", "gr_pagerank", "an_drift_psi",
     "text_bigram_surprisal", "gr_triangles", "text_entropy",
