@@ -1853,3 +1853,90 @@ def test_planted_corpus_offset_guard_fires_on_collision(spark, sf_small, monkeyp
     )
     with pytest.raises(Exception, match="planted corpus"):
         dp._planted_corpus(spark, sf_small).agg(F.max("doc_id")).collect()
+
+
+def test_priority_sample_matches_numpy_reference(spark, sf_small):
+    """Selection set, tau, and every w_hat must equal a literal numpy
+    re-derivation of Duffield-Lund-Thorup priority sampling from the
+    same md5 coin — pins both the estimator algebra and the exact
+    IEEE priority arithmetic."""
+    import hashlib
+
+    import numpy as np
+    from vtb_datafusion_2023_spark.operators.filtering import priority_sample
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    docs = T(spark, sf_small, "documents").select("doc_id", "n_chars")
+    rows = docs.collect()
+    k = 25
+
+    def coin(i):
+        return int(hashlib.md5(f"{i}:ps".encode()).hexdigest()[:8], 16)
+
+    q = {
+        r.doc_id: np.float64(r.n_chars) * np.float64(4294967296.0)
+        / np.float64(coin(r.doc_id) + 1)
+        for r in rows
+    }
+    ranked = sorted(rows, key=lambda r: (-q[r.doc_id], r.doc_id))
+    tau = q[ranked[k].doc_id] if len(ranked) > k else 0.0
+    expect = {
+        r.doc_id: (r.n_chars, max(np.float64(r.n_chars), tau)) for r in ranked[:k]
+    }
+
+    got = {
+        r.doc_id: (r.w, r.w_hat)
+        for r in priority_sample(docs, "n_chars", k=k, salt="ps").collect()
+    }
+    assert got == expect
+
+
+def test_priority_sample_small_input_keeps_all_with_w_hat_equal_w(spark):
+    """n <= k: no (k+1)-th priority exists, tau = 0, so every row
+    survives carrying exactly its own weight (the estimator degenerates
+    to the exact sum)."""
+    from vtb_datafusion_2023_spark.operators.filtering import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 10 * (i + 1)) for i in range(7)], "doc_id long, w_in long"
+    )
+    out = priority_sample(df, "w_in", k=20, id_col="doc_id").collect()
+    assert len(out) == 7
+    assert all(float(r.w_hat) == float(r.w) for r in out)
+
+
+def test_priority_sample_partition_invariant(spark, sf_small):
+    """The sample is a pure function of (id, weight, salt): any
+    repartitioning yields the identical (id, w, w_hat) set."""
+    from vtb_datafusion_2023_spark.operators.filtering import priority_sample
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    docs = T(spark, sf_small, "documents").select("doc_id", "n_chars")
+    a = {tuple(r) for r in priority_sample(docs, "n_chars", k=40).collect()}
+    b = {
+        tuple(r)
+        for r in priority_sample(docs.repartition(17, "doc_id"), "n_chars", k=40).collect()
+    }
+    assert a == b and len(a) == 40
+
+
+def test_canonical_pick_elects_max_quality_min_id(spark):
+    """Hand-built clusters: argmax quality wins; equal quality ->
+    smallest id; member counts include every labeled doc; singleton
+    clusters elect themselves."""
+    from vtb_datafusion_2023_spark.operators.dedup import canonical_pick
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (4, 10), (5, 70)],
+        "doc_id long, quality long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long",
+    )
+    out = {
+        r.cluster_id: (r.canonical_id, r.n_members, r.canonical_quality)
+        for r in canonical_pick(docs, clusters, "quality").collect()
+    }
+    # cluster 1: quality tie 90 between ids 2 and 3 -> id 2
+    assert out == {1: (2, 3, 90), 4: (5, 2, 70)}

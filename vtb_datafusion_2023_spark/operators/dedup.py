@@ -936,6 +936,58 @@ def dedup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def canonical_pick(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Keep-BEST-duplicate finisher: given per-document cluster labels
+    (``dedup_clusters`` output), elect each cluster's canonical member as
+    the one with the highest ``quality_col`` (ties -> smallest id — the
+    same deterministic tie-break the rare-category rewrite uses,
+    /root/reference/run.py:41-45's argmax-on-sorted convention).
+
+    The min-id representative ``exact_dedup``/``dedup_clusters`` imply is
+    the right default when duplicates are byte-identical; for NEAR-dups
+    the members differ (truncation, boilerplate, OCR noise) and real
+    curation keeps the best copy, not the numerically smallest id —
+    this is that step, decoupled from how the clusters were built
+    (minhash, simhash, semdedup, ... all produce the same (id, cluster)
+    shape).
+
+    Plan: one (id)-keyed join of the label table against the doc-level
+    quality projection, then one window on ``cluster_col`` (row_number +
+    member count share the sort) — a single exchange over (id, cluster,
+    quality) scalars, never the payload column.  Returns
+    ``(cluster_id, canonical_id, n_members, canonical_quality)``.
+    """
+    from pyspark.sql.window import Window
+
+    j = clusters.select(F.col(id_col), F.col(cluster_col)).join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    wspec = Window.partitionBy(cluster_col)
+    ordered = wspec.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    return (
+        j.select(
+            F.col(cluster_col),
+            F.col(id_col),
+            F.col(quality_col),
+            F.row_number().over(ordered).alias("_rn"),
+            F.count(F.lit(1)).over(wspec).alias("n_members"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("canonical_id"),
+            F.col("n_members"),
+            F.col(quality_col).alias("canonical_quality"),
+        )
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     bucket_cols: list[str],

@@ -300,6 +300,75 @@ def shard_assign(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ps",
+) -> DataFrame:
+    """Fixed-size weighted sample with an unbiased subset-sum estimator —
+    priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM 54(6), 2007).
+
+    Each row draws a deterministic uniform ``u = (h + 1) / 2^32`` from
+    the md5 coin (``h`` = first 8 hex digits of ``md5(id || ':' ||
+    salt)``, same idiom as :func:`weighted_sample`) and gets priority
+    ``q = w / u = w * 2^32 / (h + 1)``.  The sample is the top ``k``
+    rows by priority; with ``tau`` = the (k+1)-th priority (0 when the
+    input has <= k rows), each sampled row carries ``w_hat = max(w,
+    tau)`` and ``sum(w_hat)`` over the sample is an UNBIASED estimator
+    of ``sum(w)`` over the whole input — for any subset predicate, which
+    is what makes one sample reusable for many downstream audits
+    (per-source token shares, quality-band sizes, ...).
+
+    Engine-portable bitwise: md5 + hex parse are exact; ``w * 2^32 /
+    (h+1)`` is two correctly-rounded IEEE ops on exact integer operands,
+    so both priority BITS and the (q desc, id asc) order agree across
+    engines and partition layouts; ``max(w, tau)`` is exact.
+
+    Scale shape: ``orderBy(q).limit(k+1)`` plans as
+    TakeOrderedAndProject — a size-(k+1) heap per partition, then a
+    single (k+1)-row merge; no global sort, no RNG, no driver state
+    beyond the k+1 winners.  The tau window runs over those k+1 rows
+    only.  Returns ``(id, w, w_hat)`` for the k sampled rows.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"priority_sample: k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.col(weight_col).cast("double")
+    q = w * F.lit(4294967296.0) / (h + F.lit(1)).cast("double")
+    top = (
+        df.select(F.col(id_col), F.col(weight_col).alias("w"), q.alias("_q"))
+        .orderBy(F.col("_q").desc(), F.col(id_col).asc())
+        .limit(k + 1)
+    )
+    # the (k+1)-row survivor set is driver-size by construction; the
+    # single-partition windows below never see more than k + 1 rows
+    full = Window.orderBy(F.col("_q").desc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("_q").desc(), F.col(id_col).asc()))
+    tau = F.when(F.count(F.lit(1)).over(full) == k + 1, F.min("_q").over(full)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        top.select(F.col(id_col), F.col("w"), rn.alias("_rn"), tau.alias("_tau"))
+        .filter(F.col("_rn") <= k)
+        .select(
+            id_col,
+            "w",
+            F.greatest(F.col("w").cast("double"), F.col("_tau")).alias("w_hat"),
+        )
+    )
+
+
 def percentile_filter(
     df: DataFrame,
     score_col: str,

@@ -212,7 +212,7 @@ _FRONT_R7 = [
     "q11_important_parts", "q2_min_cost_supplier",
 ]
 
-# Round-8 front block (99 names; the driver certifies ~50 in order).
+# Round-8 front block (101 names; the driver certifies ~50 in order).
 # Goal (VERDICT r7 items 1-3): finish the certification rotation — walk
 # the 42 r3-era stale greens through the gate this round and queue the
 # 50 r4-era names so r9 closes the walk (after r8: zero queries whose
@@ -222,30 +222,37 @@ _FRONT_R7 = [
 #    twin that carries the rows-only dd_simhash's parity claim, and its
 #    newest green is r3 — four rounds of code drift behind the operator
 #    it vouches for.
-# 1. The 7 queries whose code path changed this round, newest green
-#    notwithstanding: pipeline_corpus_prep (r8 rewrite — window-based
-#    exact dedup + pinned substring-dedup fan-out, 10 exchanges + 2 SMJ
-#    -> 5 + 0, bitwise-pinned), sk_kmv_overlap (kmv_set_ops guard made
-#    optional via max_sets=None), the horizontal_stats_multi /
-#    branch-C projection consumers (collision guard + explicit
-#    FEATURE_COLS order): pipeline_submission, pipeline_user_profile,
-#    a1_pivot_count, a11_horizontal_stats, and emb_gram_matrix (the
-#    registered query now runs the arrow partial-state path — bitwise
-#    twin of the expr form, ~4x at sf0.1).
-# 2. The remaining 41 r3-era names (tools/plan_next_round.py order):
+# 1. The two queries ADDED this round, never driver-checked — a
+#    never-checked query outranks any stale green:
+#    dp_priority_sample (Duffield-Lund-Thorup fixed-k weighted sample +
+#    unbiased subset-sum estimator) and dd_canonical_pick (keep-best-
+#    duplicate finisher over near-dup clusters).
+# 2. The 3 queries with REAL plan changes this round:
+#    pipeline_corpus_prep (r8 rewrite — window-based exact dedup +
+#    pinned substring-dedup fan-out, 10 exchanges + 2 SMJ -> 5 + 0,
+#    bitwise-pinned), emb_gram_matrix (registered query now runs the
+#    arrow partial-state path — bitwise twin of the expr form, ~4x at
+#    sf0.1), sk_kmv_overlap (kmv_set_ops guard made optional via
+#    max_sets=None).
+# 3. The remaining 41 r3-era names (tools/plan_next_round.py order):
 #    the 12 streaming replay oracles re-certify on the CURRENT session
 #    confs (maxFields/openCostInBytes changed since r3 — VERDICT item
-#    3), then TPC-H q2-q22 and the text/graph/analytics tail.  With
-#    blocks 0-1 this fills the ~50 budget exactly (49 names).
-# 3. The 50 r4-era names in planner order; positions past the budget
+#    3), then TPC-H q2-q22 and the text/graph/analytics tail.
+#    Blocks 0-3 = 47 names, keeping ALL 42 r3-era inside the front-50.
+# 4. The guard-hardening re-certs (horizontal_stats_multi collision
+#    guard + explicit FEATURE_COLS order — bitwise-pinned by the
+#    branch-C differential tests, all four r7-green): the two composed
+#    pipelines take the last two front-50 slots; a1/a11 sit at 51-52
+#    and roll to r9 at r7 freshness if the driver stops at 50.
+# 5. The 50 r4-era names in planner order; positions past the budget
 #    roll to r9 — all hold r4 greens, nothing uncertified is at risk.
 _FRONT_R8 = [
     # -- the stale hash twin carrying dd_simhash's parity claim --
     "dd_simhash_md5",
-    # -- changed code path this round --
-    "pipeline_corpus_prep", "sk_kmv_overlap", "pipeline_submission",
-    "pipeline_user_profile", "a1_pivot_count", "a11_horizontal_stats",
-    "emb_gram_matrix",  # r8: registered query switched to the arrow path
+    # -- new this round (never checked) --
+    "dp_priority_sample", "dd_canonical_pick",
+    # -- real plan changes this round --
+    "pipeline_corpus_prep", "emb_gram_matrix", "sk_kmv_overlap",
     # -- newest green is r3 --
     "sql_udtf_chunking", "gr_pagerank", "an_drift_psi",
     "text_bigram_surprisal", "gr_triangles", "text_entropy",
@@ -261,6 +268,10 @@ _FRONT_R8 = [
     "q19_disjunctive_revenue", "q20_promo_suppliers", "q21_waiting_supplier",
     "q22_idle_customers", "q13_order_distribution", "q15_top_supplier",
     "q11_important_parts", "q2_min_cost_supplier",
+    # -- guard-hardening re-certs (r7-green, bitwise-pinned by tests;
+    #    a1/a11 sit past the ~50 budget and roll to r9 if unreached) --
+    "pipeline_submission", "pipeline_user_profile",
+    "a1_pivot_count", "a11_horizontal_stats",
     # -- newest green is r4 (queued; spill rolls to r9) --
     "tbl_key_skew", "an_pair_affinity", "an_seasonal_decompose",
     "an_seasonal_anomaly", "agg_incremental_distinct", "text_repetition",

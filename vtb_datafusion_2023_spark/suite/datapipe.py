@@ -145,6 +145,47 @@ def dd_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "dd_canonical_pick",
+    oracle=f"""
+with recursive jp as ({_JACCARD_PAIRS_SQL}),
+edges as (select id_a as src, id_b as dst from jp
+          union all
+          select id_b, id_a from jp),
+reach(id, label) as (
+  select doc_id, doc_id from documents
+  union
+  select e.src, r.label from edges e join reach r on e.dst = r.id
+),
+cl as (select id as doc_id, min(label) as cluster_id from reach group by id),
+j as (select cl.cluster_id, d.doc_id, d.n_chars
+      from cl join documents d on cl.doc_id = d.doc_id),
+r as (select cluster_id, doc_id, n_chars,
+             row_number() over (partition by cluster_id
+                                order by n_chars desc, doc_id asc) as rn,
+             count(*) over (partition by cluster_id) as n_members
+      from j)
+select cluster_id, doc_id as canonical_id,
+       cast(n_members as bigint) as n_members,
+       n_chars as canonical_quality
+from r where rn = 1
+""",
+    survey_ref="dedup-canonical",
+    doc="keep-BEST-duplicate finisher: connected components over near-dup "
+    "pairs, then per cluster elect the highest-quality member (n_chars "
+    "proxy; ties -> smallest id).  Near-dup members differ, so real "
+    "curation keeps the best copy, not min(id); one window on cluster_id "
+    "over (id, quality) scalars — the payload never shuffles.",
+)
+def dd_canonical_pick(spark, sf_dir):
+    from ..operators.dedup import canonical_pick, dedup_clusters
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    clusters = dedup_clusters(docs, pairs)
+    return canonical_pick(docs, clusters, quality_col="n_chars")
+
+
+@register(
     "dd_minhash_lsh",
     oracle=None,  # xxhash64 permutations are engine-specific; the identical
     # pipeline IS hash-certified via the md5 family (dd_minhash_md5)
@@ -1653,6 +1694,45 @@ def dp_weighted_sample(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
     return weighted_sample(docs, p, "doc_id", "ws").select("doc_id", "source", "n_chars")
+
+
+_PS_K = 200
+
+
+@register(
+    "dp_priority_sample",
+    oracle=f"""
+with h as (
+  select doc_id, n_chars as w,
+         cast(('0x' || substring(md5(cast(doc_id as varchar) || ':ps'), 1, 8)) as bigint) as hh
+  from documents
+),
+q as (select doc_id, w,
+             cast(w as double) * 4294967296.0 / cast(hh + 1 as double) as q
+      from h),
+top as (select * from q order by q desc, doc_id asc limit {_PS_K + 1}),
+m as (select count(*) as c, min(q) as mq from top),
+r as (select doc_id, w, q,
+             row_number() over (order by q desc, doc_id asc) as rn
+      from top)
+select r.doc_id, r.w,
+       greatest(cast(r.w as double),
+                case when m.c = {_PS_K + 1} then m.mq else 0.0 end) as w_hat
+from r, m where r.rn <= {_PS_K}
+""",
+    survey_ref="dp-priority-sample,SO3",
+    doc="fixed-size weighted corpus sample with an unbiased subset-sum "
+    "estimator (priority sampling, Duffield-Lund-Thorup JACM'07): "
+    "md5-uniform priority w/u, top-k via per-partition heaps "
+    "(TakeOrderedAndProject — no global sort), w_hat = max(w, tau) so "
+    "sum(w_hat) over any subset of the sample unbiasedly estimates that "
+    "subset's true weight; deterministic and partition-independent.",
+)
+def dp_priority_sample(spark, sf_dir):
+    from ..operators.filtering import priority_sample
+
+    docs = T(spark, sf_dir, "documents")
+    return priority_sample(docs, "n_chars", k=_PS_K, id_col="doc_id", salt="ps")
 
 
 @register(
