@@ -1940,3 +1940,34 @@ def test_canonical_pick_elects_max_quality_min_id(spark):
     }
     # cluster 1: quality tie 90 between ids 2 and 3 -> id 2
     assert out == {1: (2, 3, 90), 4: (5, 2, 70)}
+
+
+def test_contamination_report_fractions_and_zero_hit_docs(spark):
+    """Hand-built corpora: known per-eval-doc overlap fractions, clean
+    docs present with contamination 0.0, and fraction denominators are
+    DISTINCT grams (the repeated trigram counts once)."""
+    from vtb_datafusion_2023_spark.operators.text import contamination_report
+
+    corpus = spark.createDataFrame(
+        [(100, "a b c d"), (101, "x y z w")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (1, "a b c q r s"),        # grams: 'a b c','b c q','c q r','q r s' -> 1/4 hit
+            (2, "p q r"),              # 1 gram, no hits -> 0.0
+            (3, "a b c d"),            # 'a b c','b c d' -> 2/2
+            (4, "a b c a b c"),        # distinct grams: 'a b c','b c a','c a b' -> 1/3
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.bench_id: (r.n_grams, r.n_hit, r.contamination)
+        for r in contamination_report(corpus, bench).collect()
+    }
+    assert out == {
+        1: (4, 1, 0.25),
+        2: (1, 0, 0.0),
+        3: (2, 2, 1.0),
+        4: (3, 1, 1.0 / 3.0),
+    }

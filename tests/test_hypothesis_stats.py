@@ -122,3 +122,56 @@ def test_fsum_fixed_point_is_engine_stable(xs):
     con.execute(f"create table t as select * from (values {values}) v(x)")
     got = con.execute("select " + sqlgen.fsum("x") + " from t").fetchone()[0]
     assert got == _py_fsum(xs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**7),
+                  st.integers(min_value=1, max_value=10**6)),
+        min_size=1, max_size=120, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+def test_priority_sample_sql_matches_numpy(rows, k):
+    """The dp_priority_sample oracle shape (md5 coin -> w*2^32/(h+1)
+    priority -> top-k -> tau -> w_hat) run on DuckDB must equal a
+    literal numpy re-derivation for arbitrary (id, weight) inputs and k
+    — pins the Duffield-Lund-Thorup algebra and the exact IEEE priority
+    arithmetic the Spark path shares."""
+    import hashlib
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "w"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got = con.execute(f"""
+with h as (
+  select doc_id, w,
+         cast(('0x' || substring(md5(cast(doc_id as varchar) || ':ps'), 1, 8)) as bigint) as hh
+  from t
+),
+q as (select doc_id, w,
+             cast(w as double) * 4294967296.0 / cast(hh + 1 as double) as q
+      from h),
+top as (select * from q order by q desc, doc_id asc limit {k + 1}),
+m as (select count(*) as c, min(q) as mq from top),
+r as (select doc_id, w, q,
+             row_number() over (order by q desc, doc_id asc) as rn
+      from top)
+select r.doc_id, r.w,
+       greatest(cast(r.w as double),
+                case when m.c = {k + 1} then m.mq else 0.0 end) as w_hat
+from r, m where r.rn <= {k}
+""").df()
+
+    def coin(i):
+        return int(hashlib.md5(f"{i}:ps".encode()).hexdigest()[:8], 16)
+
+    q = {
+        i: np.float64(w) * np.float64(4294967296.0) / np.float64(coin(i) + 1)
+        for i, w in rows
+    }
+    ranked = sorted(rows, key=lambda t: (-q[t[0]], t[0]))
+    tau = q[ranked[k][0]] if len(ranked) > k else np.float64(0.0)
+    expect = {i: (w, float(max(np.float64(w), tau))) for i, w in ranked[:k]}
+    assert {r.doc_id: (r.w, r.w_hat) for r in got.itertuples()} == expect

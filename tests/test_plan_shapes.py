@@ -628,46 +628,57 @@ def test_funnel_scan_two_shuffles(spark, sf_small):
 
 def test_front_block_registration_order():
     """The driver certifies ~50 queries per round in registration order.
-    Pin the round-7 front block (this round's changed-code-path
-    re-certs first, then the 34 r2-era stale greens, then the r3-era
-    tail) so a module reshuffle can't silently push a stale query out
-    of the gate's reach (VERDICT r6 item 1: the rotation must retire
-    every r2-era green this round)."""
+    Pin the round-8 front block (never-checked new queries and the
+    stale hash twin first, then the real plan changes, then ALL 42
+    r3-era stale greens inside the front-50) so a module reshuffle
+    can't silently push a stale or never-checked query out of the
+    gate's reach (VERDICT r7 items 1-3: r8 must retire every r3-era
+    green and the dd_simhash_md5 twin leads)."""
     from vtb_datafusion_2023_spark.suite import (
         _FRONT_R4,
         _FRONT_R5,
         _FRONT_R6,
         _FRONT_R7,
+        _FRONT_R8,
         _UNCHECKED_TAIL,
     )
 
     names = list(QS)
-    head = _FRONT_R7 + [
+    head = _FRONT_R8 + [
         n
-        for block in (_FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
+        for block in (_FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
         for n in block
-        if n not in _FRONT_R7
+        if n not in _FRONT_R8
     ]
     seen: set = set()
     head = [n for n in head if not (n in seen or seen.add(n))]
     assert names[: len(head)] == head
     assert len(set(names)) == len(names)
-    # this round's changed-code-path re-certs lead
-    changed = [
-        "dd_jaccard_planted", "dd_containment_planted",
-        "dd_ngram_jaccard", "dd_containment",
-        "sk_kmv_overlap", "dd_semdedup",
-        "pipeline_submission", "a1_pivot_count", "a11_horizontal_stats",
+    # the stale hash twin, the never-checked r8 additions, and the
+    # three real plan changes lead
+    lead = [
+        "dd_simhash_md5",
+        "dp_priority_sample", "dd_canonical_pick", "text_contamination_report",
+        "pipeline_corpus_prep", "emb_gram_matrix", "sk_kmv_overlap",
     ]
-    assert names[: len(changed)] == changed
-    # the 34 r2-era stale greens (VERDICT item 1 + item 3's real-weight
-    # inference paths) all sit inside the driver's ~50 budget
-    for q in ("u1_rnn_scores", "u4_vrae_latents", "u6_catboost_cbm",
-              "u6_mapinpandas_inference", "pipeline_user_profile",
-              "text_chunking", "mm_audio_wav", "ann_ivf_topk"):
-        assert names.index(q) < 43, q
+    assert names[: len(lead)] == lead
+    # every r3-era stale green (the 12 streaming replays, TPC-H q2-q22,
+    # the text/graph/analytics tail) sits inside the driver's ~50 budget
+    r3_era = [
+        "sql_udtf_chunking", "gr_pagerank", "an_drift_psi",
+        "text_bigram_surprisal", "gr_triangles", "text_entropy",
+        "text_stupid_backoff", "an_pattern_spans", "st_windowed_counts",
+        "st_windowed_spend", "st_stream_dedup", "st_stream_dedup_wm",
+        "sw_session_window", "st_attribution_join", "st_static_enrich",
+        "st_attribution_outer", "st_attribution_full", "st_dedup_ingest",
+        "st_dedup_ingest_md5", "st_drift_psi",
+    ] + [f"q{i}_" for i in range(2, 23)]
+    for q in r3_era:
+        if q.startswith("q") and q.endswith("_"):
+            q = next(n for n in names if n.startswith(q))
+        assert names.index(q) < 50, q
+    assert len(_FRONT_R8) == 1 + 3 + 3 + 41 + 4 + 49  # twin+new+changed+r3+guard+r4
     assert len(_FRONT_R7) == 9 + 34 + 49  # changed + r2-era + r3-era
-    assert len(_FRONT_R6) == 5 + 6 + 30 + 43  # new + changed + r1-era + r2-era
 
 
 def test_kll_partial_quantiles_merge_properties(spark):

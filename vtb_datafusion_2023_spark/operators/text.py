@@ -458,6 +458,59 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-BENCHMARK-document contamination audit: for each eval doc, the
+    fraction of its distinct word n-grams that appear ANYWHERE in the
+    training corpus — the dirty/clean split every model release reports
+    (the eval-side mirror of :func:`decontaminate`, which flags TRAIN
+    docs; this measures how compromised each BENCHMARK item is, zero-hit
+    docs included).
+
+    Scale shape — the corpus is scanned ONCE and never shuffled:
+    the benchmark gram universe (MB-scale) broadcasts; the corpus pass
+    is a narrow shingle + broadcast semi-join, and the following
+    ``distinct`` partial-aggregates per task, so the only corpus-side
+    shuffle carries <= |bench universe| rows per task.  The surviving
+    matched-gram set (<= the bench universe) broadcasts back onto the
+    bench grams; every remaining aggregate and join is benchmark-sized.
+
+    Returns ``(bench_id, n_grams, n_hit, contamination)`` —
+    ``contamination = n_hit / n_grams`` as one correctly-rounded IEEE
+    division of exact integer counts (bitwise cross-engine).
+    """
+    from .dedup import word_shingles
+
+    bg = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(text_col, n)).alias("_g"),
+    )
+    universe = bg.select("_g").distinct()
+    matched = (
+        corpus.select(F.explode(word_shingles(text_col, n)).alias("_g"))
+        .join(F.broadcast(universe), "_g", "left_semi")
+        .distinct()
+    )
+    totals = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        bg.join(F.broadcast(matched), "_g", "left_semi")
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    return totals.join(hits, "bench_id", "left").select(
+        "bench_id",
+        "n_grams",
+        n_hit.alias("n_hit"),
+        (n_hit.cast("double") / F.col("n_grams").cast("double")).alias("contamination"),
+    )
+
+
 def decontaminate_drop(
     docs: DataFrame,
     benchmark: DataFrame,

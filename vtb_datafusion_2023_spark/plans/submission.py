@@ -53,10 +53,6 @@ from .features import branch_c_features
 
 REFERENCE_BINS = "/root/reference/nn_bins.pickle"
 
-# pin the cleaned log in the block manager (see run_submission); module
-# flag so the pin-vs-replay tradeoff stays A/B-able in one warm JVM
-_PIN_CLEANED = False
-
 # --- deterministic certification stand-ins (driver t2 gate) -------------
 #
 # The production pipeline has two non-SQL-expressible stages: the seeded
@@ -229,6 +225,7 @@ def run_submission(
     sampler: str = "bootstrap",
     scorer: str = "udf",
     blacklist_cats: Sequence = (6012,),
+    pin_cleaned: bool = False,
 ) -> DataFrame:
     """Full pipeline: (user_id, cat, amt, ts, ord) -> (user_id, target).
 
@@ -241,6 +238,12 @@ def run_submission(
 
     Returns the submission DataFrame sorted by user_id; optionally writes
     the CSV (S3).
+
+    ``pin_cleaned``: block-manager localCheckpoint of the cleaned log
+    before branch C.  Default OFF — the fused branch C leaves
+    ``cleaned`` one consumer subtree, so the pin buys nothing (A/B in
+    the comment below) while costing a job barrier and a corpus copy;
+    the parameter keeps the tradeoff re-measurable in one warm JVM.
 
     ``bucket_dir``: materialize the cleaned transactions bucketed by
     ``user_id`` before branch C (ROADMAP #7).  The cleaned table is the
@@ -274,7 +277,7 @@ def run_submission(
             path=f"{bucket_dir}/cleaned_tx",
             bucket_cols=["user_id"],
         )
-    elif _PIN_CLEANED:
+    elif pin_cleaned:
         # The cleaned log is the reference's ONE named intermediate
         # (run.py:84-90, written to disk and re-read): with the 8-block
         # branch C this pin was the r5 headline (17.7 -> 5.5 s at

@@ -222,11 +222,12 @@ _FRONT_R7 = [
 #    twin that carries the rows-only dd_simhash's parity claim, and its
 #    newest green is r3 — four rounds of code drift behind the operator
 #    it vouches for.
-# 1. The two queries ADDED this round, never driver-checked — a
+# 1. The three queries ADDED this round, never driver-checked — a
 #    never-checked query outranks any stale green:
 #    dp_priority_sample (Duffield-Lund-Thorup fixed-k weighted sample +
-#    unbiased subset-sum estimator) and dd_canonical_pick (keep-best-
-#    duplicate finisher over near-dup clusters).
+#    unbiased subset-sum estimator), dd_canonical_pick (keep-best-
+#    duplicate finisher over near-dup clusters), and
+#    text_contamination_report (eval-side dirty/clean audit).
 # 2. The 3 queries with REAL plan changes this round:
 #    pipeline_corpus_prep (r8 rewrite — window-based exact dedup +
 #    pinned substring-dedup fan-out, 10 exchanges + 2 SMJ -> 5 + 0,
@@ -250,7 +251,7 @@ _FRONT_R8 = [
     # -- the stale hash twin carrying dd_simhash's parity claim --
     "dd_simhash_md5",
     # -- new this round (never checked) --
-    "dp_priority_sample", "dd_canonical_pick",
+    "dp_priority_sample", "dd_canonical_pick", "text_contamination_report",
     # -- real plan changes this round --
     "pipeline_corpus_prep", "emb_gram_matrix", "sk_kmv_overlap",
     # -- newest green is r3 --

@@ -1649,6 +1649,41 @@ def text_decontaminate(spark, sf_dir):
 
 
 @register(
+    "text_contamination_report",
+    oracle=f"""
+with bws as (select doc_id as bench_id, string_split(text, ' ') as ws
+             from documents where doc_id % 97 = 0),
+bg as (select bench_id, unnest({_DUCK_TRIGRAMS}) as g from bws),
+cws as (select string_split(text, ' ') as ws
+        from documents where doc_id % 97 <> 0),
+cg as (select distinct unnest({_DUCK_TRIGRAMS}) as g from cws),
+tot as (select bench_id, count(*) as n_grams from bg group by bench_id),
+hit as (select bench_id, count(*) as n_hit from bg join cg using (g)
+        group by bench_id)
+select t.bench_id, t.n_grams,
+       coalesce(h.n_hit, 0) as n_hit,
+       cast(coalesce(h.n_hit, 0) as double) / cast(t.n_grams as double)
+         as contamination
+from tot t left join hit h on t.bench_id = h.bench_id
+""",
+    survey_ref="text-contamination-report",
+    doc="eval-side contamination audit (the dirty/clean split model "
+    "releases report): per BENCHMARK doc, the fraction of its distinct "
+    "word trigrams found anywhere in the training corpus, zero-hit docs "
+    "included.  Corpus scanned once, never shuffled: bench universe "
+    "broadcasts out, matched-gram set (<= the universe) broadcasts back; "
+    "the only corpus-side shuffle is the per-task-deduped matched set.",
+)
+def text_contamination_report(spark, sf_dir):
+    from ..operators.text import contamination_report
+
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, "doc_id", "text", n=3)
+
+
+@register(
     "dp_cap_per_source",
     oracle="""
 select doc_id, source
