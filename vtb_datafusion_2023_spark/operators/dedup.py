@@ -1368,19 +1368,25 @@ def softdedup_weights(
     epoch sampler.
 
     Composes :func:`dedup_clusters` (large-star/small-star connected
-    components) with one cluster-size aggregate and a co-keyed join —
-    the only additions to the hard-dedup plan are |docs|-row, and the
-    bigint/bigint double division is bitwise cross-engine.
+    components) with ONE cluster-keyed window: the unbounded
+    ``count over (partition by cluster_id)`` rides the same exchange
+    that a size aggregate + join-back would need TWICE (agg shuffle +
+    co-keyed join leg) — labels shuffle once, sizes never materialize
+    as a second table (r8 rewrite; output identical, count is
+    order-insensitive).  The bigint/bigint double division is bitwise
+    cross-engine.
 
     Returns ``(id_col, cluster_id, cluster_size, weight)``.
     """
+    from pyspark.sql.window import Window
+
     labels = dedup_clusters(docs, pairs, id_col=id_col, id_a=id_a, id_b=id_b)
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    size = (
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint")
     )
-    return labels.join(sizes, "cluster_id").select(
+    return labels.select(
         id_col,
         "cluster_id",
-        "cluster_size",
-        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+        size.alias("cluster_size"),
+        (F.lit(1.0) / size.cast("double")).alias("weight"),
     )

@@ -212,7 +212,7 @@ _FRONT_R7 = [
     "q11_important_parts", "q2_min_cost_supplier",
 ]
 
-# Round-8 front block (101 names; the driver certifies ~50 in order).
+# Round-8 front block (102 names; the driver certifies ~50 in order).
 # Goal (VERDICT r7 items 1-3): finish the certification rotation — walk
 # the 42 r3-era stale greens through the gate this round and queue the
 # 50 r4-era names so r9 closes the walk (after r8: zero queries whose
@@ -228,13 +228,14 @@ _FRONT_R7 = [
 #    unbiased subset-sum estimator), dd_canonical_pick (keep-best-
 #    duplicate finisher over near-dup clusters), and
 #    text_contamination_report (eval-side dirty/clean audit).
-# 2. The 3 queries with REAL plan changes this round:
+# 2. The 4 queries with REAL plan changes this round:
 #    pipeline_corpus_prep (r8 rewrite — window-based exact dedup +
 #    pinned substring-dedup fan-out, 10 exchanges + 2 SMJ -> 5 + 0,
 #    bitwise-pinned), emb_gram_matrix (registered query now runs the
 #    arrow partial-state path — bitwise twin of the expr form, ~4x at
 #    sf0.1), sk_kmv_overlap (kmv_set_ops guard made optional via
-#    max_sets=None).
+#    max_sets=None), dp_softdedup_weights (cluster-size agg + join-back
+#    -> one cluster-keyed window).
 # 3. The remaining 41 r3-era names (tools/plan_next_round.py order):
 #    the 12 streaming replay oracles re-certify on the CURRENT session
 #    confs (maxFields/openCostInBytes changed since r3 — VERDICT item
@@ -254,6 +255,7 @@ _FRONT_R8 = [
     "dp_priority_sample", "dd_canonical_pick", "text_contamination_report",
     # -- real plan changes this round --
     "pipeline_corpus_prep", "emb_gram_matrix", "sk_kmv_overlap",
+    "dp_softdedup_weights",  # r8: size agg + join-back -> one window
     # -- newest green is r3 --
     "sql_udtf_chunking", "gr_pagerank", "an_drift_psi",
     "text_bigram_surprisal", "gr_triangles", "text_entropy",
