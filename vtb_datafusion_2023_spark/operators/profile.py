@@ -287,6 +287,12 @@ def psi_from_counts(ca: DataFrame, cb: DataFrame, edges: list[float]) -> DataFra
         )
     )
     rows = joined.collect()  # B rows — the bounded epilogue, not the data
+    # the epilogue below has THREE consumers of ``joined`` (the detailed
+    # projection, the psi fold, and this collect): rebuild the B-row
+    # frame from the already-collected rows so the corpus-scale count
+    # scans execute exactly once (r8 — the corpus_prep double-replay
+    # lesson; before this, each count scan ran 3x per invocation)
+    joined = df_a.sparkSession.createDataFrame(rows, joined.schema)
     tot_a = sum(r.n_a for r in rows) + n_bins
     tot_b = sum(r.n_b for r in rows) + n_bins
     ints = sorted({r.n_a + 1 for r in rows} | {r.n_b + 1 for r in rows} | {tot_a, tot_b})
