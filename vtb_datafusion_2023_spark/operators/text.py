@@ -486,10 +486,13 @@ def contamination_report(
     """
     from .dedup import word_shingles
 
+    # bg feeds three consumers (universe build, totals, hit counts) —
+    # pin the benchmark-sized gram table once instead of replaying the
+    # bench explode per reference (lazy: materializes on first action)
     bg = benchmark.select(
         F.col(id_col).alias("bench_id"),
         F.explode(word_shingles(text_col, n)).alias("_g"),
-    )
+    ).localCheckpoint(eager=False)
     universe = bg.select("_g").distinct()
     matched = (
         corpus.select(F.explode(word_shingles(text_col, n)).alias("_g"))
