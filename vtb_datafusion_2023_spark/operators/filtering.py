@@ -327,6 +327,10 @@ def priority_sample(
     so both priority BITS and the (q desc, id asc) order agree across
     engines and partition layouts; ``max(w, tau)`` is exact.
 
+    NULL handling: a NULL weight (or id) makes the priority NULL,
+    which sorts last under DESC in both engines — such rows are
+    effectively never sampled; filter upstream if they should compete.
+
     Scale shape: ``orderBy(q).limit(k+1)`` plans as
     TakeOrderedAndProject — a size-(k+1) heap per partition, then a
     single (k+1)-row merge; no global sort, no RNG, no driver state
