@@ -196,14 +196,9 @@ def mad_outliers(
     bitwise-reproducible cross-engine.  Groups with MAD = 0 (constant
     value) flag nothing.
     """
-    # med feeds two consumers (the MAD aggregate and the output pass);
-    # unpinned, its corpus-scale percentile scan replays per consumer —
-    # pin the group-cardinality table once (lazy, r8).  Three corpus
-    # scans remain (med agg, mad agg, output), which is the floor for
-    # exact sequential MAD.
     med = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, cast(0.5 as double))").alias("med")
-    ).localCheckpoint(eager=False)
+    )
     with_med = df.join(med, group_cols)
     mad = (
         with_med.withColumn("_adev", F.expr(f"abs({value_col} - med)"))

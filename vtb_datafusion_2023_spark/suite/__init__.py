@@ -212,7 +212,7 @@ _FRONT_R7 = [
     "q11_important_parts", "q2_min_cost_supplier",
 ]
 
-# Round-8 front block (103 names; the driver certifies ~50 in order).
+# Round-8 front block (102 names; the driver certifies ~50 in order).
 # Goal (VERDICT r7 items 1-3): finish the certification rotation — walk
 # the 42 r3-era stale greens through the gate this round and queue the
 # 50 r4-era names so r9 closes the walk (after r8: zero queries whose
@@ -275,7 +275,6 @@ _FRONT_R8 = [
     #    a1/a11 sit past the ~50 budget and roll to r9 if unreached) --
     "pipeline_submission", "pipeline_user_profile",
     "a1_pivot_count", "a11_horizontal_stats",
-    "clean_mad_outliers",  # r8: med table pinned (plan-only, r6-green)
     # -- newest green is r4 (queued; spill rolls to r9) --
     "tbl_key_skew", "an_pair_affinity", "an_seasonal_decompose",
     "an_seasonal_anomaly", "agg_incremental_distinct", "text_repetition",
