@@ -1971,3 +1971,62 @@ def test_contamination_report_fractions_and_zero_hit_docs(spark):
         3: (2, 2, 1.0),
         4: (3, 1, 1.0 / 3.0),
     }
+
+
+def test_priority_sample_per_group_matches_numpy_reference(spark, sf_small):
+    """Per-group selection, per-group tau, and every w_hat must equal a
+    literal numpy re-derivation from the same md5 coin — including
+    groups smaller than k (tau = 0, w_hat = w)."""
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+    from vtb_datafusion_2023_spark.operators.filtering import (
+        priority_sample_per_group,
+    )
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    docs = T(spark, sf_small, "documents").select("source", "doc_id", "n_chars")
+    rows = docs.collect()
+    k = 7
+
+    def coin(i):
+        return int(hashlib.md5(f"{i}:ps".encode()).hexdigest()[:8], 16)
+
+    q = {
+        r.doc_id: np.float64(r.n_chars) * np.float64(4294967296.0)
+        / np.float64(coin(r.doc_id) + 1)
+        for r in rows
+    }
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.source].append(r)
+    expect = {}
+    for src, members in groups.items():
+        ranked = sorted(members, key=lambda r: (-q[r.doc_id], r.doc_id))
+        tau = q[ranked[k].doc_id] if len(ranked) > k else np.float64(0.0)
+        for r in ranked[:k]:
+            expect[(src, r.doc_id)] = (r.n_chars, float(max(np.float64(r.n_chars), tau)))
+
+    got = {
+        (r.source, r.doc_id): (r.w, r.w_hat)
+        for r in priority_sample_per_group(
+            docs, "n_chars", k=k, group_col="source"
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_priority_sample_per_group_plans_window_group_limit(spark, sf_small):
+    """The rank <= k+1 filter must trigger Catalyst's WindowGroupLimit
+    rewrite — per-task (k+1)-row heaps before the exchange are the
+    whole skew story."""
+    from vtb_datafusion_2023_spark.operators.filtering import (
+        priority_sample_per_group,
+    )
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    docs = T(spark, sf_small, "documents").select("source", "doc_id", "n_chars")
+    p = priority_sample_per_group(docs, "n_chars", k=5, group_col="source")
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

@@ -659,6 +659,7 @@ def test_front_block_registration_order():
     lead = [
         "dd_simhash_md5",
         "dp_priority_sample", "dd_canonical_pick", "text_contamination_report",
+        "dp_priority_sample_per_source",
         "pipeline_corpus_prep", "emb_gram_matrix", "sk_kmv_overlap",
         "dp_softdedup_weights",
     ]
@@ -678,7 +679,7 @@ def test_front_block_registration_order():
         if q.startswith("q") and q.endswith("_"):
             q = next(n for n in names if n.startswith(q))
         assert names.index(q) < 50, q
-    assert len(_FRONT_R8) == 1 + 3 + 4 + 41 + 4 + 49  # twin+new+changed+r3+guard+r4
+    assert len(_FRONT_R8) == 1 + 4 + 4 + 41 + 4 + 49  # twin+new+changed+r3+guard+r4
     assert len(_FRONT_R7) == 9 + 34 + 49  # changed + r2-era + r3-era
 
 

@@ -373,6 +373,67 @@ def priority_sample(
     )
 
 
+def priority_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ps",
+) -> DataFrame:
+    """Per-group priority sampling: ``k`` rows from EVERY ``group_col``
+    value (source, language, domain), weight-proportional within the
+    group, with the same Duffield-Lund-Thorup estimator as
+    :func:`priority_sample` computed per group — ``tau_g`` is the
+    group's (k+1)-th priority (0 when the group has <= k rows) and
+    ``w_hat = max(w, tau_g)``, so ``sum(w_hat)`` over one group's
+    sample unbiasedly estimates that group's total weight.  The
+    stratified counterpart of the global top-k: per-source quota
+    sampling that still supports token-mass audits per stratum.
+
+    Scale shape: the ``row_number <= k+1`` filter triggers Catalyst's
+    WindowGroupLimit rewrite — each map task keeps a (k+1)-row heap per
+    group BEFORE the exchange, so a skewed 100 TB source shuffles the
+    same O(groups x k) rows as a balanced one (the ``cap_per_group``
+    precedent).  The tau/count windows run over the survivors on the
+    same partitioning (no second exchange).  Deterministic md5 coin,
+    bitwise-portable arithmetic — same contract as
+    :func:`priority_sample`.  Returns ``(group_col, id, w, w_hat)``.
+    """
+    if k < 1:
+        raise ValueError(f"priority_sample_per_group: k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(4294967296.0)
+        / (h + F.lit(1)).cast("double")
+    )
+    ranked = Window.partitionBy(group_col).orderBy(F.col("_q").desc(), F.col(id_col).asc())
+    grp = Window.partitionBy(group_col)
+    top = (
+        df.select(F.col(group_col), F.col(id_col), F.col(weight_col).alias("w"), q.alias("_q"))
+        .withColumn("_rn", F.row_number().over(ranked))
+        .filter(F.col("_rn") <= k + 1)
+    )
+    tau = F.when(F.count(F.lit(1)).over(grp) == k + 1, F.min("_q").over(grp)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        top.withColumn("_tau", tau)
+        .filter(F.col("_rn") <= k)
+        .select(
+            group_col,
+            id_col,
+            "w",
+            F.greatest(F.col("w").cast("double"), F.col("_tau")).alias("w_hat"),
+        )
+    )
+
+
 def percentile_filter(
     df: DataFrame,
     score_col: str,

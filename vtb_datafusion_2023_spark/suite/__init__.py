@@ -212,7 +212,7 @@ _FRONT_R7 = [
     "q11_important_parts", "q2_min_cost_supplier",
 ]
 
-# Round-8 front block (102 names; the driver certifies ~50 in order).
+# Round-8 front block (103 names; the driver certifies ~50 in order).
 # Goal (VERDICT r7 items 1-3): finish the certification rotation — walk
 # the 42 r3-era stale greens through the gate this round and queue the
 # 50 r4-era names so r9 closes the walk (after r8: zero queries whose
@@ -222,12 +222,14 @@ _FRONT_R7 = [
 #    twin that carries the rows-only dd_simhash's parity claim, and its
 #    newest green is r3 — four rounds of code drift behind the operator
 #    it vouches for.
-# 1. The three queries ADDED this round, never driver-checked — a
+# 1. The four queries ADDED this round, never driver-checked — a
 #    never-checked query outranks any stale green:
 #    dp_priority_sample (Duffield-Lund-Thorup fixed-k weighted sample +
 #    unbiased subset-sum estimator), dd_canonical_pick (keep-best-
-#    duplicate finisher over near-dup clusters), and
-#    text_contamination_report (eval-side dirty/clean audit).
+#    duplicate finisher over near-dup clusters),
+#    text_contamination_report (eval-side dirty/clean audit), and
+#    dp_priority_sample_per_source (the stratified variant,
+#    WindowGroupLimit + per-group tau).
 # 2. The 4 queries with REAL plan changes this round:
 #    pipeline_corpus_prep (r8 rewrite — window-based exact dedup +
 #    pinned substring-dedup fan-out, 10 exchanges + 2 SMJ -> 5 + 0,
@@ -253,6 +255,7 @@ _FRONT_R8 = [
     "dd_simhash_md5",
     # -- new this round (never checked) --
     "dp_priority_sample", "dd_canonical_pick", "text_contamination_report",
+    "dp_priority_sample_per_source",
     # -- real plan changes this round --
     "pipeline_corpus_prep", "emb_gram_matrix", "sk_kmv_overlap",
     "dp_softdedup_weights",  # r8: size agg + join-back -> one window

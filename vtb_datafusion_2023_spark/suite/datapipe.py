@@ -1770,6 +1770,47 @@ def dp_priority_sample(spark, sf_dir):
     return priority_sample(docs, "n_chars", k=_PS_K, id_col="doc_id", salt="ps")
 
 
+_PSG_K = 10
+
+
+@register(
+    "dp_priority_sample_per_source",
+    oracle=f"""
+with h as (
+  select source, doc_id, n_chars as w,
+         cast(('0x' || substring(md5(cast(doc_id as varchar) || ':ps'), 1, 8)) as bigint) as hh
+  from documents
+),
+q as (select source, doc_id, w,
+             cast(w as double) * 4294967296.0 / cast(hh + 1 as double) as q
+      from h),
+r as (select *, row_number() over (partition by source
+                                   order by q desc, doc_id asc) as rn
+      from q),
+top as (select * from r where rn <= {_PSG_K + 1}),
+m as (select source, count(*) as c, min(q) as mq from top group by source)
+select t.source, t.doc_id, t.w,
+       greatest(cast(t.w as double),
+                case when m.c = {_PSG_K + 1} then m.mq else 0.0 end) as w_hat
+from top t join m on t.source = m.source
+where t.rn <= {_PSG_K}
+""",
+    survey_ref="dp-priority-sample,dp-cap-per-source",
+    doc="stratified priority sampling: k weight-proportional docs from "
+    "EVERY source with the per-group Duffield-Lund-Thorup estimator "
+    "(w_hat = max(w, tau_g)); the rank<=k+1 filter triggers "
+    "WindowGroupLimit, so a skewed source shuffles the same O(groups*k) "
+    "rows as a balanced one.",
+)
+def dp_priority_sample_per_source(spark, sf_dir):
+    from ..operators.filtering import priority_sample_per_group
+
+    docs = T(spark, sf_dir, "documents")
+    return priority_sample_per_group(
+        docs, "n_chars", k=_PSG_K, group_col="source", id_col="doc_id", salt="ps"
+    )
+
+
 @register(
     "dp_quality_percentile",
     oracle="""
