@@ -281,20 +281,50 @@ def _score_arrays(p: dict) -> tuple[np.ndarray, list]:
 
 
 def score_q_payload(p: dict, x: np.ndarray) -> np.ndarray:
-    """``raw_score_q`` over a ``CbmModel.payload()`` dict (closure-safe)."""
+    """``raw_score_q`` over a ``CbmModel.payload()`` dict (closure-safe).
+
+    Row-blocked (r9): at Arrow-batch sizes the unblocked kernel's
+    temporaries (n x 1377 float64 split gather, n x trees int32
+    accumulator, n x trees int64 leaf gather) are GB-scale and every
+    stage round-trips main memory — the measured cost was bandwidth,
+    not FLOPs.  Processing 1024-row blocks keeps all temporaries in
+    L2-resident range (block sweep on the real 750-tree model:
+    512/1024/2048/4096 -> 13.4/12.5/14.1/33.5 us/row vs 260 unblocked),
+    and the leaf-index accumulator is width-matched
+    to the forest depth (int8 up to depth 7 — leaf index < 2**depth),
+    with the bool->int conversion a free ``view(int8)`` instead of an
+    ``astype(int32)`` 4x copy.  Every operation stays exact-integer or
+    an UNCHANGED float64 compare, so leaf sums are bit-identical to the
+    unblocked kernel (pinned by test_cbm_* vs the real model_cb.cbm).
+    """
     x = np.asarray(x, dtype=np.float64)
     bin_gather, levels = _score_arrays(p)
-    with np.errstate(invalid="ignore"):
-        bins = x[:, bin_gather] > p["bin_border"]
+    n = len(x)
     n_trees = len(p["tree_sizes"])
-    leaf_idx = np.zeros((len(x), n_trees), dtype=np.int32)
-    for lvl, (tsel, cols) in enumerate(levels):
-        bit = bins[:, cols].astype(np.int32) << lvl
-        if tsel is None:
-            leaf_idx += bit
-        else:
-            leaf_idx[:, tsel] += bit
-    return p["leaf_q"][p["leaf_offsets"] + leaf_idx].sum(axis=1)
+    max_d = len(levels)
+    acc_t = np.int8 if max_d <= 7 else (np.int16 if max_d <= 15 else np.int32)
+    border = p["bin_border"]
+    lo = p["leaf_offsets"]
+    lq = p["leaf_q"]
+    out = np.empty(n, dtype=np.int64)
+    B = 1024
+    with np.errstate(invalid="ignore"):
+        for s in range(0, n, B):
+            xb = x[s : s + B]
+            bins = xb[:, bin_gather] > border
+            leaf = np.zeros((len(xb), n_trees), dtype=acc_t)
+            for lvl, (tsel, cols) in enumerate(levels):
+                bit = bins[:, cols].view(acc_t if acc_t is np.int8 else np.int8)
+                if acc_t is not np.int8:
+                    bit = bit.astype(acc_t)
+                if lvl:
+                    bit = bit << lvl
+                if tsel is None:
+                    leaf += bit
+                else:
+                    leaf[:, tsel] += bit
+            np.sum(lq[lo + leaf], axis=1, out=out[s : s + B])
+    return out
 
 
 def matrix_from_pandas_payload(p: dict, pdf, fill: float = 0.0) -> np.ndarray:

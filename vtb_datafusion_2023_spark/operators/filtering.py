@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def blacklist(df: DataFrame, col: str, *values) -> DataFrame:
@@ -333,12 +334,13 @@ def priority_sample(
 
     Scale shape: ``orderBy(q).limit(k+1)`` plans as
     TakeOrderedAndProject — a size-(k+1) heap per partition, then a
-    single (k+1)-row merge; no global sort, no RNG, no driver state
-    beyond the k+1 winners.  The tau window runs over those k+1 rows
-    only.  Returns ``(id, w, w_hat)`` for the k sampled rows.
+    single (k+1)-row merge; no global sort, no RNG.  The k + 1 winners
+    are collected and the tau epilogue runs driver-side (they are
+    driver-size by construction — same idiom as the PSI count-frame
+    epilogue), so the corpus is scanned exactly ONCE and no
+    unpartitioned WindowExec appears in the plan.  Returns ``(id, w,
+    w_hat)`` for the k sampled rows.
     """
-    from pyspark.sql.window import Window
-
     if k < 1:
         raise ValueError(f"priority_sample: k must be >= 1, got {k}")
     h = F.conv(
@@ -353,24 +355,38 @@ def priority_sample(
         .orderBy(F.col("_q").desc(), F.col(id_col).asc())
         .limit(k + 1)
     )
-    # the (k+1)-row survivor set is driver-size by construction; the
-    # single-partition windows below never see more than k + 1 rows
-    full = Window.orderBy(F.col("_q").desc(), F.col(id_col).asc()).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # Driver-side tau epilogue over the k + 1 winners (bounded by
+    # construction).  A window formulation needs either an
+    # unpartitioned WindowExec (noisy all-to-one warning at every run)
+    # or a literal partition key (constant-folded away by Catalyst,
+    # warning returns) — collecting sidesteps both and drops the
+    # window exchange.  The Python arithmetic below mirrors the SQL
+    # bit-for-bit: `_q` doubles round-trip exactly through collect,
+    # `max(w, tau)` == `greatest` on non-null doubles, and the
+    # (q desc, id asc) comparator matches Spark/DuckDB ordering (NULL
+    # priorities sort last under DESC in both; here None -> -inf).
+    # Bitwise-pinned by test_priority_sample_matches_numpy_reference.
+    rows = top.collect()
+    rows.sort(key=lambda r: ((-(r["_q"]) if r["_q"] is not None else float("inf")), r[id_col]))
+    tau = 0.0
+    if len(rows) == k + 1:
+        # SQL `min(_q)` ignores NULLs and is NULL only when all inputs are
+        qs = [r["_q"] for r in rows if r["_q"] is not None]
+        tau = min(qs) if qs else None
+    out = []
+    for r in rows[:k]:
+        # mirrors `greatest(w.cast("double"), tau)`: cast-then-max, null-skipping
+        cand = [v for v in (None if r["w"] is None else float(r["w"]), tau) if v is not None]
+        out.append((r[id_col], r["w"], max(cand) if cand else None))
+    spark = df.sparkSession
+    schema = T.StructType(
+        [
+            top.schema[id_col],
+            top.schema["w"],
+            T.StructField("w_hat", T.DoubleType(), True),
+        ]
     )
-    rn = F.row_number().over(Window.orderBy(F.col("_q").desc(), F.col(id_col).asc()))
-    tau = F.when(F.count(F.lit(1)).over(full) == k + 1, F.min("_q").over(full)).otherwise(
-        F.lit(0.0)
-    )
-    return (
-        top.select(F.col(id_col), F.col("w"), rn.alias("_rn"), tau.alias("_tau"))
-        .filter(F.col("_rn") <= k)
-        .select(
-            id_col,
-            "w",
-            F.greatest(F.col("w").cast("double"), F.col("_tau")).alias("w_hat"),
-        )
-    )
+    return spark.createDataFrame(out, schema)
 
 
 def priority_sample_per_group(

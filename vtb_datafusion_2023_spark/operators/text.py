@@ -488,11 +488,16 @@ def contamination_report(
 
     # bg feeds three consumers (universe build, totals, hit counts) —
     # pin the benchmark-sized gram table once instead of replaying the
-    # bench explode per reference (lazy: materializes on first action)
+    # bench explode per reference.  EAGER: a lazy pin materializes on
+    # whichever job touches it first, and the universe BROADCAST job can
+    # race the main job into recomputing partitions; eager removes that
+    # nondeterminism for the cost of one benchmark-sized job up front.
+    # Measured sf0.1 A/B (warm, 2 trials): lazy 0.55/0.47 s vs eager
+    # 0.47/0.50 s — a wash, so determinism wins (see SCALE.md).
     bg = benchmark.select(
         F.col(id_col).alias("bench_id"),
         F.explode(word_shingles(text_col, n)).alias("_g"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     universe = bg.select("_g").distinct()
     matched = (
         corpus.select(F.explode(word_shingles(text_col, n)).alias("_g"))

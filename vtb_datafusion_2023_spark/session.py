@@ -60,7 +60,10 @@ _RUNTIME_CONFS = {
     # bails to the interpreted operator path, which at 100 TB is the
     # difference between codegen'd conditional counts and per-row
     # interpretation.  Spark splits oversized generated functions
-    # automatically, so a higher bound is safe.
+    # automatically, so a higher bound is safe.  Compile-time A/B
+    # (SCALE.md round 9): 512 is same-or-faster than the default 100
+    # on all 8 probed heads, cold (incl. Janino compile) AND warm —
+    # the global setting is free.
     "spark.sql.codegen.maxFields": "512",
     # NOTE on events.ts: the driver's events.parquet stores
     # TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 scans as

@@ -52,6 +52,28 @@ def oracle_sql() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
 
 
+# Every rows-only (oracle=None) head must name a registered HASH-certified
+# twin that pins the same code path — the driver's weaker rows-only check
+# is acceptable only because the twin carries the parity claim.  This map
+# is the source of truth; tests/test_twins.py enforces it, so a future
+# no-oracle head cannot ship without either an oracle or a declared twin.
+NO_ORACLE_TWINS: dict[str, str] = {
+    # streaming replay ingest (micro-batch timing is engine-internal)
+    "st_dedup_ingest": "st_dedup_ingest_md5",
+    # xxhash64 scale-path sketches (engine-specific hash)
+    "dd_minhash_lsh": "dd_minhash_md5",
+    "dd_simhash": "dd_simhash_md5",
+    "dd_incremental_minhash": "dd_incremental_md5",
+    "sk_approx_distinct": "sk_kmv_distinct",
+    # RNG draws (rand() stream is engine-internal)
+    "so3_bootstrap_sample": "so3_md5_sample",
+    # LSTM/GRU float32 forwards (non-SQL numerics; both also bitwise
+    # pytest-pinned against the real reference checkpoints)
+    "u1_rnn_scores": "u6_mapinpandas_inference",
+    "u4_vrae_latents": "u4_vrae_twin",
+}
+
+
 _LOADED = False
 
 
@@ -242,12 +264,14 @@ _FRONT_R7 = [
 #    the 12 streaming replay oracles re-certify on the CURRENT session
 #    confs (maxFields/openCostInBytes changed since r3 — VERDICT item
 #    3), then TPC-H q2-q22 and the text/graph/analytics tail.
-#    Blocks 0-3 = 47 names, keeping ALL 42 r3-era inside the front-50.
+#    Blocks 0-3 = 50 names (1 twin + 4 new + 4 plan-changed + 41
+#    r3-era), filling the front-50 exactly — ALL 42 r3-era inside.
 # 4. The guard-hardening re-certs (horizontal_stats_multi collision
 #    guard + explicit FEATURE_COLS order — bitwise-pinned by the
-#    branch-C differential tests, all four r7-green): the two composed
-#    pipelines take the last two front-50 slots; a1/a11 sit at 51-52
-#    and roll to r9 at r7 freshness if the driver stops at 50.
+#    branch-C differential tests, all four r7-green) sit at positions
+#    51-54 and roll to r9 at r7 freshness when the driver stops at 50
+#    (r8 outcome: it did — all four rolled; they queue again in
+#    _FRONT_R9).
 # 5. The 50 r4-era names in planner order; positions past the budget
 #    roll to r9 — all hold r4 greens, nothing uncertified is at risk.
 _FRONT_R8 = [
@@ -296,6 +320,60 @@ _FRONT_R8 = [
     "mm_decode_tiff", "j1_join_enrich", "j3_anti_join",
     "j4_union_fill_max", "tj_asof_join", "tj_range_join",
     "j2_j5_feature_assembly",
+]
+
+# Round-9 front block (57 names; the driver certifies the first ~50).
+# Goal (VERDICT r8 item 1): close the certification walk — the 49
+# queries whose newest green is r4-era all land INSIDE the front-50,
+# so after r9 nothing stale older than r5 remains.  Order:
+#
+# 0. The 49 r4-era names, shared-code-path risk first: the dedup.py
+#    riders (PPJoin prefix/position/length filters landed in r7 after
+#    their r4 certification), then the checkpoint-pin-idiom text heads
+#    (tfidf/bm25/decontaminate), then the r8-queued order.
+# 1. u6_catboost_cbm at slot 50: its scoring kernel was REWRITTEN this
+#    round (row-blocked, width-matched accumulators — 260 -> 12.5
+#    us/row) — bitwise leaf-sum pytest vs the real model_cb.cbm stayed
+#    green and the sf0.01 oracle PASSes locally, but a kernel rewrite
+#    outranks a guard re-cert for the last driver slot.
+# 2. Slots 51-53: the three r8-green heads whose PLAN changed this
+#    round (dp_priority_sample + _per_source: driver-side tau epilogue
+#    replacing the unpartitioned window, numpy-reference bitwise pin
+#    green; text_contamination_report: eager bg pin, wash A/B).  All
+#    three re-verified locally vs the DuckDB oracle under a vanilla
+#    session this round; they roll to r10 at r8 freshness if the
+#    driver stops at 50.
+# 3. Slots 54-57: the four guard-hardening re-certs that rolled from
+#    r8 (all r7-green, bitwise-pinned by the branch-C differentials).
+_FRONT_R9 = [
+    # -- newest green is r4; dedup.py code path changed since (PPJoin) --
+    "dd_substring_dedup", "dd_segment_dedup", "dd_incremental_minhash",
+    "dd_fuzzy_pairs", "dd_pq_dedup",
+    # -- newest green is r4; checkpoint-pin idiom riders --
+    "text_tfidf", "text_bm25", "text_decontaminate",
+    # -- newest green is r4 (r8-queue order) --
+    "tbl_key_skew", "an_pair_affinity", "an_seasonal_decompose",
+    "an_seasonal_anomaly", "agg_incremental_distinct", "text_repetition",
+    "dp_corpus_mix", "text_normalize", "dp_modulo_split",
+    "text_pack_sequences", "text_scrub_pii", "text_strip_html",
+    "text_top_ngrams", "emb_l2_normalize", "emb_quantize_int8",
+    "mm_resize", "dp_latest_by_key", "dp_cap_per_source",
+    "dp_weighted_sample", "dp_quality_percentile", "dp_shard_assign",
+    "dp_token_budget", "dp_cluster_safe_split", "dp_scd2_intervals",
+    "text_bpe_tokens", "mm_audio_g711", "mm_decode_gif",
+    "dp_cdc_diff", "text_chunk_overlap", "dp_feature_hash",
+    "agg_incremental_cms", "mm_audio_flac", "dp_pseudonymize",
+    "dp_k_anonymity", "mm_decode_tiff", "j1_join_enrich",
+    "j3_anti_join", "j4_union_fill_max", "tj_asof_join",
+    "tj_range_join", "j2_j5_feature_assembly",
+    # -- kernel rewritten this round (r9) --
+    "u6_catboost_cbm",
+    # -- plan changed this round (r8-green; local oracle re-verified) --
+    "dp_priority_sample", "dp_priority_sample_per_source",
+    "text_contamination_report",
+    # -- guard-hardening re-certs rolled from r8 (r7-green, pinned) --
+    "pipeline_submission", "pipeline_user_profile",
+    "a1_pivot_count", "a11_horizontal_stats",
 ]
 
 # Round-5 front block (75 names; the driver certified the first 50 —
@@ -404,11 +482,11 @@ def _load_all() -> None:
     from . import submission_e2e  # noqa: F401
     from . import ml  # noqa: F401
 
-    head = _FRONT_R8 + [
+    head = _FRONT_R9 + [
         n
-        for block in (_FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
+        for block in (_FRONT_R8, _FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
         for n in block
-        if n not in _FRONT_R8
+        if n not in _FRONT_R9
     ]
     seen: set[str] = set()
     head = [n for n in head if not (n in seen or seen.add(n))]
