@@ -1,0 +1,116 @@
+"""Zipfian-vocabulary documents fixture for the RAW near-dup pair heads.
+
+The driver's synthetic ``documents.parquet`` has a 31-word vocabulary, so
+UNIGRAM containment/Jaccard over it is near-all-pairs — a data artifact
+that left ``dd_containment`` / ``dd_ngram_jaccard`` correctness-only
+(their benchable ``*_planted`` twins carry the bench).  This tool
+generates a REALISTIC text corpus the raw heads can be timed on
+(VERDICT r8 item 4): heavy-tailed zipfian token frequencies (the regime
+the PPJoin prefix filter is designed for — a few stop-word-like tokens
+in every posting list, a long tail of rare discriminative tokens) plus a
+controlled planted near-duplicate rate so the true answer is known-shape
+and linear in the corpus.
+
+Deterministic (fixed numpy PCG64 seed): re-running produces byte-stable
+token sequences, so recorded bench numbers stay comparable across
+rounds and both engines read the identical corpus.
+
+Corpus model:
+  - vocabulary ``--vocab`` (default 20k) words ``w0..w{V-1}``, rank r
+    drawn with p(r) proportional to 1/(r+1)^1.07 (measured-web-text-ish
+    exponent; ~45% of tokens land in the top 100 ranks, ~20% past rank
+    2000 — every doc shares stopwords, near-dup evidence lives in the
+    tail, exactly the prefix-filter regime);
+  - doc length lognormal(mean~110 tokens) clipped to [20, 400];
+  - 10% of base docs (doc_id % 10 == 0) get a planted near-duplicate
+    under ``doc_id + 10_000_000``: the first 92% of its tokens.  On
+    DISTINCT unigrams that makes containment(copy->orig) = 1.0 and
+    containment(orig->copy) / Jaccard ~ 0.93-1.0 — above both head
+    thresholds (0.9 / 0.8), so every planted pair is a true positive;
+  - lang/source columns follow the driver fixture's value sets so the
+    schema is drop-in (``oracle_check.py --sf <dir>`` replays the heads'
+    oracle SQL over the same parquet).
+
+Usage:
+    python tools/gen_zipf.py --dst /root/repo/.benchdata/zipf0.1 --docs 5000
+    python tools/gen_zipf.py --dst /root/repo/.benchdata/zipf1 --docs 50000 --vocab 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+PLANTED_OFFSET = 10_000_000
+SEED = 20260816
+ZIPF_S = 1.07
+KEEP_FRAC = 0.92
+
+LANGS = ["en", "zh", "de", "fr", "es", "ru"]
+SOURCES = [f"src{i}" for i in range(8)]
+
+
+def build(docs: int, vocab: int, seed: int = SEED):
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    p = 1.0 / ranks**ZIPF_S
+    p /= p.sum()
+    lengths = np.clip(
+        np.rint(np.exp(rng.normal(4.5, 0.55, size=docs))).astype(np.int64), 20, 400
+    )
+    tok_ranks = rng.choice(vocab, size=int(lengths.sum()), p=p)
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+
+    doc_ids, texts = [], []
+    for i in range(docs):
+        toks = tok_ranks[offs[i] : offs[i + 1]]
+        doc_ids.append(i)
+        texts.append(" ".join(f"w{r}" for r in toks))
+        if i % 10 == 0:  # planted near-duplicate: first 92% of tokens
+            keep = max(1, int(len(toks) * KEEP_FRAC))
+            doc_ids.append(i + PLANTED_OFFSET)
+            texts.append(" ".join(f"w{r}" for r in toks[:keep]))
+    n = len(doc_ids)
+    langs = [LANGS[d % len(LANGS)] for d in doc_ids]
+    sources = [SOURCES[d % len(SOURCES)] for d in doc_ids]
+    n_chars = [len(t) for t in texts]
+    return {
+        "doc_id": np.asarray(doc_ids, dtype=np.int64),
+        "text": texts,
+        "lang": langs,
+        "source": sources,
+        "n_chars": np.asarray(n_chars, dtype=np.int64),
+    }, n
+
+
+def ensure(dst: str, docs: int, vocab: int = 20000, seed: int = SEED) -> str:
+    """Idempotent: generate ``dst/documents.parquet`` if absent."""
+    path = os.path.join(dst, "documents.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols, n = build(docs, vocab, seed)
+    os.makedirs(dst, exist_ok=True)
+    tbl = pa.table(cols)
+    pq.write_table(tbl, path + ".tmp", row_group_size=16384)
+    os.replace(path + ".tmp", path)
+    print(f"gen_zipf: wrote {n} docs -> {path}")
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--docs", type=int, default=5000)
+    ap.add_argument("--vocab", type=int, default=20000)
+    ap.add_argument("--seed", type=int, default=SEED)
+    args = ap.parse_args()
+    ensure(args.dst, args.docs, args.vocab, args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,19 @@ def main() -> int:
     from vtb_datafusion_2023_spark.suite import queries
 
     names = args.names or list(bench.HEADLINE)
+    # fixture-override heads (bench.SF_OVERRIDE) read a purpose-built
+    # corpus, not the --base/--big dirs — running them here would time
+    # the degenerate word-soup artifact their override exists to avoid.
+    # Probe them separately with scale-matched fixture dirs, e.g.:
+    #   gen_zipf.py --dst .benchdata/zipf1 --docs 50000
+    #   scale_probe.py --base .benchdata/zipf0.1 --big .benchdata/zipf1 \
+    #       dd_ngram_jaccard dd_containment
+    skipped = [n for n in names if n in getattr(bench, "SF_OVERRIDE", {})
+               and n not in (args.names or [])]
+    if skipped:
+        print(f"skipping fixture-override heads (probe with matching "
+              f"fixture dirs instead): {skipped}", file=sys.stderr)
+        names = [n for n in names if n not in skipped]
     unknown = [n for n in names if n not in queries()]
     if unknown:  # fail BEFORE minutes of measurements, not mid-run
         print(f"unknown queries: {unknown}", file=sys.stderr)
