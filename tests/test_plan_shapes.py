@@ -628,57 +628,59 @@ def test_funnel_scan_two_shuffles(spark, sf_small):
 
 def test_front_block_registration_order():
     """The driver certifies ~50 queries per round in registration order.
-    Pin the round-8 front block (never-checked new queries and the
-    stale hash twin first, then the real plan changes, then ALL 42
-    r3-era stale greens inside the front-50) so a module reshuffle
-    can't silently push a stale or never-checked query out of the
-    gate's reach (VERDICT r7 items 1-3: r8 must retire every r3-era
-    green and the dd_simhash_md5 twin leads)."""
+    Pin the round-9 front block (the 49 r4-era stale greens fill slots
+    1-49, the kernel-rewritten u6_catboost_cbm takes slot 50) so a
+    module reshuffle can't silently push a stale or plan-changed query
+    out of the gate's reach (VERDICT r8 item 1: after r9, nothing
+    stale older than r5 remains)."""
     from vtb_datafusion_2023_spark.suite import (
         _FRONT_R4,
         _FRONT_R5,
         _FRONT_R6,
         _FRONT_R7,
         _FRONT_R8,
+        _FRONT_R9,
         _UNCHECKED_TAIL,
     )
 
     names = list(QS)
-    head = _FRONT_R8 + [
+    head = _FRONT_R9 + [
         n
-        for block in (_FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
+        for block in (
+            _FRONT_R8, _FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL
+        )
         for n in block
-        if n not in _FRONT_R8
+        if n not in _FRONT_R9
     ]
     seen: set = set()
     head = [n for n in head if not (n in seen or seen.add(n))]
     assert names[: len(head)] == head
     assert len(set(names)) == len(names)
-    # the stale hash twin, the never-checked r8 additions, and the
-    # three real plan changes lead
+    # the dedup.py / checkpoint-pin code-path riders lead the r4-era walk
     lead = [
-        "dd_simhash_md5",
-        "dp_priority_sample", "dd_canonical_pick", "text_contamination_report",
-        "dp_priority_sample_per_source",
-        "pipeline_corpus_prep", "emb_gram_matrix", "sk_kmv_overlap",
-        "dp_softdedup_weights",
+        "dd_substring_dedup", "dd_segment_dedup", "dd_incremental_minhash",
+        "dd_fuzzy_pairs", "dd_pq_dedup",
+        "text_tfidf", "text_bm25", "text_decontaminate",
     ]
     assert names[: len(lead)] == lead
-    # every r3-era stale green (the 12 streaming replays, TPC-H q2-q22,
-    # the text/graph/analytics tail) sits inside the driver's ~50 budget
-    r3_era = [
-        "sql_udtf_chunking", "gr_pagerank", "an_drift_psi",
-        "text_bigram_surprisal", "gr_triangles", "text_entropy",
-        "text_stupid_backoff", "an_pattern_spans", "st_windowed_counts",
-        "st_windowed_spend", "st_stream_dedup", "st_stream_dedup_wm",
-        "sw_session_window", "st_attribution_join", "st_static_enrich",
-        "st_attribution_outer", "st_attribution_full", "st_dedup_ingest",
-        "st_dedup_ingest_md5", "st_drift_psi",
-    ] + [f"q{i}_" for i in range(2, 23)]
-    for q in r3_era:
-        if q.startswith("q") and q.endswith("_"):
-            q = next(n for n in names if n.startswith(q))
-        assert names.index(q) < 50, q
+    # ALL 49 r4-era stale greens sit inside the driver's ~50 budget and
+    # the r9 kernel rewrite takes the remaining slot
+    import json
+
+    with open("/root/repo/CORRECTNESS_r08.json") as f:
+        r8_certified = set(json.load(f))
+    front50 = names[:50]
+    assert "u6_catboost_cbm" in front50
+    # nothing already r8-certified burns a front-50 slot
+    assert not (set(front50) & r8_certified), set(front50) & r8_certified
+    # the plan-changed r8-green heads and rolled guard re-certs queue 51-57
+    assert names[50:57] == [
+        "dp_priority_sample", "dp_priority_sample_per_source",
+        "text_contamination_report",
+        "pipeline_submission", "pipeline_user_profile",
+        "a1_pivot_count", "a11_horizontal_stats",
+    ]
+    assert len(_FRONT_R9) == 49 + 1 + 3 + 4  # r4-era + u6 + plan-changed + guard
     assert len(_FRONT_R8) == 1 + 4 + 4 + 41 + 4 + 49  # twin+new+changed+r3+guard+r4
     assert len(_FRONT_R7) == 9 + 34 + 49  # changed + r2-era + r3-era
 
