@@ -223,6 +223,30 @@ def test_text_keywords_rank_and_tiebreak(spark):
     assert all(len(v) == 2 for v in got.values())
 
 
+def test_tfidf_exact_idf_collect_is_structurally_bounded(spark):
+    """The one data-dependent driver-side collection (VERDICT r8 watch
+    item): the distinct-df collect goes through limit(bound + 1), so a
+    pathological vocabulary raises with the exact_idf=False escape
+    hatch instead of pulling an unbounded table onto the driver."""
+    import pytest
+
+    from vtb_datafusion_2023_spark.operators.text import tfidf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b"),
+            (3, "a"),
+        ],  # dfs: a=3, b=2, c=1 -> 3 distinct df values
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="exact_idf=False"):
+        tfidf(docs, max_distinct_dfs=2).collect()
+    # at/above the true distinct count the exact path is unchanged
+    ok = tfidf(docs, max_distinct_dfs=3)
+    assert ok.filter("term = 'c'").select("df").first()[0] == 1
+
+
 from hypothesis import given, settings, strategies as st
 
 
