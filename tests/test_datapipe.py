@@ -2030,3 +2030,39 @@ def test_priority_sample_per_group_plans_window_group_limit(spark, sf_small):
     p = priority_sample_per_group(docs, "n_chars", k=5, group_col="source")
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_word_shingles_unigram_fast_path_matches_slice_reference(spark, sf_small):
+    """r9: word_shingles(n=1) collapses to array_distinct(split(...)) —
+    16x cheaper than the generic per-position slice+array_join build.
+    Pin string-identical output (elements AND first-occurrence order)
+    against the original slice construction on a real corpus plus the
+    edge shapes (empty text, single token, all-duplicate tokens)."""
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.dedup import word_shingles
+
+    def slice_reference(text, n):
+        toks = F.split(F.col(text), " ")
+        k = F.size(toks) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return F.array_distinct(grams)
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    edge = spark.createDataFrame(
+        [("",), ("x",), ("a b",), ("a a a",), ("b a b a c",)], "text string"
+    )
+    for frame in (docs, edge):
+        for n in (1, 2, 3):
+            bad = (
+                frame.select(
+                    word_shingles("text", n).alias("a"),
+                    slice_reference("text", n).alias("b"),
+                )
+                .filter(F.expr("a <> b or (a is null) <> (b is null)"))
+                .count()
+            )
+            assert bad == 0, f"n={n}: fast path diverges from slice reference"
