@@ -680,7 +680,8 @@ def test_front_block_registration_order():
         "pipeline_submission", "pipeline_user_profile",
         "a1_pivot_count", "a11_horizontal_stats",
     ]
-    assert len(_FRONT_R9) == 49 + 1 + 3 + 4  # r4-era + u6 + plan-changed + guard
+    # r4-era + u6 + plan-changed + guard + unigram-shingle riders
+    assert len(_FRONT_R9) == 49 + 1 + 3 + 4 + 5
     assert len(_FRONT_R8) == 1 + 4 + 4 + 41 + 4 + 49  # twin+new+changed+r3+guard+r4
     assert len(_FRONT_R7) == 9 + 34 + 49  # changed + r2-era + r3-era
 

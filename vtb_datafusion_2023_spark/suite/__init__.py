@@ -345,6 +345,11 @@ _FRONT_R8 = [
 #    driver stops at 50.
 # 3. Slots 54-57: the four guard-hardening re-certs that rolled from
 #    r8 (all r7-green, bitwise-pinned by the branch-C differentials).
+# 4. Slots 58-62: the five heads riding the r9 unigram-shingle fast
+#    path (word_shingles n=1 -> array_distinct; string-identical by
+#    differential pin test, all five oracle-PASS at sf0.01 after the
+#    change).  They roll to r10, where they lead the rotation as
+#    changed-code-path re-certs.
 _FRONT_R9 = [
     # -- newest green is r4; dedup.py code path changed since (PPJoin) --
     "dd_substring_dedup", "dd_segment_dedup", "dd_incremental_minhash",
@@ -374,6 +379,10 @@ _FRONT_R9 = [
     # -- guard-hardening re-certs rolled from r8 (r7-green, pinned) --
     "pipeline_submission", "pipeline_user_profile",
     "a1_pivot_count", "a11_horizontal_stats",
+    # -- unigram-shingle fast-path riders (plan changed r9; pinned +
+    #    locally oracle-green; lead the r10 rotation) --
+    "dd_ngram_jaccard", "dd_containment", "dd_dedup_clusters",
+    "dd_canonical_pick", "dp_softdedup_weights",
 ]
 
 # Round-5 front block (75 names; the driver certified the first 50 —
