@@ -1905,6 +1905,68 @@ def test_priority_sample_small_input_keeps_all_with_w_hat_equal_w(spark):
     assert all(float(r.w_hat) == float(r.w) for r in out)
 
 
+def test_priority_sample_nan_weights_match_window_formulation(spark):
+    """NaN weights: Spark orders NaN GREATER than any double (first
+    under DESC) and `greatest` propagates it.  The driver-side tau
+    epilogue must reproduce the replaced unpartitioned-window plan
+    bit-for-bit — including deterministic NaN ranking (Python's native
+    sort on NaN keys is order-dependent, which is exactly the bug this
+    pins against)."""
+    import math
+
+    from vtb_datafusion_2023_spark.operators.filtering import priority_sample
+
+    k = 3
+    df = spark.createDataFrame(
+        [
+            (1, float("nan")),
+            (2, 100.0),
+            (3, None),
+            (4, 7.0),
+            (5, 9000.0),
+            (6, float("nan")),
+        ],
+        "doc_id long, w double",
+    )
+    df.createOrReplaceTempView("ps_nan_input")
+    # The pre-epilogue window formulation, verbatim Spark semantics.
+    expect_rows = spark.sql(
+        f"""
+        WITH q AS (
+          SELECT doc_id, w,
+                 w * 4294967296.0 /
+                 (CAST(conv(substring(md5(concat(CAST(doc_id AS string), ':ps')), 1, 8),
+                            16, 10) AS bigint) + 1) AS _q
+          FROM ps_nan_input
+        ),
+        top AS (SELECT * FROM q ORDER BY _q DESC, doc_id ASC LIMIT {k + 1}),
+        t AS (
+          SELECT *,
+                 CASE WHEN count(*) OVER () = {k + 1}
+                      THEN min(_q) OVER () ELSE 0.0 END AS tau,
+                 row_number() OVER (ORDER BY _q DESC, doc_id ASC) AS rn
+          FROM top
+        )
+        SELECT doc_id, w, greatest(CAST(w AS double), tau) AS w_hat
+        FROM t WHERE rn <= {k}
+        """
+    ).collect()
+    got_rows = priority_sample(df, "w", k=k, id_col="doc_id", salt="ps").collect()
+
+    def key(rs):
+        return {
+            r.doc_id: tuple(
+                "nan" if isinstance(v, float) and math.isnan(v) else v
+                for v in (r.w, r.w_hat)
+            )
+            for r in rs
+        }
+
+    assert key(got_rows) == key(expect_rows)
+    # Both NaN-weight rows must be in the sample (NaN outranks 9000.0).
+    assert {1, 6} <= set(key(got_rows))
+
+
 def test_priority_sample_partition_invariant(spark, sf_small):
     """The sample is a pure function of (id, weight, salt): any
     repartitioning yields the identical (id, w, w_hat) set."""

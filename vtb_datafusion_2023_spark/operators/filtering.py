@@ -331,6 +331,12 @@ def priority_sample(
     NULL handling: a NULL weight (or id) makes the priority NULL,
     which sorts last under DESC in both engines — such rows are
     effectively never sampled; filter upstream if they should compete.
+    NaN handling: a NaN weight makes the priority NaN, which Spark
+    orders GREATER than any double (first under DESC) and which
+    ``greatest`` propagates — the epilogue mirrors that total order
+    explicitly (NaN > +inf > ... > NULL-last), so NaN weights are
+    deterministic winners with ``w_hat = NaN``, exactly as the window
+    formulation computed them.
 
     Scale shape: ``orderBy(q).limit(k+1)`` plans as
     TakeOrderedAndProject — a size-(k+1) heap per partition, then a
@@ -365,19 +371,39 @@ def priority_sample(
     # `max(w, tau)` == `greatest` on non-null doubles, and the
     # (q desc, id asc) comparator matches Spark/DuckDB ordering (NULL
     # priorities sort last under DESC in both; here None -> -inf).
+    # Spark orders NaN GREATER than any double and `min`/`greatest`
+    # honor that same total order, so the epilogue ranks (NaN, finite
+    # desc, NULL) explicitly rather than letting Python's
+    # NaN-poisoned comparisons produce an order-dependent sort.
     # Bitwise-pinned by test_priority_sample_matches_numpy_reference.
+    def _desc_rank(q):  # smaller tuple = earlier under (q DESC, id ASC)
+        if q is None:
+            return (2, 0.0)  # NULL last under DESC
+        if q != q:
+            return (0, 0.0)  # NaN first: NaN > +inf in Spark's order
+        return (1, -q)
+
     rows = top.collect()
-    rows.sort(key=lambda r: ((-(r["_q"]) if r["_q"] is not None else float("inf")), r[id_col]))
+    rows.sort(key=lambda r: (_desc_rank(r["_q"]), r[id_col]))
     tau = 0.0
     if len(rows) == k + 1:
-        # SQL `min(_q)` ignores NULLs and is NULL only when all inputs are
+        # SQL `min(_q)` ignores NULLs; NaN is greater than any double,
+        # so it is the min only when every non-null input is NaN.
         qs = [r["_q"] for r in rows if r["_q"] is not None]
-        tau = min(qs) if qs else None
+        finite_or_inf = [v for v in qs if v == v]
+        tau = min(finite_or_inf) if finite_or_inf else (float("nan") if qs else None)
     out = []
     for r in rows[:k]:
-        # mirrors `greatest(w.cast("double"), tau)`: cast-then-max, null-skipping
+        # mirrors `greatest(w.cast("double"), tau)`: cast-then-max,
+        # null-skipping, NaN-propagating (NaN is the greatest double)
         cand = [v for v in (None if r["w"] is None else float(r["w"]), tau) if v is not None]
-        out.append((r[id_col], r["w"], max(cand) if cand else None))
+        if not cand:
+            w_hat = None
+        elif any(v != v for v in cand):
+            w_hat = float("nan")
+        else:
+            w_hat = max(cand)
+        out.append((r[id_col], r["w"], w_hat))
     spark = df.sparkSession
     schema = T.StructType(
         [

@@ -322,7 +322,7 @@ _FRONT_R8 = [
     "j2_j5_feature_assembly",
 ]
 
-# Round-9 front block (57 names; the driver certifies the first ~50).
+# Round-9 front block (62 names; the driver certifies the first ~50).
 # Goal (VERDICT r8 item 1): close the certification walk — the 49
 # queries whose newest green is r4-era all land INSIDE the front-50,
 # so after r9 nothing stale older than r5 remains.  Order:
