@@ -628,11 +628,12 @@ def test_funnel_scan_two_shuffles(spark, sf_small):
 
 def test_front_block_registration_order():
     """The driver certifies ~50 queries per round in registration order.
-    Pin the round-9 front block (the 49 r4-era stale greens fill slots
-    1-49, the kernel-rewritten u6_catboost_cbm takes slot 50) so a
-    module reshuffle can't silently push a stale or plan-changed query
-    out of the gate's reach (VERDICT r8 item 1: after r9, nothing
-    stale older than r5 remains)."""
+    Pin the round-10 front block (the 5 unigram-shingle riders lead,
+    the NaN-fixed tau epilogue + 4 rolled guard re-certs follow, and
+    ALL 40 r5-era stale greens fill the rest of the front-50 exactly)
+    so a module reshuffle can't silently push a stale or plan-changed
+    query out of the gate's reach (goal: after r10, nothing stale
+    older than r6 remains)."""
     from vtb_datafusion_2023_spark.suite import (
         _FRONT_R4,
         _FRONT_R5,
@@ -640,47 +641,58 @@ def test_front_block_registration_order():
         _FRONT_R7,
         _FRONT_R8,
         _FRONT_R9,
+        _FRONT_R10,
         _UNCHECKED_TAIL,
     )
 
     names = list(QS)
-    head = _FRONT_R9 + [
+    head = _FRONT_R10 + [
         n
         for block in (
-            _FRONT_R8, _FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL
+            _FRONT_R9, _FRONT_R8, _FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4,
+            _UNCHECKED_TAIL
         )
         for n in block
-        if n not in _FRONT_R9
+        if n not in _FRONT_R10
     ]
     seen: set = set()
     head = [n for n in head if not (n in seen or seen.add(n))]
     assert names[: len(head)] == head
     assert len(set(names)) == len(names)
-    # the dedup.py / checkpoint-pin code-path riders lead the r4-era walk
+    # the unigram-shingle riders lead, then the NaN-fixed epilogue head
     lead = [
-        "dd_substring_dedup", "dd_segment_dedup", "dd_incremental_minhash",
-        "dd_fuzzy_pairs", "dd_pq_dedup",
-        "text_tfidf", "text_bm25", "text_decontaminate",
+        "dd_ngram_jaccard", "dd_containment", "dd_dedup_clusters",
+        "dd_canonical_pick", "dp_softdedup_weights",
+        "dp_priority_sample",
     ]
     assert names[: len(lead)] == lead
-    # ALL 49 r4-era stale greens sit inside the driver's ~50 budget and
-    # the r9 kernel rewrite takes the remaining slot
+    # ALL 40 r5-era stale greens sit inside the driver's ~50 budget:
+    # newest green per query across CORRECTNESS_r01-r09, r5-era subset
+    import glob
     import json
 
-    with open("/root/repo/CORRECTNESS_r08.json") as f:
-        r8_certified = set(json.load(f))
-    front50 = names[:50]
-    assert "u6_catboost_cbm" in front50
-    # nothing already r8-certified burns a front-50 slot
-    assert not (set(front50) & r8_certified), set(front50) & r8_certified
-    # the plan-changed r8-green heads and rolled guard re-certs queue 51-57
-    assert names[50:57] == [
-        "dp_priority_sample", "dp_priority_sample_per_source",
-        "text_contamination_report",
-        "pipeline_submission", "pipeline_user_profile",
-        "a1_pivot_count", "a11_horizontal_stats",
+    newest: dict = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        with open(path) as f:
+            for q, v in json.load(f).items():
+                ok = v.get("hash_match") or (
+                    v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+                )
+                if ok:
+                    newest[q] = rnd
+    r5_era = {q for q, rnd in newest.items() if rnd == 5}
+    front50 = set(names[:50])
+    assert r5_era <= front50, r5_era - front50
+    # nothing already fresh (r9-certified) burns a front-50 slot
+    r9_certified = {q for q, rnd in newest.items() if rnd == 9}
+    assert not (front50 & r9_certified), front50 & r9_certified
+    # the two r8-green roll candidates queue at 51-52
+    assert names[50:52] == [
+        "dp_priority_sample_per_source", "text_contamination_report",
     ]
-    # r4-era + u6 + plan-changed + guard + unigram-shingle riders
+    # riders + epilogue + guard + r5-era + roll candidates
+    assert len(_FRONT_R10) == 5 + 1 + 4 + 40 + 2
     assert len(_FRONT_R9) == 49 + 1 + 3 + 4 + 5
     assert len(_FRONT_R8) == 1 + 4 + 4 + 41 + 4 + 49  # twin+new+changed+r3+guard+r4
     assert len(_FRONT_R7) == 9 + 34 + 49  # changed + r2-era + r3-era

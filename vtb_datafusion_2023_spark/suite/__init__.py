@@ -350,6 +350,63 @@ _FRONT_R8 = [
 #    differential pin test, all five oracle-PASS at sf0.01 after the
 #    change).  They roll to r10, where they lead the rotation as
 #    changed-code-path re-certs.
+# Round-10 front block (52 names; the driver certifies the first ~50).
+# Goal: continue the freshness walk — after r9 every registered query
+# holds an r5-or-newer green (histogram r5:40 r6:44 r7:48 r8:50 r9:50);
+# this round re-certifies ALL 40 r5-era names plus every changed code
+# path, so after r10 nothing staler than r6 remains.  Order:
+#
+# 0. Slots 1-5: the five unigram-shingle fast-path riders queued from
+#    r9 (word_shingles n=1 -> array_distinct landed r9 AFTER their
+#    newest greens; string-identical by differential pin, all five
+#    locally oracle-green) — changed-code-path re-certs lead.
+# 1. Slot 6: dp_priority_sample — its driver-side tau epilogue gained
+#    the NaN-explicit total order this round (r9 ADVICE); oracle
+#    re-verified at sf0.01 this session, window-formulation NaN pin
+#    test added.
+# 2. Slots 7-10: the four guard-hardening re-certs that rolled through
+#    r8 AND r9 (all r7-green, bitwise-pinned by the branch-C
+#    differential tests).
+# 3. Slots 11-50: ALL 40 r5-era stale greens, shared-code-path risk
+#    first: ml_kmeans (Arrow-GEMM assignment rewritten r6),
+#    agg_incremental_quantiles (checkpoint-family GC findings), the
+#    fused-cleaner family, the stats-fusion and TF-IDF-idiom
+#    adjacencies, then the stable tail (trivial pivots last — no drift
+#    surface).
+# 4. Slots 51-52: the two r8-green heads with the freshest evidence
+#    (dp_priority_sample_per_source re-verified vs the oracle this
+#    session; text_contamination_report re-verified r9) — they roll to
+#    r11 at r8 freshness if the driver stops at 50.
+_FRONT_R10 = [
+    # -- unigram-shingle fast-path riders (plan changed r9; pinned) --
+    "dd_ngram_jaccard", "dd_containment", "dd_dedup_clusters",
+    "dd_canonical_pick", "dp_softdedup_weights",
+    # -- tau epilogue NaN fix this round (r9 ADVICE) --
+    "dp_priority_sample",
+    # -- guard-hardening re-certs rolled from r8/r9 (r7-green, pinned) --
+    "pipeline_submission", "pipeline_user_profile",
+    "a1_pivot_count", "a11_horizontal_stats",
+    # -- newest green is r5; changed/adjacent code paths first --
+    "ml_kmeans", "agg_incremental_quantiles",
+    "clean_transactions_composed", "a7_group_percentiles",
+    "a8_winsorize", "a9_rare_rewrite", "an_funnel",
+    "f4_positional_trim", "a10_vertical_stats", "text_keywords",
+    "text_pmi", "emb_drift_means",
+    # -- newest green is r5; stable paths --
+    "an_gap_histogram", "an_markov_transitions", "an_ohlc_bars",
+    "an_rfm_segments", "an_sessionize", "dp_cluster_sample",
+    "dp_dataset_card", "dp_interleave_sources", "dp_negative_sample",
+    "dp_url_dedup", "gj_proximity_pairs", "gr_label_propagation",
+    "mm_frame_sample", "p_variant_extract", "sink_orc_jsonl_roundtrip",
+    "sk_kmv_distinct", "so3_md5_sample", "tbl_zorder_roundtrip",
+    "text_hash_classifier", "a12_a13_row_normalize", "a15_ensemble_mean",
+    "a16_roc_auc", "agg_cube_source_lang", "a2_pivot_count_dom",
+    "a3_pivot_count_dow", "a4_pivot_count_hour", "a5_pivot_sum",
+    "a6_pivot_sum_debit_credit",
+    # -- r8-green, locally oracle-verified r9/r10; roll candidates --
+    "dp_priority_sample_per_source", "text_contamination_report",
+]
+
 _FRONT_R9 = [
     # -- newest green is r4; dedup.py code path changed since (PPJoin) --
     "dd_substring_dedup", "dd_segment_dedup", "dd_incremental_minhash",
@@ -491,11 +548,11 @@ def _load_all() -> None:
     from . import submission_e2e  # noqa: F401
     from . import ml  # noqa: F401
 
-    head = _FRONT_R9 + [
+    head = _FRONT_R10 + [
         n
-        for block in (_FRONT_R8, _FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
+        for block in (_FRONT_R9, _FRONT_R8, _FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
         for n in block
-        if n not in _FRONT_R9
+        if n not in _FRONT_R10
     ]
     seen: set[str] = set()
     head = [n for n in head if not (n in seen or seen.add(n))]
