@@ -632,12 +632,30 @@ def unigram_logprob(
         .localCheckpoint(eager=False)
     )
     vocab = counts.filter(F.col("cnt") >= min_count)
-    total = int(counts.agg(F.sum("cnt").alias("t")).collect()[0]["t"])
+    # ONE build-time job for both driver-side inputs: the corpus total
+    # and (on the exact-log path) the distinct vocab count values —
+    # collect_set skips the when()-nulled sub-min_count rows and the
+    # slice bounds the transfer to guard + 1 values, so the guard
+    # semantics match _distinct_ints_under_guard exactly.
+    guard = EXACT_LN_GUARD if exact_log is None else _NO_GUARD
+    aggs = [F.sum("cnt").alias("t")]
+    if exact_log is None or exact_log:
+        aggs.append(
+            F.slice(
+                F.array_sort(
+                    F.collect_set(F.when(F.col("cnt") >= min_count, F.col("cnt")))
+                ),
+                1,
+                guard + 1,
+            ).alias("vals")
+        )
+    row = counts.agg(*aggs).collect()[0]
+    total = int(row["t"])
     cnt_values = None
     if exact_log is None or exact_log:
-        cnt_values = _distinct_ints_under_guard(
-            vocab, "cnt", EXACT_LN_GUARD if exact_log is None else _NO_GUARD
-        )
+        vals = row["vals"] or []
+        if len(vals) <= guard:
+            cnt_values = sorted(int(v) for v in vals)
     ln_oov = math.log(oov_weight / total)
     scored = pos.join(vocab, "term", "left")
     if cnt_values is not None:
@@ -769,15 +787,38 @@ def bigram_logprob(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    cw = cb.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("ctx"))
+    # cw feeds the ctx-value collect AND the scoring join — pin it so
+    # the cb -> cw aggregation runs once (the ctx collect materializes
+    # the pinned blocks; the join reads them)
+    cw = (
+        cb.groupBy("w1")
+        .agg(F.sum("cnt").cast("bigint").alias("ctx"))
+        .localCheckpoint(eager=False)
+    )
     vocab = cb.filter(F.col("cnt") >= min_count)
-    total = int(cb.agg(F.sum("cnt")).collect()[0][0])
+    guard = EXACT_LN_GUARD if exact_log is None else _NO_GUARD
+    # ONE job over the pinned cb for total + distinct vocab cnt values
+    # (same merged-collect idiom as unigram_logprob)
+    aggs = [F.sum("cnt").alias("t")]
+    if exact_log is None or exact_log:
+        aggs.append(
+            F.slice(
+                F.array_sort(
+                    F.collect_set(F.when(F.col("cnt") >= min_count, F.col("cnt")))
+                ),
+                1,
+                guard + 1,
+            ).alias("vals")
+        )
+    row = cb.agg(*aggs).collect()[0]
+    total = int(row["t"])
     ln_oov = math.log(oov_weight) - math.log(total)
     spark = df.sparkSession
     cnt_vals = ctx_vals = None
     if exact_log is None or exact_log:
-        guard = EXACT_LN_GUARD if exact_log is None else _NO_GUARD
-        cnt_vals = _distinct_ints_under_guard(vocab, "cnt", guard)
+        vals = row["vals"] or []
+        if len(vals) <= guard:
+            cnt_vals = sorted(int(v) for v in vals)
         ctx_vals = _distinct_ints_under_guard(cw, "ctx", guard) if cnt_vals is not None else None
     scored = big.join(cw, "w1").join(vocab, ["w1", "w2"], "left")
     if cnt_vals is not None and ctx_vals is not None:
