@@ -2128,3 +2128,109 @@ def test_word_shingles_unigram_fast_path_matches_slice_reference(spark, sf_small
                 .count()
             )
             assert bad == 0, f"n={n}: fast path diverges from slice reference"
+
+
+def test_lag_autocorr_matches_pandas(spark, sf_small):
+    """Per-user lag-1 autocorrelation must match pandas Series.autocorr
+    on the identically-ordered series (float tolerance: pandas uses raw
+    double moments, the engine uses exact decimal sums)."""
+    import math
+
+    import pandas as pd
+    from vtb_datafusion_2023_spark.operators.analytics import lag_autocorr
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    events = T(spark, sf_small, "events")
+    got = {
+        r.user_id: (r.n_pairs, r.autocorr)
+        for r in lag_autocorr(events, "value", "user_id", ("ts", "event_id")).collect()
+    }
+    pdf = events.select("user_id", "ts", "event_id", "value").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    checked = 0
+    for uid, g in pdf.groupby("user_id"):
+        s = g["value"].reset_index(drop=True)
+        if len(s) < 2:
+            assert uid not in got
+            continue
+        expect = s.autocorr(lag=1)
+        n_pairs, r = got[uid]
+        assert n_pairs == len(s) - 1
+        if math.isnan(expect):
+            assert r is None
+        else:
+            assert r is not None and abs(r - expect) < 1e-9, (uid, r, expect)
+        checked += 1
+    assert checked > 10
+
+
+def test_lag_autocorr_single_exchange(spark, sf_small):
+    """The lag window and the per-user aggregate share one user_id hash
+    partitioning — exactly one exchange, no Python workers."""
+    from vtb_datafusion_2023_spark.operators.analytics import lag_autocorr
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    events = T(spark, sf_small, "events")
+    p = lag_autocorr(events, "value", "user_id", ("ts", "event_id"))._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p
+
+
+def test_lag_autocorr_constant_series_is_null(spark):
+    from vtb_datafusion_2023_spark.operators.analytics import lag_autocorr
+
+    df = spark.createDataFrame(
+        [(1, i, i, 5.0) for i in range(6)] + [(2, i, i, float(i)) for i in range(6)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    rows = {r.user_id: r for r in lag_autocorr(df, "value", "user_id", ("ts", "event_id")).collect()}
+    assert rows[1].autocorr is None  # zero variance -> NULL (pandas: NaN)
+    assert abs(rows[2].autocorr - 1.0) < 1e-12  # perfectly linear -> r = 1
+
+
+def test_split_sentences_hand_cases(spark):
+    """Terminator stays attached; indices enumerate before the empty
+    filter; docs without boundaries come back whole."""
+    from vtb_datafusion_2023_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta. gamma delta! eps"),
+            (2, "no boundary here"),
+            (3, "tail punct."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.sent_idx): r.sentence
+        for r in split_sentences(df).collect()
+    }
+    assert got == {
+        (1, 0): "alpha beta.",
+        (1, 1): "gamma delta!",
+        (1, 2): "eps",
+        (2, 0): "no boundary here",
+        (3, 0): "tail punct.",
+    }
+
+
+def test_mrl_truncate_matches_numpy(spark, sf_small):
+    """Unit norm, correct prefix values, and fidelity = ||x16||/||x||
+    against a literal numpy re-derivation (same left-fold order)."""
+    import numpy as np
+    from vtb_datafusion_2023_spark.operators.similarity import mrl_truncate
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    emb = T(spark, sf_small, "embeddings").limit(50)
+    rows = emb.collect()
+    got = {r.vec_id: (list(r.unit_vec), r.fidelity) for r in mrl_truncate(emb, 16).collect()}
+    for r in rows:
+        x = np.array(r.embedding, dtype=np.float64)
+        # left-fold in declared order == np cumulative add for these sizes
+        n16 = np.sqrt(np.add.reduce(x[:16] * x[:16]))
+        nfull = np.sqrt(np.add.reduce(x * x))
+        unit, fid = got[r.vec_id]
+        assert np.allclose(unit, x[:16] / n16, rtol=0, atol=1e-12)
+        assert abs(fid - n16 / nfull) < 1e-12
+        assert abs(np.linalg.norm(unit) - 1.0) < 1e-9

@@ -940,3 +940,46 @@ def gap_histogram(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def lag_autocorr(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+    lag: int = 1,
+) -> DataFrame:
+    """Per-key lag-``lag`` autocorrelation of a value series: Pearson r
+    over the (x_{t-lag}, x_t) pairs ordered by ``order_cols`` — the
+    standard burstiness / momentum screen over per-entity time series
+    (a high |r| flags autocorrelated spend or machine-generated event
+    streams; extends the reference's per-user temporal aggregations,
+    /root/reference/run.py:335-430, with a second-order statistic).
+
+    Determinism: the correlation is computed from exact decimal moment
+    sums via :func:`sqlgen.corr_from_pairs` (one shared scalar fragment
+    in both engines) — order-insensitive, partitioning-independent,
+    bitwise cross-engine.  NULL when the series is constant (0 variance,
+    pandas ``autocorr`` would give NaN) or has < 2 pairs worth of
+    variation.
+
+    Scale shape: ONE hash exchange on ``key_col`` — the lag window
+    partitions by key, and the per-key aggregate reuses the same
+    partitioning (no second exchange).  Keys with <= ``lag`` events
+    produce no pairs and drop out, like pandas ``Series.autocorr`` on a
+    too-short series.
+    """
+    from .. import sqlgen
+
+    if lag < 1:
+        raise ValueError(f"lag_autocorr: lag must be >= 1, got {lag}")
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        df.select(key_col, *order_cols, F.col(value_col).alias("_y"))
+        .withColumn("_x", F.lag("_y", lag).over(w))
+        .filter(F.col("_x").isNotNull())
+    )
+    return pairs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr(sqlgen.corr_from_pairs("_x", "_y")).alias("autocorr"),
+    )

@@ -1264,3 +1264,34 @@ def embedding_drift(
     return a.join(b, "i").select(
         "i", "mean_a", "mean_b", (F.col("mean_a") - F.col("mean_b")).alias("delta")
     )
+
+
+def mrl_truncate(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    out_col: str = "unit_vec",
+) -> DataFrame:
+    """Matryoshka (MRL) truncation: keep the first ``dims`` dimensions
+    and re-unit-normalize — the storage/recall dial for
+    Matryoshka-trained embedding corpora (Kusupati et al. 2022), where
+    prefixes of the vector are themselves valid lower-dim embeddings.
+
+    Also emits ``fidelity`` = ||x[:dims]|| / ||x|| — algebraically the
+    cosine between the truncated-unit and full-unit vectors, i.e. how
+    much of the embedding's mass the prefix retains (the per-vector
+    quality signal for choosing ``dims``).
+
+    Composition of existing deterministic kernels: slice + the
+    :func:`l2_normalize` left-fold norm — JVM-side array expressions,
+    shuffle-free, bitwise cross-engine.  Zero prefixes yield NaN
+    components (same contract as :func:`l2_normalize`).
+    """
+    if dims < 1:
+        raise ValueError(f"mrl_truncate: dims must be >= 1, got {dims}")
+    prefix = F.slice(F.col(vec_col), 1, dims)
+    n_trunc = norm(prefix)
+    n_full = norm(F.col(vec_col))
+    return df.withColumn(
+        out_col, F.transform(prefix, lambda x: x.cast("double") / n_trunc)
+    ).withColumn("fidelity", n_trunc / n_full)

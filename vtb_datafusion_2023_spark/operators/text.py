@@ -1279,3 +1279,33 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dupes"),
         )
     )
+
+
+_SENT_SEP = "\u0001"  # boundary marker: never occurs in document text
+
+
+def split_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation: split after ``[.!?]`` followed by a space —
+    the unit-of-text primitive under chunkers, decontamination spans,
+    and sentence-level dedup.
+
+    RE2-safe boundary detection (portable to engines without lookbehind):
+    the boundary is REWRITTEN to a control character (``punct + ' '`` ->
+    ``punct + \\x01``) and the string is split on it, which keeps the
+    terminator attached to its sentence.  Non-overlapping leftmost regex
+    scan + full-materialize-between-passes semantics are identical in
+    Java regex and RE2, so the segmentation is bitwise cross-engine.
+
+    Shuffle-free: regexp_replace + split + posexplode, all inside
+    whole-stage codegen; output order is inherited from the scan.
+    Returns ``(id_col, sent_idx, sentence)`` with 0-based ``sent_idx``
+    enumerated BEFORE the empty-segment filter (index gaps mark dropped
+    empties identically in both engines).
+    """
+    marked = F.regexp_replace(F.col(text_col), r"([.!?]) ", "$1" + _SENT_SEP)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, _SENT_SEP)).alias("sent_idx", "sentence"),
+    ).filter(F.length("sentence") > 0)

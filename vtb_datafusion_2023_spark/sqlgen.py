@@ -220,6 +220,50 @@ def moment_stats(
     ]
 
 
+def dprod_sum(
+    x: str, y: str, alias: str | None = None, in_prec: int = 12, in_scale: int = 2
+) -> str:
+    """Exact decimal cross-moment sum ``sum(x * y)`` -> double.
+
+    Same idiom as ``moment_stats``'s powers: each factor is cast once to
+    ``decimal(in_prec, in_scale)`` (exact while ulp(x) << 10^-in_scale),
+    the product is widened explicitly to ``decimal(25, 2*in_scale)`` (a
+    no-op in Spark's precision propagation, an int128 upcast for DuckDB),
+    and the sum converts through :func:`dec_to_double` — pure integer
+    arithmetic, bitwise identical in both engines and order-insensitive
+    at any partitioning."""
+    qx = f"cast(({x}) as decimal({in_prec},{in_scale}))"
+    qy = f"cast(({y}) as decimal({in_prec},{in_scale}))"
+    p = f"cast({qx} * {qy} as decimal(25,{2 * in_scale}))"
+    e = dec_to_double(f"sum({p})")
+    return f"{e} as {alias}" if alias else e
+
+
+def corr_from_pairs(x: str, y: str, in_prec: int = 12, in_scale: int = 2) -> str:
+    """Pearson correlation of non-null (x, y) pairs from exact decimal
+    moment sums — one scalar fragment, textually identical in both
+    engines, so every IEEE op matches bitwise.
+
+    ``r = (Sxy - Sx*Sy/n) / (sqrt(Sxx - Sx^2/n) * sqrt(Syy - Sy^2/n))``
+    with the two variance terms case-clamped at 0 (cancellation can go
+    a hair negative and engines disagree on sqrt(<0)) and the
+    denominator nullif-guarded (constant series => NULL, like pandas).
+    Callers must pre-filter rows so both columns are non-null — count()
+    is used as the pair count."""
+    n = f"count({x})"
+    sx = dec_to_double(f"sum(cast(({x}) as decimal({in_prec},{in_scale})))")
+    sy = dec_to_double(f"sum(cast(({y}) as decimal({in_prec},{in_scale})))")
+    sxy = dprod_sum(x, y, in_prec=in_prec, in_scale=in_scale)
+    sxx = dprod_sum(x, x, in_prec=in_prec, in_scale=in_scale)
+    syy = dprod_sum(y, y, in_prec=in_prec, in_scale=in_scale)
+    cov = f"({sxy} - {sx} * {sy} / {n})"
+    vx = f"({sxx} - {sx} * {sx} / {n})"
+    vy = f"({syy} - {sy} * {sy} / {n})"
+    vxc = f"(case when {vx} < 0 then 0.0 else {vx} end)"
+    vyc = f"(case when {vy} < 0 then 0.0 else {vy} end)"
+    return f"({cov} / nullif(sqrt({vxc}) * sqrt({vyc}), 0))"
+
+
 def wcumsum(x: str, partition: str, order: str) -> str:
     """Deterministic running sum (W1): decimal window sum cast to double."""
     return dec_to_double(

@@ -4613,3 +4613,124 @@ def dp_softdedup_weights(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
     return softdedup_weights(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: second-order series stats, sentence segmentation,
+# Matryoshka truncation.
+
+
+@register(
+    "an_autocorr",
+    oracle=f"""
+with p as (
+  select user_id, value as _y,
+         lag(value, 1) over (partition by user_id order by ts, event_id) as _x
+  from events
+)
+select user_id, cast(count(*) as bigint) as n_pairs,
+       {sqlgen.corr_from_pairs("_x", "_y")} as autocorr
+from p where _x is not null
+group by user_id
+""",
+    survey_ref="an-autocorr",
+    doc="per-user lag-1 autocorrelation of event values (Pearson r over "
+    "consecutive pairs ordered by ts, event_id) — the burstiness / "
+    "machine-generated-stream screen.  Exact decimal moment sums "
+    "(sqlgen.corr_from_pairs) => bitwise cross-engine; ONE exchange "
+    "(the lag window and the per-user aggregate share the user_id "
+    "partitioning).",
+)
+def an_autocorr(spark, sf_dir):
+    from ..operators.analytics import lag_autocorr
+
+    events = T(spark, sf_dir, "events")
+    out = lag_autocorr(events, "value", "user_id", ("ts", "event_id"), lag=1)
+    return out.select(
+        "user_id", F.col("n_pairs").cast("bigint").alias("n_pairs"), "autocorr"
+    )
+
+
+@register(
+    "text_sentence_split",
+    oracle=r"""
+with s as (
+  select doc_id,
+    regexp_replace(
+      regexp_replace(text,
+        '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ', '\1. ', 'g'),
+      '([.!?]) ', '\1' || chr(1), 'g') as m
+  from documents
+),
+u as (select doc_id,
+             unnest(string_split(m, chr(1))) as sentence,
+             generate_subscripts(string_split(m, chr(1)), 1) as i
+      from s)
+select doc_id, cast(i - 1 as int) as sent_idx, sentence,
+       cast(length(sentence) as bigint) as n_chars_sent
+from u where length(sentence) > 0
+""",
+    survey_ref="text-sentence-split",
+    doc="sentence segmentation (split after [.!?] + space, terminator "
+    "kept) over docs sentencified by injecting a period every 4 words — "
+    "the unit-of-text primitive under chunkers / decontamination spans / "
+    "sentence dedup.  RE2-safe control-char boundary rewrite (no "
+    "lookbehind), shuffle-free codegen explode.",
+)
+def text_sentence_split(spark, sf_dir):
+    from ..operators.text import split_sentences
+
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            "text", r"([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. "
+        ),
+    )
+    return split_sentences(docs).select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+        F.length("sentence").cast("bigint").alias("n_chars_sent"),
+    )
+
+
+_MRL_DIMS = 16
+
+_MRL_NRM = (
+    "sqrt(list_reduce(list_transform(range(1, len({v}) + 1), "
+    "i -> cast({v}[i] as double) * cast({v}[i] as double)), "
+    "(a, b) -> a + b))"
+)
+
+
+@register(
+    "emb_mrl_truncate",
+    oracle=f"""
+with t as (select vec_id, embedding, embedding[1:{_MRL_DIMS}] as e
+           from embeddings),
+n as (select vec_id, e,
+             {_MRL_NRM.format(v="e")} as nrm,
+             {_MRL_NRM.format(v="embedding")} as nrm_full
+      from t),
+u as (select vec_id, e, nrm, nrm / nrm_full as fidelity,
+             unnest(range(1, len(e) + 1)) as i
+      from n)
+select vec_id, cast(i - 1 as int) as pos,
+       (cast(e[i] as double) / nrm) as val,
+       fidelity
+from u
+""",
+    survey_ref="emb-mrl-truncate",
+    doc="Matryoshka truncation: keep the first 16 of 32 dims and "
+    "re-unit-normalize (the MRL storage/recall dial), plus fidelity = "
+    "||x[:16]||/||x|| (cosine of truncated-unit vs full-unit vector). "
+    "Slice + the l2_normalize left-fold kernels — shuffle-free, bitwise.",
+)
+def emb_mrl_truncate(spark, sf_dir):
+    from ..operators.similarity import mrl_truncate
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = mrl_truncate(emb, dims=_MRL_DIMS)
+    return out.select(
+        "vec_id", F.posexplode("unit_vec").alias("pos", "val"), "fidelity"
+    )
