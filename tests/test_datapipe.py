@@ -2234,3 +2234,62 @@ def test_mrl_truncate_matches_numpy(spark, sf_small):
         assert np.allclose(unit, x[:16] / n16, rtol=0, atol=1e-12)
         assert abs(fid - n16 / nfull) < 1e-12
         assert abs(np.linalg.norm(unit) - 1.0) < 1e-9
+
+
+def test_trend_slope_matches_numpy_polyfit(spark, sf_small):
+    """Per-user OLS slope/intercept must match numpy lstsq on the same
+    (whole-hour, value) pairs (float tolerance: numpy uses raw double
+    moments, the engine exact decimal sums)."""
+    import numpy as np
+    from vtb_datafusion_2023_spark.operators.analytics import trend_slope
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    events = T(spark, sf_small, "events")
+    got = {
+        r.user_id: (r.n_events, r.slope_per_hour, r.intercept)
+        for r in trend_slope(events, "value", "user_id", "ts", 1704067200).collect()
+    }
+    pdf = events.select("user_id", "ts", "value").toPandas()
+    pdf["x"] = ((pdf["ts"].astype("int64") // 10**9 - 1704067200) // 3600).astype(float)
+    checked = 0
+    for uid, g in pdf.groupby("user_id"):
+        n, slope, icept = got[uid]
+        assert n == len(g)
+        x, y = g["x"].to_numpy(), g["value"].to_numpy()
+        if np.ptp(x) == 0:
+            assert slope is None and icept is None
+            continue
+        m, b = np.polyfit(x, y, 1)
+        assert abs(slope - m) < 1e-7 and abs(icept - b) < 1e-6, (uid, slope, m)
+        checked += 1
+    assert checked > 10
+
+
+def test_trend_slope_single_aggregate_no_window(spark, sf_small):
+    from vtb_datafusion_2023_spark.operators.analytics import trend_slope
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    events = T(spark, sf_small, "events")
+    p = trend_slope(events)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+    assert "Window" not in p and "SortMergeJoin" not in p
+
+
+def test_sentence_dedup_hand_cases(spark):
+    """A corpus-repeated sentence vanishes from every doc; survivors
+    reassemble in order; all-boilerplate docs disappear."""
+    from vtb_datafusion_2023_spark.operators.text import sentence_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha. shared footer. tail one"),
+            (2, "other beta! shared footer. tail two"),
+            (3, "shared footer."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text_dedup, r.n_sentences_kept) for r in sentence_dedup(df).collect()}
+    assert got == {
+        1: ("unique alpha. tail one", 2),
+        2: ("other beta! tail two", 2),
+    }

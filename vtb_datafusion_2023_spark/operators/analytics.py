@@ -983,3 +983,49 @@ def lag_autocorr(
         F.count(F.lit(1)).alias("n_pairs"),
         F.expr(sqlgen.corr_from_pairs("_x", "_y")).alias("autocorr"),
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    anchor_epoch_seconds: int = 1704067200,  # 2024-01-01T00:00:00Z
+) -> DataFrame:
+    """Per-key OLS trend of a value series over time: least-squares
+    ``value ~ hours_since_anchor`` — the drift/trend screen per entity
+    (rising spend, decaying engagement) that complements
+    :func:`lag_autocorr`'s second-order statistic.
+
+    ``x`` is WHOLE hours since the fixed anchor (:func:`functions.
+    temporal.hours_since` — integer, so its decimal cast is exact and
+    the moment sums stay inside the cross-engine bit-parity domain;
+    sub-hour ordering does not affect an OLS fit's sums at all, since
+    they are order-insensitive).  The anchor is a parameter, not a
+    data-dependent collect — no build-time job; pick one near the
+    corpus epoch so x magnitudes stay small.
+
+    Determinism: slope/intercept come from exact decimal moment sums via
+    :func:`sqlgen.ols_from_pairs` (one shared fragment, bitwise both
+    engines).  Constant-x keys (all events in one hour) yield NULL.
+
+    Scale shape: a narrow projection then ONE hash aggregate on
+    ``key_col`` with map-side partials — no window, no join, one
+    exchange.
+    """
+    from .. import sqlgen
+    from ..functions.temporal import hours_since
+
+    slope, intercept = sqlgen.ols_from_pairs("_x", "_y")
+    pairs = df.select(
+        key_col,
+        hours_since(F.col(ts_col), anchor_epoch_seconds)
+        .cast("double")
+        .alias("_x"),
+        F.col(value_col).alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    return pairs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(slope).alias("slope_per_hour"),
+        F.expr(intercept).alias("intercept"),
+    )

@@ -1309,3 +1309,41 @@ def split_sentences(
         F.col(id_col),
         F.posexplode(F.split(marked, _SENT_SEP)).alias("sent_idx", "sentence"),
     ).filter(F.length("sentence") > 0)
+
+
+def sentence_dedup(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_count: int = 1,
+) -> DataFrame:
+    """Sentence-level duplicate removal (RefinedWeb/C4 lineage): segment
+    every document with :func:`split_sentences`, drop each sentence whose
+    exact text occurs more than ``max_count`` times in the WHOLE corpus
+    (boilerplate, legal footers, navigation chrome), and reassemble the
+    survivors in original order.  The sentence-boundary sibling of
+    :func:`segment_dedup` (which uses fixed token windows) — boundaries
+    follow punctuation, so a shared sentence is caught regardless of how
+    token windows happen to align around it.
+
+    Returns ``(doc_col, text_dedup, n_sentences_kept)``; documents whose
+    every sentence was boilerplate disappear.
+
+    Scale: same shape as ``segment_dedup`` — narrow segmentation fan-out,
+    ONE shuffle for the global occurrence count (window partitioned by
+    sentence text; pre-hash with md5 at 100 TB to shrink shuffle keys),
+    one groupBy on the doc id to reassemble.
+    """
+    from pyspark.sql.window import Window
+
+    sents = split_sentences(df, id_col=doc_col, text_col=text_col)
+    kept = sents.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("sentence"))
+    ).filter(F.col("_n") <= max_count)
+    ordered = F.array_sort(F.collect_list(F.struct("sent_idx", "sentence")))
+    return kept.groupBy(doc_col).agg(
+        F.array_join(F.transform(ordered, lambda s: s["sentence"]), " ").alias(
+            "text_dedup"
+        ),
+        F.count(F.lit(1)).alias("n_sentences_kept"),
+    )

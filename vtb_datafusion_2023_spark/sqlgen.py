@@ -264,6 +264,30 @@ def corr_from_pairs(x: str, y: str, in_prec: int = 12, in_scale: int = 2) -> str
     return f"({cov} / nullif(sqrt({vxc}) * sqrt({vyc}), 0))"
 
 
+def ols_from_pairs(
+    x: str, y: str, in_prec: int = 12, in_scale: int = 2
+) -> tuple[str, str]:
+    """Least-squares ``(slope, intercept)`` of y on x from exact decimal
+    moment sums — textually identical scalar SQL in both engines.
+
+    ``slope = (Sxy - Sx*Sy/n) / (Sxx - Sx^2/n)``; the variance term is
+    case-clamped at 0 (exact sums can still cancel a hair negative in
+    the double subtraction) and nullif-guarded, so a constant-x series
+    yields NULL slope and intercept.  Same pre-filtered-non-null-pairs
+    contract as :func:`corr_from_pairs`."""
+    n = f"count({x})"
+    sx = dec_to_double(f"sum(cast(({x}) as decimal({in_prec},{in_scale})))")
+    sy = dec_to_double(f"sum(cast(({y}) as decimal({in_prec},{in_scale})))")
+    sxy = dprod_sum(x, y, in_prec=in_prec, in_scale=in_scale)
+    sxx = dprod_sum(x, x, in_prec=in_prec, in_scale=in_scale)
+    cov = f"({sxy} - {sx} * {sy} / {n})"
+    vx = f"({sxx} - {sx} * {sx} / {n})"
+    vxc = f"(case when {vx} < 0 then 0.0 else {vx} end)"
+    slope = f"({cov} / nullif({vxc}, 0))"
+    intercept = f"(({sy} - {slope} * {sx}) / {n})"
+    return slope, intercept
+
+
 def wcumsum(x: str, partition: str, order: str) -> str:
     """Deterministic running sum (W1): decimal window sum cast to double."""
     return dec_to_double(

@@ -4734,3 +4734,94 @@ def emb_mrl_truncate(spark, sf_dir):
     return out.select(
         "vec_id", F.posexplode("unit_vec").alias("pos", "val"), "fidelity"
     )
+
+
+_TREND_ANCHOR = 1704067200  # 2024-01-01T00:00:00Z, near the events epoch
+
+_TREND_SLOPE_SQL, _TREND_ICEPT_SQL = sqlgen.ols_from_pairs("_x", "_y")
+
+
+@register(
+    "an_trend_slope",
+    oracle=f"""
+with p as (
+  select user_id,
+         cast(cast(floor((cast(floor(epoch(ts)) as bigint) - {_TREND_ANCHOR}) / 3600)
+                   as bigint) as double) as _x,
+         value as _y
+  from events
+  where ts is not null and value is not null
+)
+select user_id, cast(count(*) as bigint) as n_events,
+       {_TREND_SLOPE_SQL} as slope_per_hour,
+       {_TREND_ICEPT_SQL} as intercept
+from p group by user_id
+""",
+    survey_ref="an-trend-slope",
+    doc="per-user OLS trend (value ~ whole hours since a fixed anchor): "
+    "the drift screen per entity.  Exact decimal moment sums "
+    "(sqlgen.ols_from_pairs) => bitwise; integer x keeps the sums in "
+    "the bit-parity domain; ONE hash aggregate, no window/join, no "
+    "build-time anchor collect.",
+)
+def an_trend_slope(spark, sf_dir):
+    from ..operators.analytics import trend_slope
+
+    events = T(spark, sf_dir, "events")
+    out = trend_slope(events, "value", "user_id", "ts", _TREND_ANCHOR)
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "slope_per_hour",
+        "intercept",
+    )
+
+
+@register(
+    "dd_sentence_dedup",
+    oracle=r"""
+with s as (
+  select doc_id,
+    regexp_replace(
+      regexp_replace(text,
+        '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ', '\1. ', 'g'),
+      '([.!?]) ', '\1' || chr(1), 'g') as m
+  from documents
+),
+u as (select doc_id,
+             unnest(string_split(m, chr(1))) as sentence,
+             generate_subscripts(string_split(m, chr(1)), 1) as i
+      from s),
+f as (select doc_id, i, sentence from u where length(sentence) > 0),
+c as (select doc_id, i, sentence,
+             count(*) over (partition by sentence) as n
+      from f),
+k as (select doc_id, i, sentence from c where n <= 1)
+select doc_id,
+       string_agg(sentence, ' ' order by i) as text_dedup,
+       cast(count(*) as bigint) as n_sentences_kept
+from k group by doc_id
+""",
+    survey_ref="dedup-sentence",
+    doc="sentence-level duplicate removal (RefinedWeb/C4 lineage) over "
+    "the sentencified corpus: drop every sentence whose exact text "
+    "repeats corpus-wide, reassemble survivors in order.  Sentence-"
+    "boundary sibling of dd_segment_dedup (fixed token windows); ONE "
+    "occurrence-count shuffle (window on sentence) + one doc reassembly "
+    "aggregate.",
+)
+def dd_sentence_dedup(spark, sf_dir):
+    from ..operators.text import sentence_dedup
+
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            "text", r"([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. "
+        ),
+    )
+    out = sentence_dedup(docs, max_count=1)
+    return out.select(
+        "doc_id",
+        "text_dedup",
+        F.col("n_sentences_kept").cast("bigint").alias("n_sentences_kept"),
+    )
