@@ -2293,3 +2293,79 @@ def test_sentence_dedup_hand_cases(spark):
         1: ("unique alpha. tail one", 2),
         2: ("other beta! tail two", 2),
     }
+
+
+def test_partial_ols_merge_is_shard_invariant_bitwise(spark, sf_small):
+    """Merging 2 shards, 5 shards, or 1 shard of OLS state must finish
+    to IDENTICAL slope/intercept bits (exact integer states), and match
+    a from-scratch single aggregate."""
+    from vtb_datafusion_2023_spark.functions.temporal import hours_since
+    from vtb_datafusion_2023_spark.operators.rollup import (
+        merge_ols_partials,
+        ols_estimate,
+        partial_ols,
+    )
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    ev = (
+        T(spark, sf_small, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            hours_since(F.col("ts"), 1704067200).cast("double").alias("hx"),
+            "value",
+        )
+    )
+
+    def fit(shards):
+        parts = [partial_ols(s, ["user_id"], "hx", "value") for s in shards]
+        out = ols_estimate(merge_ols_partials(parts, ["user_id"]))
+        return {r.user_id: (r.n, r.slope, r.intercept) for r in out.collect()}
+
+    one = fit([ev])
+    two = fit([ev.filter(F.col("event_id") < 500), ev.filter(F.col("event_id") >= 500)])
+    five = fit([ev.filter(F.col("event_id") % 5 == i) for i in range(5)])
+    assert one == two == five
+    assert len(one) > 10
+
+
+def test_partial_ols_matches_numpy(spark):
+    """The finished fit equals numpy polyfit on hand data (1e-6
+    quantization tolerance from the fixed-point mode)."""
+    import numpy as np
+    from vtb_datafusion_2023_spark.operators.rollup import (
+        merge_ols_partials,
+        ols_estimate,
+        partial_ols,
+    )
+
+    rows = [(1, float(i), 3.25 * i + 7.5 + (0.11 if i % 2 else -0.11)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, x double, y double")
+    out = ols_estimate(
+        merge_ols_partials([partial_ols(df, ["k"], "x", "y")], ["k"])
+    ).collect()[0]
+    x = np.array([r[1] for r in rows])
+    y = np.array([r[2] for r in rows])
+    m, b = np.polyfit(x, y, 1)
+    assert abs(out.slope - m) < 1e-5 and abs(out.intercept - b) < 1e-4
+
+
+def test_mrl_rerank_with_full_coarse_k_equals_bruteforce(spark, sf_small):
+    """With k_coarse >= corpus size the funnel prunes nothing, so the
+    result must EQUAL brute-force cosine top-k bit-for-bit."""
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        cosine_topk,
+        mrl_rerank_topk,
+    )
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    emb = T(spark, sf_small, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = {tuple(r) for r in cosine_topk(emb, qs, k=5).collect()}
+    funnel = {
+        tuple(r)
+        for r in mrl_rerank_topk(emb, qs, dims=16, k_coarse=n, k=5).collect()
+    }
+    assert funnel == exact and len(exact) == 25

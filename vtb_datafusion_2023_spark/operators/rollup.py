@@ -289,3 +289,65 @@ def quantile_estimate(
         for f in fractions
     ]
     return df.select(*[c for c in df.columns if c != f"{prefix}_sk"], *cols)
+
+
+def partial_ols(
+    df: DataFrame,
+    keys: list,
+    x_col: str,
+    y_col: str,
+    prefix: str = "ols",
+) -> DataFrame:
+    """Per-key mergeable OLS state: pair count plus the fixed-point hi/lo
+    integer sums of x, y, x*y, x*x (``sqlgen.fsum_state``) — the
+    incremental building block for maintained regression/trend rollups.
+    Each ingest batch aggregates independently; merging the integer
+    states is exact in any order, so the finished fit is bitwise
+    identical to a full recompute.  Rows with a NULL x or y are dropped
+    (the OLS pair contract)."""
+    pairs = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    return pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.expr(e) for e in sqlgen.fsum_state("_x", f"{prefix}x")],
+        *[F.expr(e) for e in sqlgen.fsum_state("_y", f"{prefix}y")],
+        *[F.expr(e) for e in sqlgen.fsum_state("(_x) * (_y)", f"{prefix}xy")],
+        *[F.expr(e) for e in sqlgen.fsum_state("(_x) * (_x)", f"{prefix}xx")],
+    )
+
+
+def merge_ols_partials(
+    parts: list[DataFrame], keys: list[str], prefix: str = "ols"
+) -> DataFrame:
+    """Merge OLS partial-state tables (exact, associative): union -> one
+    re-aggregation on the keys.  O(groups), not O(rows)."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merges = []
+    for comp in ("x", "y", "xy", "xx"):
+        merges += sqlgen.fsum_merge(f"{prefix}{comp}")
+    return u.groupBy(*keys).agg(
+        F.expr("cast(sum(n) as bigint) as n"),
+        *[F.expr(e) for e in merges],
+    )
+
+
+def ols_estimate(df: DataFrame, prefix: str = "ols") -> DataFrame:
+    """Finish merged OLS state into ``(slope, intercept)`` doubles —
+    bitwise identical to a single global fit over all rows (the final
+    scalar arithmetic is ``sqlgen.ols_from_sums`` over the recombined
+    sums, whose values equal a from-scratch ``fsum``).  Drops the state
+    columns."""
+    sums = {c: sqlgen.fsum_final(f"{prefix}{c}") for c in ("x", "y", "xy", "xx")}
+    slope, intercept = sqlgen.ols_from_sums(
+        "n", sums["x"], sums["y"], sums["xy"], sums["xx"]
+    )
+    out = df.withColumn("slope", F.expr(slope)).withColumn(
+        "intercept", F.expr(intercept)
+    )
+    drop = [f"{prefix}{c}_{h}" for c in ("x", "y", "xy", "xx") for h in ("hi", "lo")]
+    return out.drop(*drop)

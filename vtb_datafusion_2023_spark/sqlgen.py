@@ -264,28 +264,35 @@ def corr_from_pairs(x: str, y: str, in_prec: int = 12, in_scale: int = 2) -> str
     return f"({cov} / nullif(sqrt({vxc}) * sqrt({vyc}), 0))"
 
 
-def ols_from_pairs(
-    x: str, y: str, in_prec: int = 12, in_scale: int = 2
-) -> tuple[str, str]:
-    """Least-squares ``(slope, intercept)`` of y on x from exact decimal
-    moment sums — textually identical scalar SQL in both engines.
+def ols_from_sums(n: str, sx: str, sy: str, sxy: str, sxx: str) -> tuple[str, str]:
+    """Least-squares ``(slope, intercept)`` scalar SQL from already-
+    deterministic moment sums (exact decimal or fixed-point — any
+    fragments whose VALUES are engine-identical doubles).
 
     ``slope = (Sxy - Sx*Sy/n) / (Sxx - Sx^2/n)``; the variance term is
-    case-clamped at 0 (exact sums can still cancel a hair negative in
-    the double subtraction) and nullif-guarded, so a constant-x series
-    yields NULL slope and intercept.  Same pre-filtered-non-null-pairs
-    contract as :func:`corr_from_pairs`."""
-    n = f"count({x})"
-    sx = dec_to_double(f"sum(cast(({x}) as decimal({in_prec},{in_scale})))")
-    sy = dec_to_double(f"sum(cast(({y}) as decimal({in_prec},{in_scale})))")
-    sxy = dprod_sum(x, y, in_prec=in_prec, in_scale=in_scale)
-    sxx = dprod_sum(x, x, in_prec=in_prec, in_scale=in_scale)
+    case-clamped at 0 (deterministic sums can still cancel a hair
+    negative in the double subtraction) and nullif-guarded, so a
+    constant-x series yields NULL slope and intercept."""
     cov = f"({sxy} - {sx} * {sy} / {n})"
     vx = f"({sxx} - {sx} * {sx} / {n})"
     vxc = f"(case when {vx} < 0 then 0.0 else {vx} end)"
     slope = f"({cov} / nullif({vxc}, 0))"
     intercept = f"(({sy} - {slope} * {sx}) / {n})"
     return slope, intercept
+
+
+def ols_from_pairs(
+    x: str, y: str, in_prec: int = 12, in_scale: int = 2
+) -> tuple[str, str]:
+    """Least-squares ``(slope, intercept)`` of y on x from exact decimal
+    moment sums — textually identical scalar SQL in both engines.  Same
+    pre-filtered-non-null-pairs contract as :func:`corr_from_pairs`."""
+    n = f"count({x})"
+    sx = dec_to_double(f"sum(cast(({x}) as decimal({in_prec},{in_scale})))")
+    sy = dec_to_double(f"sum(cast(({y}) as decimal({in_prec},{in_scale})))")
+    sxy = dprod_sum(x, y, in_prec=in_prec, in_scale=in_scale)
+    sxx = dprod_sum(x, x, in_prec=in_prec, in_scale=in_scale)
+    return ols_from_sums(n, sx, sy, sxy, sxx)
 
 
 def wcumsum(x: str, partition: str, order: str) -> str:

@@ -4825,3 +4825,118 @@ def dd_sentence_dedup(spark, sf_dir):
         "text_dedup",
         F.col("n_sentences_kept").cast("bigint").alias("n_sentences_kept"),
     )
+
+
+_IOLS_SLOPE, _IOLS_ICEPT = sqlgen.ols_from_sums(
+    "count(*)",
+    sqlgen.fsum("_x"),
+    sqlgen.fsum("_y"),
+    sqlgen.fsum("(_x) * (_y)"),
+    sqlgen.fsum("(_x) * (_x)"),
+)
+
+
+@register(
+    "agg_incremental_ols",
+    oracle=f"""
+with p as (
+  select user_id,
+         cast(cast(floor((cast(floor(epoch(ts)) as bigint) - {_TREND_ANCHOR}) / 3600)
+                   as bigint) as double) as _x,
+         value as _y
+  from events
+  where ts is not null and value is not null
+)
+select user_id, cast(count(*) as bigint) as n,
+       {_IOLS_SLOPE} as slope,
+       {_IOLS_ICEPT} as intercept
+from p group by user_id
+""",
+    survey_ref="rollup-ols",
+    doc="incrementally-maintained per-user OLS trend: two ingest shards "
+    "aggregate mergeable fixed-point moment states (n, Sx, Sy, Sxy, Sxx "
+    "as exact hi/lo int64 partials) independently; merging the partials "
+    "and finishing is bitwise identical to this full-recompute oracle — "
+    "regression rollups without rescanning history (extends the "
+    "mergeable-state family: sum / HLL / CMS / KLL / now OLS).",
+)
+def agg_incremental_ols(spark, sf_dir):
+    from ..functions.temporal import hours_since
+    from ..operators.rollup import merge_ols_partials, ols_estimate, partial_ols
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            hours_since(F.col("ts"), _TREND_ANCHOR).cast("double").alias("hx"),
+            "value",
+        )
+    )
+    shard1 = partial_ols(ev.filter(F.col("event_id") < 5000), ["user_id"], "hx", "value")
+    shard2 = partial_ols(ev.filter(F.col("event_id") >= 5000), ["user_id"], "hx", "value")
+    est = ols_estimate(merge_ols_partials([shard1, shard2], ["user_id"]))
+    return est.select(
+        "user_id", F.col("n").cast("bigint").alias("n"), "slope", "intercept"
+    )
+
+
+_D16 = {
+    "dot": "list_reduce(list_transform(range(1, len(q16) + 1), "
+    "i -> cast(q16[i] as double) * cast(c16[i] as double)), (a, b) -> a + b)",
+    "nq": "sqrt(list_reduce(list_transform(range(1, len(q16) + 1), "
+    "i -> cast(q16[i] as double) * cast(q16[i] as double)), (a, b) -> a + b))",
+    "nc": "sqrt(list_reduce(list_transform(range(1, len(c16) + 1), "
+    "i -> cast(c16[i] as double) * cast(c16[i] as double)), (a, b) -> a + b))",
+}
+
+
+@register(
+    "ann_mrl_rerank",
+    oracle=f"""
+with q as (select vec_id as query_id, embedding as qv,
+                  embedding[1:{_MRL_DIMS}] as q16
+           from embeddings where vec_id < 10),
+c as (select vec_id as neighbor_id, embedding as cv,
+             embedding[1:{_MRL_DIMS}] as c16
+      from embeddings),
+s1 as (
+  select query_id, neighbor_id, qv, cv,
+         ({_D16["dot"]} / ({_D16["nq"]} * {_D16["nc"]})) as cos16
+  from c cross join q
+  where query_id <> neighbor_id
+),
+r1 as (
+  select query_id, neighbor_id, qv, cv,
+         row_number() over (partition by query_id
+                            order by cos16 desc, neighbor_id asc) as r1
+  from s1
+),
+s2 as (
+  select query_id, neighbor_id, ({_DOT} / ({_NQ} * {_NC})) as cos
+  from r1 where r1 <= 32
+),
+r2 as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+  from s2
+)
+select query_id, neighbor_id, cast(rank as int) as rank, cos
+from r2 where rank <= 5
+""",
+    survey_ref="ann-mrl-rerank",
+    doc="two-stage Matryoshka retrieval: 16-dim-prefix cosine scans the "
+    "corpus (1/2 the arithmetic here; 1/16 at production 64-of-1024 "
+    "geometry), full-dim cosine reranks only the 32 survivors per "
+    "query.  Both stages left-fold + deterministic ties => bitwise.",
+)
+def ann_mrl_rerank(spark, sf_dir):
+    from ..operators.similarity import mrl_rerank_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = mrl_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dims=_MRL_DIMS, k_coarse=32, k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
