@@ -112,6 +112,18 @@ HEADLINE = [
     # The *_planted twins above remain as the control.
     "dd_ngram_jaccard",
     "dd_containment",
+    # round-10 additions: second-order series stats (one-exchange lag
+    # window + exact-moment aggregate), the mergeable-OLS rollup, the
+    # sentence family (shuffle-free segmentation; one-count-window
+    # dedup), and the Matryoshka prefix-scan/rerank funnel.
+    # an_trend_slope stays correctness-only (plan is a strict subset of
+    # agg_incremental_ols: same aggregate without the merge leg).
+    "an_autocorr",
+    "agg_incremental_ols",
+    "text_sentence_split",
+    "dd_sentence_dedup",
+    "emb_mrl_truncate",
+    "ann_mrl_rerank",
 ]
 
 # Per-head sf_dir override: heads whose MAIN-dir input is a documented
