@@ -503,3 +503,58 @@ def _late_bind_psi_oracle() -> None:
 
 
 _late_bind_psi_oracle()
+
+
+_ST_OLS_ANCHOR = 1704067200  # 2024-01-01T00:00:00Z (suite.datapipe._TREND_ANCHOR)
+
+_ST_OLS_SLOPE, _ST_OLS_ICEPT = sqlgen.ols_from_sums(
+    "count(*)",
+    sqlgen.fsum("_x"),
+    sqlgen.fsum("_y"),
+    sqlgen.fsum("(_x) * (_y)"),
+    sqlgen.fsum("(_x) * (_x)"),
+)
+
+
+@register(
+    "st_trend_ols",
+    oracle=f"""
+with p as (
+  select user_id,
+         cast(cast(floor((cast(floor(epoch(ts)) as bigint) - {_ST_OLS_ANCHOR}) / 3600)
+                   as bigint) as double) as _x,
+         value as _y
+  from events
+  where ts is not null and value is not null
+)
+select user_id, cast(count(*) as bigint) as n,
+       {_ST_OLS_SLOPE} as slope,
+       {_ST_OLS_ICEPT} as intercept
+from p group by user_id
+""",
+    survey_ref="rollup-ols",
+    doc="streaming-maintained per-user OLS trend: the mergeable integer "
+    "moment state (rollup.partial_ols) IS a streaming aggregation — "
+    "micro-batches update n/Sx/Sy/Sxy/Sxx exactly, and the replayed "
+    "final state finishes (ols_estimate) bitwise equal to the batch "
+    "full-recompute oracle.  The regression analogue of the windowed-"
+    "sum heads: maintained coefficients at ingest time, no rescans.",
+)
+def st_trend_ols(spark, sf_dir):
+    from ..functions.temporal import hours_since
+    from ..operators.rollup import ols_estimate, partial_ols
+
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            hours_since(F.col("ts"), _ST_OLS_ANCHOR).cast("double").alias("hx"),
+            "value",
+        )
+    )
+    state = partial_ols(ev, ["user_id"], "hx", "value")
+    tbl = replay_to_table(spark, state, mode="complete")
+    return ols_estimate(tbl).select(
+        "user_id", F.col("n").cast("bigint").alias("n"), "slope", "intercept"
+    )
