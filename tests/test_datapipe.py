@@ -2369,3 +2369,47 @@ def test_mrl_rerank_with_full_coarse_k_equals_bruteforce(spark, sf_small):
         for r in mrl_rerank_topk(emb, qs, dims=16, k_coarse=n, k=5).collect()
     }
     assert funnel == exact and len(exact) == 25
+
+
+def test_cusum_drift_matches_python_recurrence(spark, sf_small):
+    """cusum_max must equal the literal clamped recurrence
+    S_t = max(0, S_{t-1} + (x_t - mu)) evaluated in Python over the
+    identically-ordered series (tolerance: the engine subtracts the
+    exact-decimal drift line; Python accumulates in raw doubles)."""
+    from vtb_datafusion_2023_spark.operators.analytics import cusum_drift
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    events = T(spark, sf_small, "events").filter(F.col("value").isNotNull())
+    got = {r.user_id: (r.n, r.cusum_max) for r in cusum_drift(events).collect()}
+    pdf = (
+        events.select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    checked = 0
+    for uid, g in pdf.groupby("user_id"):
+        xs = g["value"].tolist()
+        mu = sum(xs) / len(xs)
+        s = best = 0.0
+        for x in xs:
+            s = max(0.0, s + (x - mu))
+            best = max(best, s)
+        n, cmax = got[uid]
+        assert n == len(xs)
+        assert abs(cmax - best) < 1e-6, (uid, cmax, best)
+        checked += 1
+    assert checked > 10
+
+
+def test_cusum_drift_flags_planted_level_shift(spark):
+    """A series with a mid-stream level shift must score far above an
+    i.i.d.-flat one of the same mean."""
+    from vtb_datafusion_2023_spark.operators.analytics import cusum_drift
+
+    flat = [(1, i, i, 10.0 + (1 if i % 2 else -1)) for i in range(40)]
+    shift = [(2, i, i, 5.0 if i < 20 else 15.0) for i in range(40)]
+    df = spark.createDataFrame(
+        flat + shift, "user_id long, ts long, event_id long, value double"
+    )
+    got = {r.user_id: r.cusum_max for r in cusum_drift(df).collect()}
+    assert got[2] > 10 * max(got[1], 1.0), got

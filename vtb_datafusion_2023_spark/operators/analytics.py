@@ -1029,3 +1029,56 @@ def trend_slope(
         F.expr(slope).alias("slope_per_hour"),
         F.expr(intercept).alias("intercept"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift statistic: how far the series'
+    running sum ever climbs above its own-mean trend — the standard
+    changepoint/level-shift screen (Page 1954).  ``cusum_max =
+    max_t S_t`` with the clamped recurrence ``S_t = max(0, S_{t-1} +
+    (x_t - mu))`` computed via the prefix identity ``S_t = C_t -
+    min(0, min_{j<=t} C_j)`` where ``C_t = cumsum(x) - t * mu`` (the 0
+    term is the empty prefix ``C_0 = 0``) — pure window algebra, NO
+    per-row fold or UDF.
+
+    Determinism: the cumsum is the exact decimal ``sqlgen.wcumsum``;
+    ``mu`` is the exact per-key decimal mean; the drift line ``t * mu``
+    and the running-min subtraction are textually identical scalar SQL
+    in both engines — bitwise cross-engine.
+
+    Scale shape: ONE hash exchange on ``key_col``; all three windows
+    and the final aggregate share its partitioning (the ordered windows
+    share one sort).  Returns ``(key_col, n, cusum_max)``; keys with a
+    flat series report 0.0.
+    """
+    from .. import sqlgen
+
+    ord_sql = ", ".join(order_cols)
+    prepared = df.filter(
+        F.col(value_col).isNotNull()
+    ).select(
+        key_col, *order_cols, F.col(value_col).cast("double").alias("_v")
+    )
+    scored = prepared.selectExpr(
+        key_col,
+        f"row_number() over (partition by {key_col} order by {ord_sql}) as _t",
+        f"{sqlgen.wcumsum('_v', key_col, ord_sql)} as _c",
+        f"{sqlgen.wdsum('_v', key_col)} as _su",
+        f"count(*) over (partition by {key_col}) as _n",
+    )
+    drifted = scored.selectExpr(
+        key_col, "_t", "(_c - _t * (_su / _n)) as _d"
+    )
+    s = drifted.selectExpr(
+        key_col,
+        f"(_d - least(cast(0 as double), min(_d) over (partition by {key_col} "
+        "order by _t rows between unbounded preceding and current row))) as _s",
+    )
+    return s.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"), F.max("_s").alias("cusum_max")
+    )

@@ -4940,3 +4940,48 @@ def ann_mrl_rerank(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 10), dims=_MRL_DIMS, k_coarse=32, k=5
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "an_cusum",
+    oracle=f"""
+with p as (
+  select user_id, ts, event_id, cast(value as double) as _v
+  from events where value is not null
+),
+scored as (
+  select user_id,
+         row_number() over (partition by user_id order by ts, event_id) as _t,
+         {sqlgen.wcumsum("_v", "user_id", "ts, event_id")} as _c,
+         {sqlgen.wdsum("_v", "user_id")} as _su,
+         count(*) over (partition by user_id) as _n
+  from p
+),
+drifted as (
+  select user_id, _t, (_c - _t * (_su / _n)) as _d from scored
+),
+s as (
+  select user_id,
+         (_d - least(cast(0 as double),
+                     min(_d) over (partition by user_id order by _t
+                                   rows between unbounded preceding and current row))) as _s
+  from drifted
+)
+select user_id, cast(count(*) as bigint) as n, max(_s) as cusum_max
+from s group by user_id
+""",
+    survey_ref="an-cusum",
+    doc="per-user one-sided CUSUM drift statistic (Page): max prefix "
+    "excursion of the running sum above the own-mean trend, via the "
+    "cumsum-minus-running-min identity — pure window algebra (no fold/"
+    "UDF), decimal-exact cumsum => bitwise; ONE exchange, windows share "
+    "one sort.",
+)
+def an_cusum(spark, sf_dir):
+    from ..operators.analytics import cusum_drift
+
+    events = T(spark, sf_dir, "events")
+    out = cusum_drift(events, "value", "user_id", ("ts", "event_id"))
+    return out.select(
+        "user_id", F.col("n").cast("bigint").alias("n"), "cusum_max"
+    )
