@@ -124,6 +124,7 @@ HEADLINE = [
     "dd_sentence_dedup",
     "emb_mrl_truncate",
     "ann_mrl_rerank",
+    "an_cusum",
 ]
 
 # Per-head sf_dir override: heads whose MAIN-dir input is a documented
