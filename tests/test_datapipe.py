@@ -2413,3 +2413,62 @@ def test_cusum_drift_flags_planted_level_shift(spark):
     )
     got = {r.user_id: r.cusum_max for r in cusum_drift(df).collect()}
     assert got[2] > 10 * max(got[1], 1.0), got
+
+
+def test_holt_linear_matches_python_recurrence(spark, sf_small):
+    """level/trend/forecast must equal the literal Holt recurrence in
+    Python over the identically-ordered series — exact, since both fold
+    the same IEEE ops in the same order."""
+    from vtb_datafusion_2023_spark.operators.analytics import holt_linear
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    events = T(spark, sf_small, "events").filter(F.col("value").isNotNull())
+    got = {
+        r.user_id: (r.n, r.level, r.trend, r.forecast_next)
+        for r in holt_linear(events, alpha=0.5, beta=0.25).collect()
+    }
+    pdf = (
+        events.select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    checked = 0
+    for uid, g in pdf.groupby("user_id"):
+        xs = g["value"].tolist()
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            nb = 0.25 * (nl - l) + 0.75 * b
+            l, b = nl, nb
+        n, level, trend, fc = got[uid]
+        assert n == len(xs)
+        assert level == l and trend == b and fc == l + b, (uid, level, l)
+        checked += 1
+    assert checked > 10
+
+
+def test_holt_linear_beta_zero_degenerates_to_ewma_level(spark):
+    """beta=0 freezes the trend at 0, so the level is exactly the EWMA
+    recurrence — pins the state wiring."""
+    from vtb_datafusion_2023_spark.operators.analytics import holt_linear
+
+    xs = [10.0, 14.0, 9.0, 22.0, 17.0]
+    df = spark.createDataFrame(
+        [(1, i, i, x) for i, x in enumerate(xs)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    r = holt_linear(df, alpha=0.25, beta=0.0).collect()[0]
+    l = xs[0]
+    for x in xs[1:]:
+        l = 0.25 * x + 0.75 * (l + 0.0)
+    assert r.trend == 0.0 and r.level == l and r.n == 5
+
+
+def test_holt_linear_single_point(spark):
+    from vtb_datafusion_2023_spark.operators.analytics import holt_linear
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 42.5)], "user_id long, ts long, event_id long, value double"
+    )
+    r = holt_linear(df).collect()[0]
+    assert (r.level, r.trend, r.forecast_next) == (42.5, 0.0, 42.5)

@@ -1082,3 +1082,67 @@ def cusum_drift(
     return s.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"), F.max("_s").alias("cusum_max")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-key Holt linear-trend exponential smoothing (Holt 1957): the
+    two-state recurrence ``l_t = a*x_t + (1-a)*(l + b);
+    b_t = B*(l_t - l) + (1-B)*b`` folded oldest->newest over each key's
+    series, initialized ``l_0 = x_0, b_0 = 0``.  Returns the final
+    ``(level, trend)`` plus ``forecast_next = level + trend`` — the
+    streaming-friendly forecasting primitive one step up from EWMA
+    (which is the beta=0 special case).
+
+    Determinism: an ARRAY-accumulator left fold (acc = [level, trend])
+    over the (order_cols)-sorted series — both engines evaluate the
+    identical IEEE recurrence in the identical order (DuckDB
+    ``list_reduce`` over [x, 0]-lifted elements starts from the first
+    element, mirrored here by slice-from-2 + element_at-1 init), so
+    results are bitwise cross-engine.  The accumulator is an ARRAY, not
+    a struct, deliberately: DuckDB 1.0 evaluates a struct-literal
+    lambda's fields SEQUENTIALLY against the mutating accumulator (the
+    second field sees the first field already updated — found by the
+    parity test), while list literals evaluate all elements from the
+    pre-step accumulator like Spark's pure expressions.  Scale shape:
+    ONE exchange (the per-key collect); per-key state is the array —
+    same envelope as the W4/W7 sequence operators.
+    """
+    a, b1 = float(alpha), float(beta)
+    xs = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(*[F.col(c) for c in order_cols],
+                                    F.col(value_col).alias("_v")))
+        ),
+        lambda s: s["_v"].cast("double"),
+    )
+    grouped = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"), xs.alias("_xs"))
+    )
+
+    def step(acc, x):
+        new_l = F.lit(a) * x + F.lit(1.0 - a) * (acc[0] + acc[1])
+        new_b = F.lit(b1) * (new_l - acc[0]) + F.lit(1.0 - b1) * acc[1]
+        return F.array(new_l, new_b)
+
+    init = F.array(F.element_at(F.col("_xs"), 1), F.lit(0.0))
+    st = F.aggregate(
+        F.slice(F.col("_xs"), 2, F.greatest(F.size("_xs") - 1, F.lit(0))),
+        init,
+        step,
+    )
+    return grouped.select(
+        key_col,
+        F.col("n").cast("bigint").alias("n"),
+        st[0].alias("level"),
+        st[1].alias("trend"),
+        (st[0] + st[1]).alias("forecast_next"),
+    )

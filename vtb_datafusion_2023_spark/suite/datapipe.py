@@ -4985,3 +4985,50 @@ def an_cusum(spark, sf_dir):
     return out.select(
         "user_id", F.col("n").cast("bigint").alias("n"), "cusum_max"
     )
+
+
+@register(
+    "an_forecast_holt",
+    oracle="""
+with arr as (
+  select user_id, cast(count(*) as bigint) as n,
+         list(cast(value as double) order by ts, event_id) as xs
+  from events where value is not null
+  group by user_id
+),
+f as (
+  select user_id, n,
+         list_reduce(
+           list_transform(xs, x -> [x, cast(0 as double)]),
+           (acc, e) -> [
+             cast(0.5 as double) * e[1]
+               + cast(0.5 as double) * (acc[1] + acc[2]),
+             cast(0.25 as double)
+               * ((cast(0.5 as double) * e[1]
+                   + cast(0.5 as double) * (acc[1] + acc[2])) - acc[1])
+               + cast(0.75 as double) * acc[2]
+           ]
+         ) as st
+  from arr
+)
+select user_id, n, st[1] as level, st[2] as trend,
+       (st[1] + st[2]) as forecast_next
+from f
+""",
+    survey_ref="an-forecast-holt",
+    doc="per-user Holt linear-trend smoothing (alpha=0.5, beta=0.25; "
+    "EWMA's two-state big sibling): ARRAY-accumulator [level, trend] "
+    "left fold over the time-sorted series, identical IEEE recurrence "
+    "order in both engines => bitwise (struct accumulators are "
+    "deliberately avoided: DuckDB evaluates struct-literal lambda "
+    "fields sequentially against the mutating accumulator).  ONE "
+    "exchange (per-user collect), final (level, trend, one-step "
+    "forecast).",
+)
+def an_forecast_holt(spark, sf_dir):
+    from ..operators.analytics import holt_linear
+
+    events = T(spark, sf_dir, "events")
+    return holt_linear(
+        events, "value", "user_id", ("ts", "event_id"), alpha=0.5, beta=0.25
+    )
