@@ -125,6 +125,7 @@ HEADLINE = [
     "emb_mrl_truncate",
     "ann_mrl_rerank",
     "an_cusum",
+    "an_forecast_holt",
 ]
 
 # Per-head sf_dir override: heads whose MAIN-dir input is a documented

@@ -2472,3 +2472,22 @@ def test_holt_linear_single_point(spark):
     )
     r = holt_linear(df).collect()[0]
     assert (r.level, r.trend, r.forecast_next) == (42.5, 0.0, 42.5)
+
+
+def test_link_jaccard_hand_graph(spark):
+    """4-cycle + chord: known neighbor sets give exact Jaccard values;
+    an edge with zero common neighbors scores 0."""
+    from vtb_datafusion_2023_spark.operators.graph import link_jaccard
+
+    # square 1-2-3-4-1 plus chord 1-3; plus pendant 5-1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)], "src long, dst long"
+    )
+    got = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard) for r in link_jaccard(edges).collect()}
+    # N(1)={2,3,4,5} N(2)={1,3} N(3)={1,2,4} N(4)={1,3} N(5)={1}
+    assert got[(1, 2)] == (1, 4, 2, 1 / 5)   # common {3}
+    assert got[(1, 3)] == (2, 4, 3, 2 / 5)   # common {2,4}
+    assert got[(1, 4)] == (1, 4, 2, 1 / 5)   # common {3}
+    assert got[(2, 3)] == (1, 2, 3, 1 / 4)   # common {1}
+    assert got[(3, 4)] == (1, 3, 2, 1 / 4)   # common {1}
+    assert got[(1, 5)] == (0, 4, 1, 0.0)     # pendant: none

@@ -5032,3 +5032,61 @@ def an_forecast_holt(spark, sf_dir):
     return holt_linear(
         events, "value", "user_id", ("ts", "event_id"), alpha=0.5, beta=0.25
     )
+
+
+@register(
+    "gr_link_jaccard",
+    oracle="""
+with base as (
+  select distinct l_orderkey as o, l_partkey as p from lineitem where l_orderkey <= 300
+),
+e as (
+  select distinct x.p as a, y.p as b
+  from base x join base y on x.o = y.o and x.p < y.p
+),
+nbr as (
+  select a as x, b as w from e
+  union all
+  select b as x, a as w from e
+),
+deg as (select x, count(*) as d from nbr group by x),
+wedges as (
+  select n1.x as a, n2.x as b
+  from nbr n1 join nbr n2 on n1.w = n2.w
+  where n1.x < n2.x
+),
+common as (select a, b, count(*) as common from wedges group by a, b),
+scored as (
+  select e.a, e.b, coalesce(c.common, 0) as common, da.d as deg_a, db.d as deg_b
+  from e
+  left join common c on e.a = c.a and e.b = c.b
+  join deg da on da.x = e.a
+  join deg db on db.x = e.b
+)
+select a, b, cast(common as bigint) as common,
+       cast(deg_a as bigint) as deg_a, cast(deg_b as bigint) as deg_b,
+       (cast(common as double) / cast(deg_a + deg_b - common as double)) as jaccard
+from scored
+""",
+    survey_ref="graph-link-jaccard",
+    doc="neighbor-set Jaccard per co-purchase edge (Liben-Nowell & "
+    "Kleinberg link prediction / tie strength): exact wedge-join common "
+    "counts + degree joins, int/int double division => bitwise.",
+)
+def gr_link_jaccard(spark, sf_dir):
+    from ..operators.graph import link_jaccard
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 300)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.o") == F.col("y.o"))
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return link_jaccard(e)
