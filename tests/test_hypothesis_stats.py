@@ -175,3 +175,114 @@ from r, m where r.rn <= {k}
     tau = q[ranked[k][0]] if len(ranked) > k else np.float64(0.0)
     expect = {i: (w, float(max(np.float64(w), tau))) for i, w in ranked[:k]}
     assert {r.doc_id: (r.w, r.w_hat) for r in got.itertuples()} == expect
+
+
+# 2-decimal-quantized floats: the corr/OLS fragments cast through
+# decimal(12,2), so feed values that are exactly representable there
+cents = st.integers(min_value=-9_000_00, max_value=9_000_00).map(lambda c: c / 100.0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(cents, cents), min_size=2, max_size=150))
+def test_corr_and_ols_from_pairs_match_exact_reference(pairs):
+    """corr_from_pairs / ols_from_pairs reproduce an EXACT Python
+    re-derivation of the same formula: moment sums computed in integer
+    cents (what the decimal(12,2) casts do), converted with one correct
+    rounding, then the identical IEEE final arithmetic — including the
+    NULL conditions.  This is the fragment's actual contract; numpy
+    corrcoef/polyfit parity in the well-conditioned regime is covered
+    by the Spark-side suite tests."""
+    import math
+    from fractions import Fraction
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": xs, "y": ys}))
+    corr = sqlgen.corr_from_pairs("x", "y")
+    slope, icept = sqlgen.ols_from_pairs("x", "y")
+    row = con.execute(
+        f"select {corr} as r, {slope} as m, {icept} as b from t"
+    ).fetchone()
+
+    cx = [round(v * 100) for v in xs]
+    cy = [round(v * 100) for v in ys]
+    n = float(len(cx))
+    sx = float(Fraction(sum(cx), 100))
+    sy = float(Fraction(sum(cy), 100))
+    sxy = float(Fraction(sum(a * b for a, b in zip(cx, cy)), 10000))
+    sxx = float(Fraction(sum(a * a for a in cx), 10000))
+    syy = float(Fraction(sum(b * b for b in cy), 10000))
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    vxc = 0.0 if vx < 0 else vx
+    vyc = 0.0 if vy < 0 else vy
+    den = math.sqrt(vxc) * math.sqrt(vyc)
+    exp_r = None if den == 0 else cov / den
+    exp_m = None if vxc == 0 else cov / vxc
+    exp_b = None if exp_m is None else (sy - exp_m * sx) / n
+
+    for got, exp in zip(row, (exp_r, exp_m, exp_b)):
+        if exp is None:
+            assert got is None, (got, exp)
+        else:
+            assert got is not None and np.isclose(got, exp, rtol=1e-12, atol=1e-12), (
+                got,
+                exp,
+            )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.tuples(cents, cents), min_size=2, max_size=120),
+    st.integers(min_value=2, max_value=6),
+)
+def test_ols_from_sums_fixedpoint_states_shard_invariant(pairs, shards):
+    """The fsum-state OLS finalize is bitwise shard-count invariant: any
+    sharding of the rows merges to the identical (slope, intercept)
+    bits — the mergeable-rollup contract, checked in pure DuckDB."""
+    pdf = pd.DataFrame(
+        {"x": [p[0] for p in pairs], "y": [p[1] for p in pairs]}
+    )
+    pdf["shard"] = [i % shards for i in range(len(pdf))]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    slope, icept = sqlgen.ols_from_sums(
+        "count(*)",
+        sqlgen.fsum("x"),
+        sqlgen.fsum("y"),
+        sqlgen.fsum("(x) * (y)"),
+        sqlgen.fsum("(x) * (x)"),
+    )
+    one = con.execute(f"select {slope} as m, {icept} as b from t").fetchone()
+
+    # merge path: per-shard integer states -> re-aggregated -> finalize
+    states = []
+    for c, pre in (("x", "sx"), ("y", "sy"), ("(x) * (y)", "sxy"), ("(x) * (x)", "sxx")):
+        states += sqlgen.fsum_state(c, pre)
+    per = f"select shard, count(*) as n, {', '.join(states)} from t group by shard"
+    merged_sums = {
+        p: sqlgen.fsum_final(p) for p in ("sx", "sy", "sxy", "sxx")
+    }
+    m_slope, m_icept = sqlgen.ols_from_sums(
+        "sum(n)", *(merged_sums[p] for p in ("sx", "sy", "sxy", "sxx"))
+    )
+    merges = []
+    for p in ("sx", "sy", "sxy", "sxx"):
+        merges += sqlgen.fsum_merge(p)
+    two = con.execute(
+        f"with per as ({per}), m as (select sum(n) as n, {', '.join(merges)} from per) "
+        f"select ({merged_sums['sxy']} - {merged_sums['sx']} * {merged_sums['sy']} / n) "
+        f" / nullif((case when ({merged_sums['sxx']} - {merged_sums['sx']} * {merged_sums['sx']} / n) < 0 "
+        f"   then 0.0 else ({merged_sums['sxx']} - {merged_sums['sx']} * {merged_sums['sx']} / n) end), 0) as m, "
+        f"(({merged_sums['sy']} - (({merged_sums['sxy']} - {merged_sums['sx']} * {merged_sums['sy']} / n) "
+        f" / nullif((case when ({merged_sums['sxx']} - {merged_sums['sx']} * {merged_sums['sx']} / n) < 0 "
+        f"   then 0.0 else ({merged_sums['sxx']} - {merged_sums['sx']} * {merged_sums['sx']} / n) end), 0)) * {merged_sums['sx']}) / n) as b "
+        f"from m"
+    ).fetchone()
+
+    def eq(a, b):
+        return (a is None and b is None) or (a == b)
+
+    assert eq(one[0], two[0]) and eq(one[1], two[1]), (one, two)
