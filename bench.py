@@ -126,6 +126,12 @@ HEADLINE = [
     "ann_mrl_rerank",
     "an_cusum",
     "an_forecast_holt",
+    # round-10 session-2 addition (VERDICT r9 item 2): SemDeDup's
+    # PRODUCTION configuration — derived k + gemm assignment +
+    # grouped-GEMM pairs — so the bench certifies the plan that
+    # survives scale, not only the fixed-k oracle replay (dd_semdedup
+    # stays as the hash-certified control).
+    "dd_semdedup_scaled",
 ]
 
 # Per-head sf_dir override: heads whose MAIN-dir input is a documented

@@ -442,3 +442,38 @@ def test_semdedup_grouped_gemm_cluster_at_2x_old_bound(spark):
         max_gemm_cluster=40_000,
     )
     assert {r.vec_id for r in kept.collect()} == set(range(dim))
+
+
+def test_derived_k_regimes():
+    """derived_k holds the floor through the driver's gate scales (500 /
+    2k vectors -> 8, matching the oracle head's certified geometry) and
+    grows linearly past it (bounded E|c| ~ target_cluster)."""
+    import pytest
+
+    from vtb_datafusion_2023_spark.operators.clustering import derived_k
+
+    assert derived_k(0) == 8
+    assert derived_k(500) == 8
+    assert derived_k(2_000) == 8
+    assert derived_k(20_000) == 25
+    assert derived_k(200_000) == 250
+    assert derived_k(1_000, target_cluster=100, floor=4) == 10
+    with pytest.raises(ValueError):
+        derived_k(10, target_cluster=0)
+
+
+def test_semdedup_scaled_head_matches_oracle_head_at_gate_scale(spark, sf_small):
+    """The rows-only scale head dd_semdedup_scaled (derived k + gemm
+    assignment + grouped-GEMM pairs) must return the IDENTICAL (vec_id,
+    cid) rows as its hash-certified twin dd_semdedup at gate scale,
+    where derived k == the twin's fixed k=8 — the NO_ORACLE_TWINS
+    parity contract for this head."""
+    from vtb_datafusion_2023_spark.suite import REGISTRY, queries
+
+    queries()
+    scaled = REGISTRY["dd_semdedup_scaled"].fn(spark, sf_small)
+    oracle = REGISTRY["dd_semdedup"].fn(spark, sf_small)
+    assert scaled.columns == oracle.columns
+    got = {tuple(r) for r in scaled.collect()}
+    want = {tuple(r) for r in oracle.collect()}
+    assert got == want and len(want) > 0

@@ -224,6 +224,21 @@ def derived_fanout(
     return max(1, min(int(f), cap))
 
 
+def derived_k(n: int, target_cluster: int = 800, floor: int = 8) -> int:
+    """SemDeDup's scaling knob, derived instead of guessed: k grows with
+    the corpus so the EXPECTED cluster size stays bounded at
+    ``target_cluster`` (Abbas et al. 2023 §3 — the within-cluster
+    quadratic term is O(sum |c|²); bounded E|c| keeps it linear in n).
+    ``floor`` keeps small corpora on the oracle-certified k=8 geometry,
+    so at the driver's gate scale (≤2k vectors) the derived-k scale head
+    and the fixed-k oracle head compute the IDENTICAL kept set."""
+    if n <= 0:
+        return floor
+    if target_cluster <= 0:
+        raise ValueError(f"target_cluster must be positive, got {target_cluster}")
+    return max(int(floor), -(-int(n) // int(target_cluster)))
+
+
 def semdedup(
     df: DataFrame,
     dim: int,

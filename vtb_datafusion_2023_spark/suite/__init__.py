@@ -65,6 +65,9 @@ NO_ORACLE_TWINS: dict[str, str] = {
     "dd_simhash": "dd_simhash_md5",
     "dd_incremental_minhash": "dd_incremental_md5",
     "sk_approx_distinct": "sk_kmv_distinct",
+    # BLAS scale path (gemm distance reassociation is not bitwise
+    # DuckDB-replayable; kept set == twin at gate scale, pytest-pinned)
+    "dd_semdedup_scaled": "dd_semdedup",
     # RNG draws (rand() stream is engine-internal)
     "so3_bootstrap_sample": "so3_md5_sample",
     # LSTM/GRU float32 forwards (non-SQL numerics; both also bitwise
