@@ -2491,3 +2491,90 @@ def test_link_jaccard_hand_graph(spark):
     assert got[(2, 3)] == (1, 2, 3, 1 / 4)   # common {1}
     assert got[(3, 4)] == (1, 3, 2, 1 / 4)   # common {1}
     assert got[(1, 5)] == (0, 4, 1, 0.0)     # pendant: none
+
+
+def test_simhash_idf_planted_complete_and_partition_invariant(spark, sf_small):
+    """IDF-weighted SimHash: (a) on a corpus where docs share a heavy
+    stopword core, the unweighted signature collapses but the idf one
+    separates planted near-dups from random docs; (b) chunks=8 @
+    max_hamming=7 candidates are pigeonhole-COMPLETE — the pair output
+    equals brute-force hamming over the signatures; (c) bitwise
+    partitioning invariance."""
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        simhash_idf_chunks,
+        simhash_idf_pairs,
+    )
+
+    # 30 base docs: a shared high-frequency core (idf ~ 0) + 200 per-doc
+    # rare-tail tokens; 10 planted near-dups copy a base doc dropping 4
+    # tail tokens (2% edit).  Tail length matters: each differing token
+    # shifts a bit's vote by ~1 idf unit against a sqrt(|tail|)-unit
+    # random walk, so short docs scatter past any radius (measured:
+    # 12-token tails put planted pairs at hamming 7-20, 200-token tails
+    # at 1-6 vs random >= 19).
+    core = "the of and to in for on with as by " * 5
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"rare{i}_{j}" for j in range(200))
+        rows.append((i, (core + tail).strip()))
+        if i < 10:
+            near_tail = " ".join(f"rare{i}_{j}" for j in range(196))
+            rows.append((1000 + i, (core + near_tail).strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_idf_pairs(docs, "doc_id", "text").collect()
+    }
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert set(pairs) <= planted, f"false positives: {set(pairs) - planted}"
+    assert len(pairs) >= 6, f"recall collapsed: found only {sorted(pairs)}"
+
+    # completeness: brute-force hamming over the signatures finds no
+    # pair within the radius that the pigeonhole missed
+    sigs = {r._id: list(r.sig) for r in simhash_idf_chunks(docs, "doc_id", "text").collect()}
+    ids = sorted(sigs)
+    brute = {}
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+            if h <= 7:
+                brute[(a, b)] = h
+    assert pairs == brute
+
+    again = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_idf_pairs(docs.repartition(11), "doc_id", "text").collect()
+    }
+    assert pairs == again
+    # (the saturation contrast vs UNWEIGHTED simhash is a corpus
+    # property, pinned by measurement on the zipf fixtures — 878k pairs
+    # at hamming<=16 vs this head's planted-only output; see the
+    # operator docstring and the bench SF_OVERRIDE note)
+
+
+def test_simhash_idf_xxhash_scale_path_and_validation(spark):
+    """The xxhash64 family runs the same pipeline (scale path), and the
+    parameter guards raise loudly."""
+    import pytest
+
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        simhash_idf_chunks,
+        simhash_idf_pairs,
+    )
+
+    # exact duplicate -> identical token multiset -> identical signature
+    # (hamming 0) in ANY hash family; the distinct third doc must not pair
+    dup = " ".join(f"tok{j}" for j in range(40))
+    other = " ".join(f"oth{j}" for j in range(40))
+    rows = [(0, dup), (1, dup), (2, other)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_idf_pairs(docs, "doc_id", "text", hash_family="xxhash64").collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in got} == {(0, 1, 0)}
+
+    with pytest.raises(ValueError, match="chunks"):
+        simhash_idf_chunks(docs, "doc_id", "text", chunks=7)
+    with pytest.raises(ValueError, match="hash_family"):
+        simhash_idf_chunks(docs, "doc_id", "text", hash_family="sha1")
+    with pytest.raises(ValueError, match="distinct"):
+        simhash_idf_chunks(docs, "doc_id", "text", max_distinct_dfs=1).collect()
