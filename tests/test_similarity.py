@@ -407,3 +407,35 @@ def test_embedding_gram_ragged_dim_fails_loudly_both_paths(spark):
 
     got = apply_projection(ok, np.eye(2)).collect()
     assert [r.vec_id for r in got] == [1] and list(got[0].projected) == [1.0, 2.0]
+
+
+def test_ann_recall_eval_matches_independent_set_intersection(spark, sf_small):
+    """The recall head's per-query hit count must equal the independent
+    |topk_exact ∩ topk_lsh| intersection computed from the two underlying
+    operators, with recall = hits/5; plus partitioning invariance."""
+    from collections import defaultdict
+
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+    from vtb_datafusion_2023_spark.suite import REGISTRY, queries
+
+    queries()
+    got = {
+        r.query_id: (r.hits, r.recall_at_5)
+        for r in REGISTRY["ann_recall_eval"].fn(spark, sf_small).collect()
+    }
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = defaultdict(set)
+    for r in cosine_topk(emb, q, k=5).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    approx = defaultdict(set)
+    for r in lsh_ann_topk(emb, q, k=5, n_planes=8).collect():
+        approx[r.query_id].add(r.neighbor_id)
+    want = {qid: len(exact[qid] & approx[qid]) for qid in exact}
+    assert {qid: h for qid, (h, _) in got.items()} == want
+    for qid, (h, rec) in got.items():
+        assert rec == h / 5.0
+    assert set(got) == set(range(10))

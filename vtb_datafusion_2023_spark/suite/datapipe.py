@@ -578,6 +578,74 @@ def ann_lsh_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+with sigs as ({_BUCKET8}),
+q0 as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 10),
+c0 as (select vec_id as neighbor_id, embedding as cv from embeddings),
+ex as (
+  select query_id, neighbor_id from (
+    select query_id, neighbor_id,
+           row_number() over (partition by query_id
+             order by ({_DOT} / ({_NQ} * {_NC})) desc, neighbor_id asc) as rank
+    from c0 cross join q0 where query_id <> neighbor_id) t
+  where rank <= 5
+),
+ql as (select s.vec_id as query_id, e.embedding as qv, s.bucket
+       from sigs s join embeddings e using (vec_id) where s.vec_id < 10),
+cl as (select s.vec_id as neighbor_id, e.embedding as cv, s.bucket
+       from sigs s join embeddings e using (vec_id)),
+ap as (
+  select query_id, neighbor_id from (
+    select query_id, neighbor_id,
+           row_number() over (partition by query_id
+             order by ({_DOT} / ({_NQ} * {_NC})) desc, neighbor_id asc) as rank
+    from cl join ql using (bucket) where query_id <> neighbor_id) t
+  where rank <= 5
+)
+select ex.query_id,
+       cast(count(ap.neighbor_id) as bigint) as hits,
+       (cast(count(ap.neighbor_id) as bigint) / 5.0) as recall_at_5
+from ex left join ap on ex.query_id = ap.query_id and ex.neighbor_id = ap.neighbor_id
+group by ex.query_id
+""",
+    survey_ref="sim-ann-lsh",
+    doc="ANN quality gate: recall@5 of the LSH-bucketed scale path vs "
+    "exact brute-force cosine, per query, in ONE query — the standard "
+    "production acceptance metric for approximate retrieval (an index "
+    "config ships only if measured recall on a sampled query set "
+    "clears the bar).  Both rankings share the certified left-fold "
+    "cosine grammar and (cos desc, neighbor_id asc) tie-break, so the "
+    "oracle replays bitwise.  Scale: the exact leg is the expensive "
+    "one BY DESIGN (recall is measured against ground truth on a "
+    "BOUNDED query sample — here vec_id < 10 — never all queries); "
+    "corpus-side cost is one brute-force scan per eval run, the same "
+    "budget any ANN benchmark pays.",
+)
+def ann_recall_eval(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = lsh_ann_topk(emb, q, k=5, n_planes=8).select(
+        F.col("query_id").alias("_aq"), F.col("neighbor_id").alias("_an")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx._aq) & (exact.neighbor_id == approx._an),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("_an").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("bigint").alias("hits"),
+            (F.col("hits").cast("bigint") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
 def _cosf(a: str, b: str) -> str:
     """DuckDB cosine with the same left-fold arithmetic as
     ``operators.similarity.cosine`` — bitwise-comparable."""
