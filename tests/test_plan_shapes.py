@@ -659,11 +659,16 @@ def test_front_block_registration_order():
     head = [n for n in head if not (n in seen or seen.add(n))]
     assert names[: len(head)] == head
     assert len(set(names)) == len(names)
-    # the unigram-shingle riders lead, then the NaN-fixed epilogue head
+    # slots 1-12 are exactly the 12 heads VERDICT r9 item 1 requires
+    # hash-green in CORRECTNESS_r10: the 5 unigram-shingle riders, the
+    # 3 r9 plan changes, and the 4 rolled guard re-certs
     lead = [
         "dd_ngram_jaccard", "dd_containment", "dd_dedup_clusters",
         "dd_canonical_pick", "dp_softdedup_weights",
-        "dp_priority_sample",
+        "dp_priority_sample", "dp_priority_sample_per_source",
+        "text_contamination_report",
+        "pipeline_submission", "pipeline_user_profile",
+        "a1_pivot_count", "a11_horizontal_stats",
     ]
     assert names[: len(lead)] == lead
     # ALL 40 r5-era stale greens sit inside the driver's ~50 budget:
@@ -683,16 +688,18 @@ def test_front_block_registration_order():
                     newest[q] = rnd
     r5_era = {q for q, rnd in newest.items() if rnd == 5}
     front50 = set(names[:50])
-    assert r5_era <= front50, r5_era - front50
+    # 38 of the 40 r5-era greens fit after the 12 mandatory re-certs;
+    # the two traded out are the zero-drift-surface sum-pivots whose
+    # shared pivot_exprs path a1-a4 re-certify this same round
+    roll = {"a5_pivot_sum", "a6_pivot_sum_debit_credit"}
+    assert r5_era - roll <= front50, (r5_era - roll) - front50
     # nothing already fresh (r9-certified) burns a front-50 slot
     r9_certified = {q for q, rnd in newest.items() if rnd == 9}
     assert not (front50 & r9_certified), front50 & r9_certified
-    # the two r8-green roll candidates queue at 51-52
-    assert names[50:52] == [
-        "dp_priority_sample_per_source", "text_contamination_report",
-    ]
-    # riders + epilogue + guard + r5-era + roll candidates
-    assert len(_FRONT_R10) == 5 + 1 + 4 + 40 + 2
+    # the sum-pivot roll candidates queue at 51-52 (lead _FRONT_R11)
+    assert names[50:52] == ["a5_pivot_sum", "a6_pivot_sum_debit_credit"]
+    # riders + plan changes + guard + r5-era(38) + roll candidates
+    assert len(_FRONT_R10) == 5 + 3 + 4 + 38 + 2
     assert len(_FRONT_R9) == 49 + 1 + 3 + 4 + 5
     assert len(_FRONT_R8) == 1 + 4 + 4 + 41 + 4 + 49  # twin+new+changed+r3+guard+r4
     assert len(_FRONT_R7) == 9 + 34 + 49  # changed + r2-era + r3-era

@@ -363,29 +363,33 @@ _FRONT_R8 = [
 #    r9 (word_shingles n=1 -> array_distinct landed r9 AFTER their
 #    newest greens; string-identical by differential pin, all five
 #    locally oracle-green) — changed-code-path re-certs lead.
-# 1. Slot 6: dp_priority_sample — its driver-side tau epilogue gained
-#    the NaN-explicit total order this round (r9 ADVICE); oracle
-#    re-verified at sf0.01 this session, window-formulation NaN pin
-#    test added.
-# 2. Slots 7-10: the four guard-hardening re-certs that rolled through
+# 1. Slots 6-8: the three r9 plan changes (VERDICT r9 item 1 lists
+#    all 12 rolled heads as must-certify): dp_priority_sample (its
+#    driver-side tau epilogue additionally gained the NaN-explicit
+#    total order this round — r9 ADVICE; window-formulation NaN pin
+#    test added), dp_priority_sample_per_source, and
+#    text_contamination_report — all three oracle re-verified at
+#    sf0.01 this session.
+# 2. Slots 9-12: the four guard-hardening re-certs that rolled through
 #    r8 AND r9 (all r7-green, bitwise-pinned by the branch-C
-#    differential tests).
-# 3. Slots 11-50: ALL 40 r5-era stale greens, shared-code-path risk
-#    first: ml_kmeans (Arrow-GEMM assignment rewritten r6),
+#    differential tests).  Slots 1-12 = exactly the 12 heads VERDICT
+#    r9 item 1 requires hash-green in CORRECTNESS_r10.
+# 3. Slots 13-50: 38 of the 40 r5-era stale greens, shared-code-path
+#    risk first: ml_kmeans (Arrow-GEMM assignment rewritten r6),
 #    agg_incremental_quantiles (checkpoint-family GC findings), the
 #    fused-cleaner family, the stats-fusion and TF-IDF-idiom
-#    adjacencies, then the stable tail (trivial pivots last — no drift
-#    surface).
-# 4. Slots 51-52: the two r8-green heads with the freshest evidence
-#    (dp_priority_sample_per_source re-verified vs the oracle this
-#    session; text_contamination_report re-verified r9) — they roll to
-#    r11 at r8 freshness if the driver stops at 50.
+#    adjacencies, then the stable tail.
+# 4. Slots 51-52: the two r5-era heads with the LEAST drift surface —
+#    a5/a6 sum-pivots, whose shared pivot_exprs path is re-certified
+#    via a1 (slot 11) and a2-a4 this same round.  They roll to r11 at
+#    r5 freshness if the driver stops at 50; they lead _FRONT_R11.
 _FRONT_R10 = [
     # -- unigram-shingle fast-path riders (plan changed r9; pinned) --
     "dd_ngram_jaccard", "dd_containment", "dd_dedup_clusters",
     "dd_canonical_pick", "dp_softdedup_weights",
-    # -- tau epilogue NaN fix this round (r9 ADVICE) --
-    "dp_priority_sample",
+    # -- r9 plan changes (tau epilogue + NaN fix; eager bg pin) --
+    "dp_priority_sample", "dp_priority_sample_per_source",
+    "text_contamination_report",
     # -- guard-hardening re-certs rolled from r8/r9 (r7-green, pinned) --
     "pipeline_submission", "pipeline_user_profile",
     "a1_pivot_count", "a11_horizontal_stats",
@@ -404,10 +408,10 @@ _FRONT_R10 = [
     "sk_kmv_distinct", "so3_md5_sample", "tbl_zorder_roundtrip",
     "text_hash_classifier", "a12_a13_row_normalize", "a15_ensemble_mean",
     "a16_roc_auc", "agg_cube_source_lang", "a2_pivot_count_dom",
-    "a3_pivot_count_dow", "a4_pivot_count_hour", "a5_pivot_sum",
-    "a6_pivot_sum_debit_credit",
-    # -- r8-green, locally oracle-verified r9/r10; roll candidates --
-    "dp_priority_sample_per_source", "text_contamination_report",
+    "a3_pivot_count_dow", "a4_pivot_count_hour",
+    # -- roll candidates: zero-drift-surface sum-pivots (path covered
+    #    by a1-a4 above); they lead _FRONT_R11 if the driver stops at 50 --
+    "a5_pivot_sum", "a6_pivot_sum_debit_credit",
 ]
 
 _FRONT_R9 = [
