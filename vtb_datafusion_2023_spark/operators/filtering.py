@@ -649,3 +649,82 @@ def throttle_events(
         .drop("_rn_thr")
         .withColumnRenamed("_win", "window_id")
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    sqrt_steps: int = 2,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights — the multilingual-LLM
+    sampling-rate computation (XLM-R / mT5 style): upsample small
+    sources, downsample large ones with ``w_i ∝ (n_i)^alpha``,
+    ``alpha = 2^-sqrt_steps`` (0.25 by default — near the literature's
+    0.3, and computed as a chain of IEEE ``sqrt`` ops, each correctly
+    rounded and engine-identical, where ``pow(x, 0.3)`` carries no
+    cross-libm bit guarantee).
+
+    Output per source: exact ``n_docs`` / ``n_tokens`` counts, the
+    normalized sampling ``weight``, the token allocation under
+    ``token_budget``, and ``epochs`` = allocation / corpus size (how
+    many passes over that source the mix implies — the number training
+    teams actually review for overfitting risk on small sources).
+
+    Determinism: the per-source sums are exact integers; ``w_raw =
+    sqrt^m(n_tokens)`` is exact IEEE; the normalizer is a LEFT FOLD of
+    the per-source ``w_raw`` in source order (driver-side epilogue over
+    the per-source rows, bounded by the source cardinality — same idiom
+    as the priority-sample tau), mirrored in SQL as
+    ``list_reduce(list(w_raw order by source), +)`` so both engines add
+    in the identical sequence.  weight/alloc/epochs are then single
+    correctly-rounded ops on those shared values => bitwise.
+
+    Scale shape: ONE hash aggregate over the corpus (map-side partial
+    sums); the epilogue touches only #sources rows.  Feed the weights
+    to :func:`deterministic_mix` (rates = epochs clipped to 1) or a
+    weighted sampler to materialize the mix.
+    """
+    if sqrt_steps < 1:
+        raise ValueError(
+            f"temperature_mix_weights: sqrt_steps must be >= 1, got {sqrt_steps}"
+        )
+    per = (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col(token_col).cast("bigint")).cast("bigint").alias("n_tokens"),
+        )
+        .collect()
+    )
+    rows = sorted(per, key=lambda r: r[source_col])
+    import math
+
+    w_raw = []
+    for r in rows:
+        v = float(r["n_tokens"])
+        for _ in range(sqrt_steps):
+            v = math.sqrt(v)
+        w_raw.append(v)
+    denom = w_raw[0]
+    for v in w_raw[1:]:
+        denom = denom + v
+    out = []
+    for r, w in zip(rows, w_raw):
+        weight = w / denom
+        alloc = weight * float(token_budget)
+        epochs = alloc / float(r["n_tokens"])
+        out.append((r[source_col], r["n_docs"], r["n_tokens"], weight, alloc, epochs))
+    spark = df.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField(source_col, T.StringType(), True),
+            T.StructField("n_docs", T.LongType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("weight", T.DoubleType(), True),
+            T.StructField("alloc_tokens", T.DoubleType(), True),
+            T.StructField("epochs", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

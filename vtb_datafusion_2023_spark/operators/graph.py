@@ -326,3 +326,50 @@ def link_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         F.col("deg_b").cast("bigint").alias("deg_b"),
         j.alias("jaccard"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph — the
+    Pearson correlation of (deg(u), deg(v)) over every directed edge
+    realization (both orientations of each undirected edge, Newman
+    2002) — the one-number mixing diagnostic behind curation of graph
+    corpora (social graphs are assortative, web/purchase graphs
+    disassortative; extends the reference's graph screens with the
+    standard structural summary).
+
+    Determinism: degrees are exact integer counts and the coefficient
+    comes from exact decimal moment sums (:func:`sqlgen.corr_from_pairs`
+    — one shared scalar fragment in both engines), so the single output
+    row is bitwise cross-engine and partitioning-independent.  Using
+    both orientations makes the pair set symmetric, so x- and y-moments
+    coincide — the undirected definition.
+
+    Scale shape: dedupe + two degree joins + ONE scalar hash aggregate;
+    everything keys on vertex ids, no fan-out beyond the edge list (2|E|
+    rows into the final aggregate).  NULL on a degree-regular graph
+    (zero variance), like scipy.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbr = und.select(F.col("u").alias("x"), F.col("v").alias("w")).unionAll(
+        und.select(F.col("v").alias("x"), F.col("u").alias("w"))
+    )
+    deg = nbr.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    both = (
+        nbr.join(deg.select(F.col("x"), F.col("d").alias("_x")), "x")
+        .join(
+            deg.select(F.col("x").alias("w"), F.col("d").alias("_y")), "w"
+        )
+    )
+    return both.agg(
+        (F.count(F.lit(1)) / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.expr(sqlgen.corr_from_pairs("_x", "_y")).alias("assortativity"),
+    )

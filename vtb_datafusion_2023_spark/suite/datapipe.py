@@ -5234,3 +5234,97 @@ def gr_link_jaccard(spark, sf_dir):
         .distinct()
     )
     return link_jaccard(e)
+
+
+@register(
+    "gr_assortativity",
+    oracle=f"""
+with base as (
+  select distinct l_orderkey as o, l_partkey as p from lineitem where l_orderkey <= 300
+),
+e as (
+  select distinct x.p as u, y.p as v
+  from base x join base y on x.o = y.o and x.p < y.p
+),
+nbr as (
+  select u as x, v as w from e
+  union all
+  select v as x, u as w from e
+),
+deg as (select x, count(*) as d from nbr group by x),
+pairs as (
+  select n.x, n.w, da.d as _x, db.d as _y
+  from nbr n
+  join deg da on da.x = n.x
+  join deg db on db.x = n.w
+)
+select cast(count(*) / 2 as bigint) as n_edges,
+       {sqlgen.corr_from_pairs("_x", "_y")} as assortativity
+from pairs
+""",
+    survey_ref="graph-assortativity",
+    doc="degree assortativity of the co-purchase graph (Newman 2002: "
+    "Pearson r of endpoint degrees over both orientations of every "
+    "edge) — the one-number mixing diagnostic for graph-corpus "
+    "curation.  Exact integer degrees + sqlgen.corr_from_pairs "
+    "decimal moment sums => bitwise; dedupe + two degree joins + one "
+    "scalar aggregate.",
+)
+def gr_assortativity(spark, sf_dir):
+    from ..operators.graph import degree_assortativity
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 300)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.o") == F.col("y.o"))
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return degree_assortativity(e)
+
+
+@register(
+    "dp_temperature_mix",
+    oracle="""
+with s as (
+  select source, cast(count(*) as bigint) as n_docs,
+         cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens
+  from documents group by source
+),
+w as (select source, n_docs, n_tokens,
+             sqrt(sqrt(cast(n_tokens as double))) as w_raw from s),
+d as (select list_reduce(list(w_raw order by source), (a, b) -> a + b) as denom
+      from w)
+select w.source, w.n_docs, w.n_tokens,
+       w.w_raw / d.denom as weight,
+       (w.w_raw / d.denom) * 1000000.0 as alloc_tokens,
+       ((w.w_raw / d.denom) * 1000000.0) / cast(w.n_tokens as double) as epochs
+from w cross join d
+""",
+    survey_ref="corpus-temperature-mix",
+    doc="temperature-scaled source mixing weights (XLM-R / mT5 style "
+    "w_i ∝ n_i^0.25): exact per-source token sums (ONE map-side-"
+    "partial hash aggregate over the corpus), alpha as an IEEE sqrt "
+    "chain (no cross-libm pow), normalizer as a source-ordered LEFT "
+    "FOLD mirrored by DuckDB list_reduce — driver epilogue over "
+    "#sources rows (the priority-sample tau idiom) => bitwise.  "
+    "Outputs weight / token allocation / implied epochs per source; "
+    "feeds deterministic_mix or a weighted sampler.",
+)
+def dp_temperature_mix(spark, sf_dir):
+    from ..operators.filtering import temperature_mix_weights
+
+    docs = T(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return temperature_mix_weights(
+        docs, source_col="source", token_col="n_tokens",
+        sqrt_steps=2, token_budget=1_000_000,
+    )
