@@ -112,3 +112,51 @@ def test_temperature_mix_single_source_gets_everything(spark):
     row = temperature_mix_weights(df, token_budget=777).collect()[0]
     assert row.weight == 1.0
     assert row.alloc_tokens == 777.0
+
+
+def test_int8_rerank_full_coarse_equals_bruteforce(spark, sf_small):
+    """With k_coarse >= corpus size stage 1 prunes nothing, so the final
+    ranking must EQUAL brute-force cosine top-k bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.similarity import (
+        cosine_topk,
+        int8_rerank_topk,
+    )
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    emb = T(spark, sf_small, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = {tuple(r) for r in cosine_topk(emb, qs, k=5).collect()}
+    funnel = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos)
+        for r in int8_rerank_topk(emb, qs, k_coarse=n, k=5).collect()
+    }
+    assert funnel == exact and len(exact) == 25
+
+
+def test_int8_coarse_score_matches_numpy_and_tracks_cosine(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from vtb_datafusion_2023_spark.operators.similarity import int8_rerank_topk
+    from vtb_datafusion_2023_spark.suite.datapipe import T
+
+    emb = T(spark, sf_small, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    rows = int8_rerank_topk(emb, qs, k_coarse=8, k=8).collect()
+    assert rows
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def q8(x):
+        s = 127.0 / np.abs(x).max()
+        return np.floor(x * s + 0.5).astype(np.int64)
+
+    for r in rows:
+        qa, ca = q8(vecs[r.query_id]), q8(vecs[r.neighbor_id])
+        ref = float(qa @ ca) / (
+            math.sqrt(float(qa @ qa)) * math.sqrt(float(ca @ ca))
+        )
+        assert abs(r.cos8 - ref) < 1e-12
+        # 32-dim int8 quantization: coarse score tracks true cosine
+        assert abs(r.cos8 - r.cos) < 0.05

@@ -5328,3 +5328,73 @@ def dp_temperature_mix(spark, sf_dir):
         docs, source_col="source", token_col="n_tokens",
         sqrt_steps=2, token_budget=1_000_000,
     )
+
+
+@register(
+    "ann_int8_rerank",
+    oracle=f"""
+with base as (
+  select vec_id, embedding,
+         cast(127 as double) / list_max(list_transform(
+             range(1, len(embedding) + 1),
+             i -> abs(cast(embedding[i] as double)))) as s
+  from embeddings
+),
+qz as (
+  select vec_id, embedding,
+         list_transform(range(1, len(embedding) + 1),
+             i -> cast(floor(cast(embedding[i] as double) * s + 0.5) as bigint)) as qa
+  from base
+),
+q as (select vec_id as query_id, embedding as qv, qa,
+             list_reduce(list_transform(range(1, len(qa) + 1),
+                 i -> qa[i] * qa[i]), (a, b) -> a + b) as qn2
+      from qz where vec_id < 10),
+c as (select vec_id as neighbor_id, embedding as cv, qa as ca,
+             list_reduce(list_transform(range(1, len(qa) + 1),
+                 i -> qa[i] * qa[i]), (a, b) -> a + b) as cn2
+      from qz),
+s1 as (
+  select query_id, neighbor_id, qv, cv,
+         cast(list_reduce(list_transform(range(1, len(qa) + 1),
+                  i -> qa[i] * ca[i]), (a, b) -> a + b) as double)
+           / (sqrt(cast(qn2 as double)) * sqrt(cast(cn2 as double))) as cos8
+  from c cross join q
+  where query_id <> neighbor_id
+),
+r1 as (
+  select query_id, neighbor_id, qv, cv, cos8,
+         row_number() over (partition by query_id
+                            order by cos8 desc, neighbor_id asc) as _r1
+  from s1
+),
+s2 as (
+  select query_id, neighbor_id, cos8, ({_DOT} / ({_NQ} * {_NC})) as cos
+  from r1 where _r1 <= 32
+),
+r2 as (
+  select query_id, neighbor_id, cos8, cos,
+         row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+  from s2
+)
+select query_id, neighbor_id, cast(rank as int) as rank, cos8, cos
+from r2 where rank <= 5
+""",
+    survey_ref="ann-int8-rerank",
+    doc="two-stage int8 retrieval funnel: the corpus scan ranks on "
+    "symmetric-int8 quantized vectors (4x smaller candidate store; "
+    "scale-free coarse score — the per-vector scales cancel, so stage "
+    "1 is built ONLY from exact integer dot products + two rounded "
+    "sqrt/divides, no float accumulation), full-precision cosine "
+    "reranks the 32 survivors per query.  Bitwise cross-engine; "
+    "recall dial = k_coarse, like the MRL funnel.",
+)
+def ann_int8_rerank(spark, sf_dir):
+    from ..operators.similarity import int8_rerank_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = int8_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k_coarse=32, k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
