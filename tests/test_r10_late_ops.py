@@ -160,3 +160,83 @@ def test_int8_coarse_score_matches_numpy_and_tracks_cosine(spark, sf_small):
         assert abs(r.cos8 - ref) < 1e-12
         # 32-dim int8 quantization: coarse score tracks true cosine
         assert abs(r.cos8 - r.cos) < 0.05
+
+
+def _phash_img(d):
+    import hashlib
+
+    by, bx = np.meshgrid(np.arange(8), np.arange(9), indexing="ij")
+    base = np.array(
+        [
+            [
+                1
+                + int(hashlib.md5(f"{d % 101}:{r}:{c}".encode()).hexdigest()[:8], 16)
+                % 220
+                for c in range(9)
+            ]
+            for r in range(8)
+        ],
+        dtype=np.int64,
+    )
+    vb = base + 23 * ((d % 5 == 0) & ((by + bx) % 7 == 0))
+    vpix = np.repeat(np.repeat(vb, 4, axis=0), 4, axis=1)
+    yy, xx = np.meshgrid(np.arange(32), np.arange(36), indexing="ij")
+    vpix = vpix + ((yy + xx + d) % 2)
+    return np.stack([vpix - 1, vpix, vpix + 1], axis=2).astype(np.uint8)
+
+
+def test_dhash_noise_invariant_but_bytes_differ():
+    """The per-doc checkerboard noise phase changes the ENCODED BYTES
+    but not the perceptual hash — the property the dedup head exists
+    to exploit."""
+    from vtb_datafusion_2023_spark.operators.codecs import decode_png, encode_png
+    from vtb_datafusion_2023_spark.operators.multimodal import dhash64
+
+    a, b = _phash_img(101), _phash_img(202)  # same cluster, odd/even noise
+    pa, pb = encode_png(a, filter_mode="cycle"), encode_png(b, filter_mode="cycle")
+    assert pa != pb
+    assert dhash64(decode_png(pa)) == dhash64(decode_png(pb))
+
+
+def test_dhash_perturbed_variant_is_near_not_equal():
+    from vtb_datafusion_2023_spark.operators.multimodal import dhash64
+
+    # docs d%5==0 carry the 23-level block perturb; same cluster base
+    # -> few bits differ across several clusters, never zero overall,
+    # never a rehash-everything blowup
+    hams = []
+    for d in (0, 5, 10, 15, 20):  # clusters 0, 5, 10, 15, 20
+        hp = dhash64(_phash_img(d))
+        hu = dhash64(_phash_img(d + 202))  # same cluster (202 = 2*101)
+        assert (d + 202) % 101 == d % 101 and (d + 202) % 5 != 0
+        ham = bin(hp[0] ^ hu[0]).count("1") + bin(hp[1] ^ hu[1]).count("1")
+        hams.append(ham)
+    assert sum(hams) >= 1 and max(hams) <= 20
+
+
+def test_dhash_packing_matches_manual_bits():
+    from vtb_datafusion_2023_spark.operators.multimodal import dhash64
+
+    img = _phash_img(77)
+    g = img.astype(np.int64).sum(axis=2) // 3
+    blocks = g.reshape(8, 4, 9, 4).sum(axis=(1, 3)) // 16
+    hi = lo = 0
+    for r in range(8):
+        for c in range(8):
+            if blocks[r][c + 1] > blocks[r][c]:
+                if r < 4:
+                    lo |= 1 << (r * 8 + c)
+                else:
+                    hi |= 1 << ((r - 4) * 8 + c)
+    assert dhash64(img) == (hi, lo)
+
+
+def test_phash_canonicalize_groups_noise_variants(spark):
+    from vtb_datafusion_2023_spark.operators.multimodal import phash_canonicalize
+
+    hashed = spark.createDataFrame(
+        [(1, 10, 20), (5, 10, 20), (3, 10, 21), (9, 11, 20)],
+        "doc_id long, phash_hi long, phash_lo long",
+    )
+    got = {r.doc_id: (r.canon_doc, r.group_size) for r in phash_canonicalize(hashed).collect()}
+    assert got == {1: (1, 2), 5: (1, 2), 3: (3, 1), 9: (9, 1)}

@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -224,3 +224,58 @@ def resize_media(
             yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def dhash64(img) -> tuple:
+    """Integer-exact 64-bit difference hash (dHash) of an RGB image —
+    the standard perceptual fingerprint for image near-dup detection
+    (byte-level noise, re-encodes, and sub-LSB perturbations leave it
+    unchanged; visually different images differ in many bits).
+
+    Pipeline, all integer floor arithmetic so every engine/platform
+    agrees bit-for-bit (no float resampling like PIL's):
+      gray  = (r + g + b) // 3 per pixel;
+      grid  = 8 x 9 block means, each ``sum(block) // block_area``
+              (img height must be 8*bh, width 9*bw);
+      bits  = grid[r][c+1] > grid[r][c]  ->  8 x 8 = 64 bits.
+
+    Returns ``(hi, lo)`` — two bigint words (rows 4-7 / rows 0-3, bit
+    ``2^(r'*8 + c)``), because a packed 64-bit hash would overflow the
+    sign bit in SQL engines; group/join on the pair.
+    """
+    import numpy as np
+
+    g = img.astype(np.int64).sum(axis=2) // 3
+    h, w = g.shape
+    if h % 8 or w % 9:
+        raise ValueError(f"dhash64: need height%8==0 and width%9==0, got {h}x{w}")
+    bh, bw = h // 8, w // 9
+    blocks = g.reshape(8, bh, 9, bw).sum(axis=(1, 3)) // (bh * bw)
+    bits = (blocks[:, 1:] > blocks[:, :-1]).astype(np.int64)
+    pos = (np.arange(4, dtype=np.int64)[:, None] * 8 + np.arange(8, dtype=np.int64)[None, :])
+    w4 = np.int64(1) << pos
+    lo = int((bits[:4] * w4).sum())
+    hi = int((bits[4:] * w4).sum())
+    return hi, lo
+
+
+def phash_canonicalize(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "phash_hi",
+    lo_col: str = "phash_lo",
+) -> DataFrame:
+    """Exact-perceptual-hash dedup finisher: group rows by their 64-bit
+    dHash (two bigint words) and attach the canonical member (min id)
+    plus group size — the image-side analogue of exact text dedup,
+    collapsing byte-different but perceptually-identical images.
+
+    ONE hash-partition window on the hash words (map-side-combinable
+    if rewritten as agg+join; the window keeps one exchange).  Compose
+    the simhash banding machinery on the words for NEAR-hash matching.
+    """
+    w = Window.partitionBy(hi_col, lo_col)
+    return (
+        hashed.withColumn("canon_doc", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+    )

@@ -5398,3 +5398,129 @@ def ann_int8_rerank(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 10), k_coarse=32, k=5
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "mm_phash_dedup",
+    oracle="""
+with vb as (
+  select d.doc_id, r.range as r, c.range as c,
+         1 + cast(('0x' || substring(md5(
+                 cast(d.doc_id % 101 as varchar) || ':' ||
+                 cast(r.range as varchar) || ':' ||
+                 cast(c.range as varchar)), 1, 8)) as bigint) % 220
+           + case when d.doc_id % 5 = 0 and (r.range + c.range) % 7 = 0
+                  then 23 else 0 end as v
+  from documents d, range(8) r, range(9) c
+),
+bits as (
+  select l.doc_id, l.r, l.c,
+         case when rt.v > l.v then 1 else 0 end as b
+  from vb l
+  join vb rt on rt.doc_id = l.doc_id and rt.r = l.r and rt.c = l.c + 1
+  where l.c < 8
+),
+ph as (
+  select doc_id,
+         cast(sum(case when r >= 4
+                       then b * cast(pow(2, (r - 4) * 8 + c) as bigint)
+                       else 0 end) as bigint) as phash_hi,
+         cast(sum(case when r < 4
+                       then b * cast(pow(2, r * 8 + c) as bigint)
+                       else 0 end) as bigint) as phash_lo
+  from bits group by doc_id
+)
+select doc_id, phash_hi, phash_lo,
+       min(doc_id) over (partition by phash_hi, phash_lo) as canon_doc,
+       cast(count(*) over (partition by phash_hi, phash_lo) as bigint)
+         as group_size
+from ph
+""",
+    survey_ref="multimodal-phash-dedup",
+    doc="perceptual-hash image dedup: per doc, synthesize a 36x32 RGB "
+    "pattern (md5-coin block values keyed doc_id%101 — the repo's "
+    "deterministic-randomness idiom, so distinct clusters get distinct "
+    "hashes w.h.p.; a 23-level block perturb on doc_id%5==0 that flips "
+    "a few comparison bits — a NEAR variant landing in its own exact "
+    "group; and a per-doc checkerboard NOISE phase that "
+    "changes the encoded bytes but not the hash), round-trip it "
+    "through the REAL PNG codec, compute the integer-exact 64-bit "
+    "dHash (multimodal.dhash64 — floor-arithmetic gray + 8x9 block "
+    "means + adjacent-column comparisons, packed as two bigint "
+    "words), then canonicalize by exact hash (min doc / group size; "
+    "ONE window exchange on the hash words).  The DuckDB oracle "
+    "derives every bit from the closed-form block values, so a "
+    "single flipped bit in the PNG encoder, zlib, filter "
+    "reconstruction, gray/block floor math, or bit packing fails the "
+    "hash gate.  Byte-different noise variants land in the same "
+    "group — the image-side exact-dedup analogue; compose simhash "
+    "banding on the words for near-hash matching.",
+)
+def mm_phash_dedup(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    from ..operators.codecs import decode_png, encode_png
+    from ..operators.multimodal import dhash64, phash_canonicalize
+
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType(), False),
+            T_.StructField("phash_hi", T_.LongType(), True),
+            T_.StructField("phash_lo", T_.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+
+        by, bx = np.meshgrid(np.arange(8), np.arange(9), indexing="ij")
+        yy, xx = np.meshgrid(np.arange(32), np.arange(36), indexing="ij")
+        base_cache: dict = {}
+
+        def base_grid(cluster):
+            g = base_cache.get(cluster)
+            if g is None:
+                g = np.array(
+                    [
+                        [
+                            1
+                            + int(
+                                hashlib.md5(
+                                    f"{cluster}:{r}:{c}".encode()
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % 220
+                            for c in range(9)
+                        ]
+                        for r in range(8)
+                    ],
+                    dtype=np.int64,
+                )
+                base_cache[cluster] = g
+            return g
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                vb = base_grid(d % 101) + 23 * (
+                    (d % 5 == 0) & ((by + bx) % 7 == 0)
+                )
+                vpix = np.repeat(np.repeat(vb, 4, axis=0), 4, axis=1)
+                vpix = vpix + ((yy + xx + d) % 2)
+                img = np.stack(
+                    [vpix - 1, vpix, vpix + 1], axis=2
+                ).astype(np.uint8)
+                back = decode_png(encode_png(img, filter_mode="cycle"))
+                hi, lo = dhash64(back)
+                out.append({"doc_id": d, "phash_hi": hi, "phash_lo": lo})
+            yield pd.DataFrame(out, columns=["doc_id", "phash_hi", "phash_lo"])
+
+    hashed = _spread_ids(
+        T(spark, sf_dir, "documents").select("doc_id")
+    ).mapInPandas(run, schema=schema)
+    return phash_canonicalize(hashed)
