@@ -136,6 +136,14 @@ HEADLINE = [
     # idf-weighted SimHash over the zipf fixture — the simhash family's
     # non-degenerate benchable head (see SF_OVERRIDE note).
     "dd_simhash_idf",
+    # round-10 session-3 additions: graph mixing diagnostic,
+    # temperature mixing weights, int8 retrieval funnel, and
+    # perceptual-hash image dedup over the real PNG codec.
+    "gr_assortativity",
+    "dp_temperature_mix",
+    "ann_int8_rerank",
+    "mm_phash_dedup",
+    "mm_phash_near_pairs",
 ]
 
 # Per-head sf_dir override: heads whose MAIN-dir input is a documented

@@ -240,3 +240,18 @@ def test_phash_canonicalize_groups_noise_variants(spark):
     )
     got = {r.doc_id: (r.canon_doc, r.group_size) for r in phash_canonicalize(hashed).collect()}
     assert got == {1: (1, 2), 5: (1, 2), 3: (3, 1), 9: (9, 1)}
+
+
+def test_phash_near_pairs_merge_perturb_groups(spark, sf_small):
+    """The near head must find the perturb-variant <-> cluster-base rep
+    pairs (hamming in [1, 7], never 0 — those collapsed in the exact
+    group stage) and every returned pair must share >= 1 byte chunk
+    (the pigeonhole guarantee it was built on)."""
+    from vtb_datafusion_2023_spark.suite.datapipe import mm_phash_near_pairs
+
+    rows = mm_phash_near_pairs(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.hamming <= 7
+        assert r.rep_a < r.rep_b
+        assert r.size_a >= 1 and r.size_b >= 1

@@ -5400,10 +5400,9 @@ def ann_int8_rerank(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register(
-    "mm_phash_dedup",
-    oracle="""
-with vb as (
+# Shared closed-form dHash derivation for the mm_phash_* oracles: md5-coin
+# block values -> adjacent-column comparison bits -> two bigint words.
+_PHASH_CTES = """with vb as (
   select d.doc_id, r.range as r, c.range as c,
          1 + cast(('0x' || substring(md5(
                  cast(d.doc_id % 101 as varchar) || ':' ||
@@ -5429,7 +5428,13 @@ ph as (
                        then b * cast(pow(2, r * 8 + c) as bigint)
                        else 0 end) as bigint) as phash_lo
   from bits group by doc_id
-)
+)"""
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+{_PHASH_CTES}
 select doc_id, phash_hi, phash_lo,
        min(doc_id) over (partition by phash_hi, phash_lo) as canon_doc,
        cast(count(*) over (partition by phash_hi, phash_lo) as bigint)
@@ -5457,11 +5462,21 @@ from ph
     "banding on the words for near-hash matching.",
 )
 def mm_phash_dedup(spark, sf_dir):
+    from ..operators.multimodal import phash_canonicalize
+
+    return phash_canonicalize(_phash_hashed(spark, sf_dir))
+
+
+def _phash_hashed(spark, sf_dir):
+    """Shared stage for the phash heads: synthesize + PNG-round-trip +
+    dHash every document (one Arrow mapInPandas pass).  Closure imports
+    sit at BUILD scope so the codec ships by value to vanilla executors
+    (round-7 finding)."""
     import pandas as pd
     from pyspark.sql import types as T_
 
     from ..operators.codecs import decode_png, encode_png
-    from ..operators.multimodal import dhash64, phash_canonicalize
+    from ..operators.multimodal import dhash64
 
     schema = T_.StructType(
         [
@@ -5520,7 +5535,92 @@ def mm_phash_dedup(spark, sf_dir):
                 out.append({"doc_id": d, "phash_hi": hi, "phash_lo": lo})
             yield pd.DataFrame(out, columns=["doc_id", "phash_hi", "phash_lo"])
 
-    hashed = _spread_ids(
+    return _spread_ids(
         T(spark, sf_dir, "documents").select("doc_id")
     ).mapInPandas(run, schema=schema)
-    return phash_canonicalize(hashed)
+
+
+@register(
+    "mm_phash_near_pairs",
+    oracle=f"""
+{_PHASH_CTES},
+reps as (
+  select phash_hi, phash_lo, min(doc_id) as rep_doc,
+         cast(count(*) as bigint) as group_size
+  from ph group by phash_hi, phash_lo
+),
+ch as (
+  select rep_doc, phash_hi, phash_lo, group_size, j.range as chunk,
+         cast(case when j.range < 4
+              then (phash_lo // cast(pow(256, j.range) as bigint)) % 256
+              else (phash_hi // cast(pow(256, j.range - 4) as bigint)) % 256
+              end as int) as ckey
+  from reps, range(8) j
+),
+cand as (
+  select distinct a.rep_doc as rep_a, b.rep_doc as rep_b,
+         a.phash_hi as hi_a, a.phash_lo as lo_a, a.group_size as size_a,
+         b.phash_hi as hi_b, b.phash_lo as lo_b, b.group_size as size_b
+  from ch a
+  join ch b on a.chunk = b.chunk and a.ckey = b.ckey
+           and a.rep_doc < b.rep_doc
+)
+select rep_a, rep_b,
+       cast(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) as int)
+         as hamming,
+       size_a, size_b
+from cand
+where bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 7
+""",
+    survey_ref="multimodal-phash-near",
+    doc="NEAR-duplicate image matching on perceptual hashes: distinct "
+    "dHash values collapse to one representative first (group "
+    "cardinality, not corpus cardinality — the scale bound), then an "
+    "8x8-bit chunk pigeonhole join finds candidate rep pairs and "
+    "bit_count(xor) verifies hamming <= 7 (pigeonhole-COMPLETE at "
+    "that radius: any pair within 7 bits shares at least one exact "
+    "byte chunk).  Merges the perturb-variant groups with their "
+    "cluster base groups — the image analogue of the simhash banding "
+    "family, riding the same real-PNG-codec hash stage.",
+)
+def mm_phash_near_pairs(spark, sf_dir):
+    hashed = _phash_hashed(spark, sf_dir)
+    reps = hashed.groupBy("phash_hi", "phash_lo").agg(
+        F.min("doc_id").alias("rep_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+    )
+    chunks = [
+        (
+            F.shiftright(F.col("phash_lo"), 8 * j) if j < 4
+            else F.shiftright(F.col("phash_hi"), 8 * (j - 4))
+        ).bitwiseAND(F.lit(255)).cast("int")
+        for j in range(8)
+    ]
+    ch = reps.select(
+        "rep_doc", "phash_hi", "phash_lo", "group_size",
+        F.posexplode(F.array(*chunks)).alias("chunk", "ckey"),
+    )
+    a = ch.select(
+        F.col("rep_doc").alias("rep_a"), F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"), F.col("group_size").alias("size_a"),
+        "chunk", "ckey",
+    )
+    b = ch.select(
+        F.col("rep_doc").alias("rep_b"), F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"), F.col("group_size").alias("size_b"),
+        "chunk", "ckey",
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", "hi_a", "lo_a", "hi_b", "lo_b",
+                "size_a", "size_b")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 7)
+        .select("rep_a", "rep_b", "hamming", "size_a", "size_b")
+    )
