@@ -144,6 +144,8 @@ HEADLINE = [
     "ann_int8_rerank",
     "mm_phash_dedup",
     "mm_phash_near_pairs",
+    # dedup quality gate on the zipf fixture (see SF_OVERRIDE)
+    "dd_lsh_recall_eval",
 ]
 
 # Per-head sf_dir override: heads whose MAIN-dir input is a documented
@@ -154,6 +156,10 @@ _ZIPF_DIR = os.environ.get("SPARK_GRAFT_ZIPF_DIR", os.path.join(
 SF_OVERRIDE = {
     "dd_ngram_jaccard": _ZIPF_DIR,
     "dd_containment": _ZIPF_DIR,
+    # the recall gate is non-degenerate on the planted zipf corpus
+    # (recall 0.994 at zipf0.1 vs 1.0 on the 31-word-vocab driver
+    # fixture, whose truth pairs are all jaccard~1 and always caught)
+    "dd_lsh_recall_eval": _ZIPF_DIR,
     # round-10 (VERDICT r9 item 5): dd_minhash_lsh's headline number
     # also stops carrying the word-soup output artifact (sf10 word-soup
     # produces 27.3M true pairs — 109x output growth for 10x data, so

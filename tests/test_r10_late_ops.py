@@ -255,3 +255,24 @@ def test_phash_near_pairs_merge_perturb_groups(spark, sf_small):
         assert 1 <= r.hamming <= 7
         assert r.rep_a < r.rep_b
         assert r.size_a >= 1 and r.size_b >= 1
+
+
+def test_minhash_band_candidates_catch_exact_dupes(spark):
+    """Identical texts produce identical signatures in EVERY band, so
+    the candidate stage can never miss an exact duplicate (recall floor
+    of the dd_lsh_recall_eval gate); disjoint-vocab docs share no
+    shingle, hence no bucket."""
+    from vtb_datafusion_2023_spark.operators.dedup import (
+        _bucket_candidate_pairs,
+        minhash_md5_band_table,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    rows.append((10, "one two three four five six"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = minhash_md5_band_table(docs, "doc_id", "text", 16, 4, 3)
+    got = {
+        (r.id_a, r.id_b)
+        for r in _bucket_candidate_pairs(banded, max_bucket_size=100).collect()
+    }
+    assert got == {(a, b) for a in range(4) for b in range(4) if a < b}

@@ -5624,3 +5624,113 @@ def mm_phash_near_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= 7)
         .select("rep_a", "rep_b", "hamming", "size_a", "size_b")
     )
+
+
+def _minhash_md5_cand_sql(num_perm: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
+    """The banding-only prefix of `_minhash_md5_oracle` (shingle ->
+    permuted-min -> band bucket -> distinct candidates), reused by the
+    recall-eval head, which scores the RAW candidate set."""
+    r = num_perm // bands
+    n1 = shingle_n - 1
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len(tk) - {n1}, 1) + 1), "
+        f"i -> array_to_string(tk[i:i+{n1}], ' ')))"
+    )
+    mins = ", ".join(f"min(md5('{p}:' || _s)) as m{p}" for p in range(num_perm))
+    band_rows = "\n  union all\n  ".join(
+        f"select _id, {b} as band, md5(concat_ws('|', "
+        + ", ".join(f"m{b * r + j}" for j in range(r))
+        + ")) as bucket from sigs"
+        for b in range(bands)
+    )
+    return f"""sh as (
+  select doc_id as _id, unnest({shingles}) as _s
+  from (select doc_id, string_split(text, ' ') as tk from documents)
+),
+sigs as (select _id, {mins} from sh group by _id),
+banded as (
+  {band_rows}
+),
+cand as (
+  select distinct l._id as id_a, r._id as id_b
+  from banded l join banded r on l.band = r.band and l.bucket = r.bucket
+                             and l._id < r._id
+)"""
+
+
+@register(
+    "dd_lsh_recall_eval",
+    oracle=f"""
+with {_minhash_md5_cand_sql()},
+sizes as (select _id, count(*) as _sz from sh group by _id),
+inter_all as (
+  select a._id as id_a, b._id as id_b, count(*) as _inter
+  from sh a join sh b on a._s = b._s and a._id < b._id
+  group by 1, 2
+),
+truth as (
+  select i.id_a, i.id_b
+  from inter_all i
+  join sizes sa on i.id_a = sa._id
+  join sizes sb on i.id_b = sb._id
+  where (i._inter / (sa._sz + sb._sz - i._inter)) >= 0.8
+),
+hits as (
+  select count(*) as hits
+  from truth t join cand c on t.id_a = c.id_a and t.id_b = c.id_b
+)
+select cast((select count(*) from truth) as bigint) as n_truth,
+       cast((select count(*) from cand) as bigint) as n_cand,
+       cast(hits as bigint) as hits,
+       cast(hits as double)
+         / nullif(cast((select count(*) from truth) as double), 0.0) as recall,
+       cast(hits as double)
+         / nullif(cast((select count(*) from cand) as double), 0.0) as band_precision
+from hits
+""",
+    survey_ref="dedup-recall-eval",
+    doc="dedup quality gate (the LSH analogue of ann_recall_eval): "
+    "exact trigram-Jaccard pairs at >= 0.8 are ground truth; the "
+    "md5-family MinHash band candidates (16 perms / 4 bands) are the "
+    "approximate path; one summary row reports truth/candidate/hit "
+    "counts plus recall and band precision (exact integer counts, "
+    "int/int double division => bitwise).  The S-curve predicts "
+    "1-(1-j^4)^4 recall — the measured number audits the banding "
+    "config against its theory at every corpus change.  Assumes "
+    "buckets under the star-cap (holds at gate scales, like "
+    "dd_minhash_md5).",
+)
+def dd_lsh_recall_eval(spark, sf_dir):
+    from ..operators.dedup import (
+        _bucket_candidate_pairs,
+        minhash_md5_band_table,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).select("id_a", "id_b")
+    banded = minhash_md5_band_table(
+        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=3
+    )
+    cand = _bucket_candidate_pairs(banded, max_bucket_size=1000)
+    t_cnt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    c_cnt = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    h_cnt = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    return (
+        t_cnt.crossJoin(c_cnt)
+        .crossJoin(h_cnt)
+        .select(
+            "n_truth",
+            "n_cand",
+            "hits",
+            F.expr(
+                "cast(hits as double) / nullif(cast(n_truth as double), 0.0)"
+            ).alias("recall"),
+            F.expr(
+                "cast(hits as double) / nullif(cast(n_cand as double), 0.0)"
+            ).alias("band_precision"),
+        )
+    )
