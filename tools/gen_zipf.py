@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -96,9 +97,17 @@ def ensure(dst: str, docs: int, vocab: int = 20000, seed: int = SEED) -> str:
     cols, n = build(docs, vocab, seed)
     os.makedirs(dst, exist_ok=True)
     tbl = pa.table(cols)
-    pq.write_table(tbl, path + ".tmp", row_group_size=16384)
+    # Small row groups (~256 docs / ~64 KB) make the single fixture file
+    # SPLITTABLE: parquet scans parallelize at row-group granularity, and
+    # one 1.4 MB row group pins every pre-shuffle stage (shingling, md5
+    # banding) to ONE task no matter how many cores the session has
+    # (guide §6 file layout; measured r10: dd_lsh_recall_eval 17.8 ->
+    # 8.9 s at zipf0.1 x 32 cores from this line alone).  Row CONTENT is
+    # unchanged — same docs, same order, same seed.
+    pq.write_table(tbl, path + ".tmp", row_group_size=256)
     os.replace(path + ".tmp", path)
-    print(f"gen_zipf: wrote {n} docs -> {path}")
+    # stderr, not stdout: bench.py's contract is ONE JSON line on stdout
+    print(f"gen_zipf: wrote {n} docs -> {path}", file=sys.stderr)
     return path
 
 

@@ -1066,6 +1066,28 @@ def cluster_safe_split(
     return docs.join(assigned, id_col)
 
 
+def _md5_bit_words(h: Column) -> tuple[Column, Column]:
+    """Parse the first 16 hex digits of an md5 string ONCE into two
+    unsigned-32-bit longs, so the 64 per-bit probes below become single
+    shift+mask ops instead of 64 substring+instr string scans per row
+    (r10 guide §1.2 per-task work: measured 1.9 -> 0.9 s on the idf
+    signature aggregate at zipf0.1).  Bit semantics are unchanged from
+    the historical per-digit form: bit ``j*4 + k`` = bit k of hex digit
+    j, digits indexed from the LEFT of the hex string — digit j sits at
+    nibble ``7-j`` of the first word (j < 8) / ``15-j`` of the second."""
+    w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return w1, w2
+
+
+def _md5_bit(w1: Column, w2: Column, p: int) -> Column:
+    """Bit ``p`` (0..63) of the parsed md5 words as a 0/1 long."""
+    j, k = divmod(p, 4)
+    if j < 8:
+        return F.shiftright(w1, 4 * (7 - j) + k).bitwiseAND(F.lit(1))
+    return F.shiftright(w2, 4 * (15 - j) + k).bitwiseAND(F.lit(1))
+
+
 def simhash_md5_chunks(
     df: DataFrame, id_col: str, text_col: str, chunks: int = 4
 ) -> DataFrame:
@@ -1085,20 +1107,20 @@ def simhash_md5_chunks(
     from functools import reduce as _reduce
 
     bits_per = 64 // chunks
+    _hw1, _hw2 = _md5_bit_words(F.md5("_t"))
     toks = (
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(F.split(F.col(text_col), " ")).alias("_t"),
         )
         .filter(F.col("_t") != "")
-        .select("_id", F.md5("_t").alias("_h"))
+        # parse the digest into two bit words ONCE per row; the 64 vote
+        # probes below are then shift+mask (see _md5_bit_words)
+        .select("_id", _hw1.alias("_w1"), _hw2.alias("_w2"))
     )
-    hexv = "0123456789abcdef"
 
     def bit(p: int):
-        j, k = divmod(p, 4)
-        v = F.instr(F.lit(hexv), F.substring(F.col("_h"), j + 1, 1)) - 1
-        return F.floor(v / (1 << k)) % 2
+        return _md5_bit(F.col("_w1"), F.col("_w2"), p)
 
     votes = [
         F.sum(F.when(bit(p) == 1, 1).otherwise(-1)).alias(f"_v{p}") for p in range(64)
@@ -1263,13 +1285,13 @@ def simhash_idf_chunks(
         .select("_id", "_t", (F.col("_tf") * F.col("_wq")).alias("_w"))
     )
     if hash_family == "md5":
-        hashed = weighted.withColumn("_h", F.md5("_t"))
-        hexv = "0123456789abcdef"
+        _hw1, _hw2 = _md5_bit_words(F.md5("_t"))
+        # parse the digest into two bit words ONCE per row; the 64 vote
+        # probes are then shift+mask (see _md5_bit_words)
+        hashed = weighted.select("_id", "_w", _hw1.alias("_w1"), _hw2.alias("_w2"))
 
         def bit(p: int):
-            j, k = divmod(p, 4)
-            v = F.instr(F.lit(hexv), F.substring(F.col("_h"), j + 1, 1)) - 1
-            return F.floor(v / (1 << k)) % 2
+            return _md5_bit(F.col("_w1"), F.col("_w2"), p)
 
         votes = [
             F.sum(F.when(bit(p) == 1, F.col("_w")).otherwise(-F.col("_w"))).alias(f"_v{p}")

@@ -52,7 +52,18 @@ _RUNTIME_CONFS = {
     # simhash 2.6->2.1s at 512 KB).  At cluster scale maxPartitionBytes
     # caps split size and a lower open-cost only packs many small files
     # more densely per task — safe in both regimes.
-    "spark.sql.files.openCostInBytes": "524288",
+    # r10: 512 KB -> 64 KB.  The split size is min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes/defaultParallelism)), so the
+    # open-cost floor binds exactly when total input < cores x openCost —
+    # the small-corpus regime, where it pinned the splittable 1.4 MB
+    # multi-row-group zipf fixture to 3 scan tasks on 32 cores.  At 64 KB
+    # the same scan derives its split count from input-bytes/cores
+    # (scale-adaptive: 22 tasks at 32 cores, ~8 at 8 cores); measured:
+    # md5 minhash banding 4.2 -> 1.15 s, PPJoin truth pass 5.6 -> 3.0 s
+    # at zipf0.1.  On a real cluster totalBytes/cores >> 64 KB, so the
+    # floor never binds and packing of many small files is unchanged at
+    # any realistic file count per split.
+    "spark.sql.files.openCostInBytes": "65536",
     # The fused branch-C aggregate (plans.features) carries one
     # conditional-agg column per vocabulary entry; at the reference's
     # real MCC vocabulary (~70 codes) that is ~250 aggregate fields —

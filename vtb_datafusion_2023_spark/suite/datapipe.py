@@ -4172,7 +4172,14 @@ _PLANTED_OFFSET = 10_000_000
 
 
 def _planted_corpus(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    # r10: spread the 1-row-group documents scan before the per-row
+    # corpus synthesis — the salting transform + array_join + downstream
+    # trigram shingling are ~1 ms/doc of map work that otherwise runs on
+    # the single scan task (the _spread rationale above; the exchange
+    # carries only (doc_id, text)).  Measured: dd_containment_planted
+    # 5.3 -> 3.6 s, dd_jaccard_planted 4.9 -> 3.2 s at sf0.1 x 32 cores.
+    # Values unchanged (per-doc derivation; both heads stay hash-green).
+    docs = _spread(T(spark, sf_dir, "documents").select("doc_id", "text"))
     stoks = F.transform(
         F.split(F.col("text"), " "),
         lambda t: F.concat(t, F.lit("#"), F.expr("cast(doc_id div 2 as string)")),
@@ -5707,13 +5714,24 @@ def dd_lsh_recall_eval(spark, sf_dir):
     )
 
     docs = T(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8
-    ).select("id_a", "id_b")
+    # truth feeds TWO consumers (its count + the hits join) and cand
+    # feeds two more — unpinned, the PPJoin truth pipeline and the
+    # 16-md5-per-shingle banding each execute twice inside the one
+    # returned plan.  Both results are pair/id rows linear in the true
+    # duplicate count — tiny next to the corpus — so pin each once
+    # (lazy: plan construction stays job-free).  Measured at zipf0.1 x
+    # 32 cores: 8.9 -> 4.9 s (r10; plans/r10/dd_lsh_recall_eval_*.txt).
+    truth = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     banded = minhash_md5_band_table(
         docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=3
     )
-    cand = _bucket_candidate_pairs(banded, max_bucket_size=1000)
+    cand = _bucket_candidate_pairs(banded, max_bucket_size=1000).localCheckpoint(
+        eager=False
+    )
     t_cnt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     c_cnt = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     h_cnt = truth.join(cand, ["id_a", "id_b"]).agg(
