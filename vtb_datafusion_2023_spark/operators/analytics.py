@@ -1066,18 +1066,26 @@ def cusum_drift(
     )
     scored = prepared.selectExpr(
         key_col,
+        *order_cols,
         f"row_number() over (partition by {key_col} order by {ord_sql}) as _t",
         f"{sqlgen.wcumsum('_v', key_col, ord_sql)} as _c",
         f"{sqlgen.wdsum('_v', key_col)} as _su",
         f"count(*) over (partition by {key_col}) as _n",
     )
     drifted = scored.selectExpr(
-        key_col, "_t", "(_c - _t * (_su / _n)) as _d"
+        key_col, *order_cols, "(_c - _t * (_su / _n)) as _d"
     )
+    # the running-min window orders by the ORIGINAL order columns, not
+    # the derived _t rank: (ts, event_id) is already a total order per
+    # key (_t is literally its row_number), so the values are identical
+    # — but ordering by _t planned a SECOND full Sort above the first
+    # window's (key, ts, event_id) sort, which ordering by the same
+    # columns elides (r10: plan 2 Sorts -> 1, one exchange unchanged;
+    # plans/r10/an_cusum_{before,after}.txt).
     s = drifted.selectExpr(
         key_col,
         f"(_d - least(cast(0 as double), min(_d) over (partition by {key_col} "
-        "order by _t rows between unbounded preceding and current row))) as _s",
+        f"order by {ord_sql} rows between unbounded preceding and current row))) as _s",
     )
     return s.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"), F.max("_s").alias("cusum_max")

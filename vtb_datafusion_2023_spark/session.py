@@ -52,18 +52,14 @@ _RUNTIME_CONFS = {
     # simhash 2.6->2.1s at 512 KB).  At cluster scale maxPartitionBytes
     # caps split size and a lower open-cost only packs many small files
     # more densely per task — safe in both regimes.
-    # r10: 512 KB -> 64 KB.  The split size is min(maxPartitionBytes,
-    # max(openCostInBytes, totalBytes/defaultParallelism)), so the
-    # open-cost floor binds exactly when total input < cores x openCost —
-    # the small-corpus regime, where it pinned the splittable 1.4 MB
-    # multi-row-group zipf fixture to 3 scan tasks on 32 cores.  At 64 KB
-    # the same scan derives its split count from input-bytes/cores
-    # (scale-adaptive: 22 tasks at 32 cores, ~8 at 8 cores); measured:
-    # md5 minhash banding 4.2 -> 1.15 s, PPJoin truth pass 5.6 -> 3.0 s
-    # at zipf0.1.  On a real cluster totalBytes/cores >> 64 KB, so the
-    # floor never binds and packing of many small files is unchanged at
-    # any realistic file count per split.
-    "spark.sql.files.openCostInBytes": "65536",
+    # r10 note: a 64 KB floor was A/B'd (it would derive the split count
+    # from input-bytes/cores once a file is multi-row-group).  Quiet-
+    # window interleaved reps came back a wash at the full-head level
+    # (dd_lsh_recall_eval even favored 512 KB: 4.6-5.1 s clean vs 64 KB
+    # all steal-flagged; dd_simhash_idf ~0.4 s the other way; q9 /
+    # dd_containment identical) — the splittable-fixture row groups, not
+    # the floor, carry the win, so the r9 value stays (OPTIMIZATION_r10).
+    "spark.sql.files.openCostInBytes": "524288",
     # The fused branch-C aggregate (plans.features) carries one
     # conditional-agg column per vocabulary entry; at the reference's
     # real MCC vocabulary (~70 codes) that is ~250 aggregate fields —
