@@ -1279,16 +1279,22 @@ def simhash_idf_chunks(
         [(d, int(math.floor(math.log(n_docs / d) * quant))) for d in dfs],
         "_df bigint, _wq bigint",
     )
-    weighted = (
-        tf.join(df_t, "_t")
-        .join(F.broadcast(idf), "_df")
-        .select("_id", "_t", (F.col("_tf") * F.col("_wq")).alias("_w"))
-    )
+    # the per-token hash depends only on the TERM, so it rides the df_t
+    # side of the existing tf-join: one hash (+bit-word parse) per
+    # DISTINCT term instead of per (doc, term) row — on zipfian text
+    # that is a vocab-vs-corpus reduction (~20k vs ~400k rows at
+    # zipf0.1) with no new exchange (r10 guide §1.2 per-task work;
+    # values identical, term-functional)
     if hash_family == "md5":
         _hw1, _hw2 = _md5_bit_words(F.md5("_t"))
-        # parse the digest into two bit words ONCE per row; the 64 vote
-        # probes are then shift+mask (see _md5_bit_words)
-        hashed = weighted.select("_id", "_w", _hw1.alias("_w1"), _hw2.alias("_w2"))
+        # parse the digest into two bit words ONCE per distinct term;
+        # the 64 vote probes are then shift+mask (see _md5_bit_words)
+        df_t = df_t.select("_t", "_df", _hw1.alias("_w1"), _hw2.alias("_w2"))
+        hashed = (
+            tf.join(df_t, "_t")
+            .join(F.broadcast(idf), "_df")
+            .select("_id", (F.col("_tf") * F.col("_wq")).alias("_w"), "_w1", "_w2")
+        )
 
         def bit(p: int):
             return _md5_bit(F.col("_w1"), F.col("_w2"), p)
@@ -1298,7 +1304,12 @@ def simhash_idf_chunks(
             for p in range(64)
         ]
     else:
-        hashed = weighted.withColumn("_h", F.xxhash64("_t"))
+        df_t = df_t.select("_t", "_df", F.xxhash64("_t").alias("_h"))
+        hashed = (
+            tf.join(df_t, "_t")
+            .join(F.broadcast(idf), "_df")
+            .select("_id", (F.col("_tf") * F.col("_wq")).alias("_w"), "_h")
+        )
         votes = [
             F.sum(
                 F.when(
