@@ -46,6 +46,10 @@ import numpy as np
 
 PLANTED_OFFSET = 10_000_000
 SEED = 20260816
+# splittable-layout contract (guide §6): scans split at row-group
+# granularity, so the fixture must carry many small row groups.  ensure()
+# treats any existing file with a bigger first row group as stale.
+_ROW_GROUP_SIZE = 256
 ZIPF_S = 1.07
 KEEP_FRAC = 0.92
 
@@ -87,12 +91,22 @@ def build(docs: int, vocab: int, seed: int = SEED):
 
 
 def ensure(dst: str, docs: int, vocab: int = 20000, seed: int = SEED) -> str:
-    """Idempotent: generate ``dst/documents.parquet`` if absent."""
-    path = os.path.join(dst, "documents.parquet")
-    if os.path.exists(path):
-        return path
+    """Idempotent: generate ``dst/documents.parquet`` if absent.
+
+    Layout-self-invalidating (ADVICE r10): a fixture generated before the
+    splittable 256-row-group layout (r10) is regenerated in place —
+    content is seed-deterministic and byte-identical, only the row-group
+    framing changes, so stale .benchdata caches cannot silently keep the
+    one-task-per-scan layout the r10 numbers were measured against."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    path = os.path.join(dst, "documents.parquet")
+    if os.path.exists(path):
+        if pq.ParquetFile(path).metadata.row_group(0).num_rows <= _ROW_GROUP_SIZE:
+            return path
+        print(f"gen_zipf: stale single-row-group layout at {path} — regenerating",
+              file=sys.stderr)
 
     cols, n = build(docs, vocab, seed)
     os.makedirs(dst, exist_ok=True)
@@ -104,7 +118,7 @@ def ensure(dst: str, docs: int, vocab: int = 20000, seed: int = SEED) -> str:
     # (guide §6 file layout; measured r10: dd_lsh_recall_eval 17.8 ->
     # 8.9 s at zipf0.1 x 32 cores from this line alone).  Row CONTENT is
     # unchanged — same docs, same order, same seed.
-    pq.write_table(tbl, path + ".tmp", row_group_size=256)
+    pq.write_table(tbl, path + ".tmp", row_group_size=_ROW_GROUP_SIZE)
     os.replace(path + ".tmp", path)
     # stderr, not stdout: bench.py's contract is ONE JSON line on stdout
     print(f"gen_zipf: wrote {n} docs -> {path}", file=sys.stderr)

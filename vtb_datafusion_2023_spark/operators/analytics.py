@@ -696,9 +696,17 @@ def ohlc_bars(
     """Time-bucketed OHLC (open/high/low/close) bars per key — the
     standard downsampling for numeric event streams.  Open/close pick
     the first/last value under the deterministic (ts, tie) order via
-    row_number flags folded into ONE aggregate, so the whole bar is one
-    window + one hash agg per (keys, bucket) — no per-bar sort output,
-    no self-join.  Returns ``(keys..., bucket, open, close, high, low, n)``.
+    ``min_by``/``max_by`` on the (ts, tie) struct (lexicographic struct
+    comparison = the total order; ``tie_col`` must be unique within a
+    bucket, as event ids are), so the whole bar is ONE hash aggregate —
+    no window, no sort, and the exchange carries map-side partial
+    aggregates instead of every row (r11; the historical form paid an
+    asc+desc row_number pair = 2 full sorts above the exchange, and the
+    aggregate consumed the unaggregated stream; differential incl. NULL
+    values at the bucket edges in tests/test_r11_opt.py — min_by/max_by
+    carry a NULL value sitting at the extreme key, exactly like the
+    row_number flag fold did).  Returns ``(keys..., bucket, open, close,
+    high, low, n)``.
     """
     b = df.select(
         *keys,
@@ -708,14 +716,10 @@ def ohlc_bars(
         F.col(tie_col).alias("_tie"),
     )
     part = [*keys, "bucket"]
-    wa = Window.partitionBy(*part).orderBy(F.col("_ts").asc(), F.col("_tie").asc())
-    wd = Window.partitionBy(*part).orderBy(F.col("_ts").desc(), F.col("_tie").desc())
-    r = b.withColumn("_ra", F.row_number().over(wa)).withColumn(
-        "_rd", F.row_number().over(wd)
-    )
-    return r.groupBy(*part).agg(
-        F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
-        F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+    key = F.struct(F.col("_ts"), F.col("_tie"))
+    return b.groupBy(*part).agg(
+        F.min_by("_v", key).alias("open"),
+        F.max_by("_v", key).alias("close"),
         F.max("_v").alias("high"),
         F.min("_v").alias("low"),
         F.count(F.lit(1)).alias("n"),
@@ -1055,6 +1059,14 @@ def cusum_drift(
     and the final aggregate share its partitioning (the ordered windows
     share one sort).  Returns ``(key_col, n, cusum_max)``; keys with a
     flat series report 0.0.
+
+    CONTRACT (ADVICE r10): ``order_cols`` must be a TOTAL order within
+    each key (the default ``(ts, event_id)`` is — event_id is unique).
+    The running-min window orders by the raw columns so it shares the
+    cumsum's sort; with ties the ROWS-frame prefix min would become
+    tie-order-dependent (exactly like the cumsum ``_c`` itself already
+    was), so a non-unique ``order_cols`` caller loses cross-engine
+    bitwise parity in BOTH expressions, not just the r10-elided sort.
     """
     from .. import sqlgen
 

@@ -119,6 +119,115 @@ def rare_category_rewrite(
     return enriched.select(*out_cols)
 
 
+def _clean_stats_fused(
+    df: DataFrame, user_col: str, cat_col: str, value_col: str, n_amt: int
+) -> tuple[DataFrame, DataFrame]:
+    """A7 + A9 statistics in ONE (user, cat) window + ONE aggregate.
+
+    ``group_percentiles`` and ``_cat_counts_top`` both key on (user, cat)
+    but ran as two separate aggregations (two exchanges + two scans of
+    the transaction log) joined back one by one.  Their statistics fuse
+    into a single pass because the only conflict — group_percentiles
+    ranks NON-NULL values while _cat_cnt counts ALL rows — resolves
+    inside one window: NULL values sort FIRST under Spark's ASC default,
+    so the rank of a non-null value among non-nulls is
+    ``row_number - (#nulls in partition)``, computable from the same
+    sorted stream; null rows land at ranks <= -1, which no interpolation
+    position k >= 0 can ever select (and their ``_v`` is NULL anyway, so
+    even the all-null group's k = -1 probes contribute nothing).
+
+    Bitwise-identical outputs to the two-block form (differential-pinned
+    in tests/test_r11_opt.py over nulls / all-null groups / ties /
+    singletons, plus the two-step pin in tests/test_scale_properties.py):
+    the interpolation arithmetic, the builtin ``percentile`` median, and
+    the count contracts (cnt = non-null, _cat_cnt = all rows) are
+    textually the same expressions over the same row sets.  The one
+    observable difference — all-null-value groups now EXIST in the stats
+    table with cnt = 0 instead of being absent — is invisible through
+    the left join: cnt = 0 and cnt = NULL both fail the ``cnt > n_mcc``
+    winsorize gate, and the group's p_lo/p_hi/p_median are NULL either
+    way.  (``_q`` guards ``_cnt = 0`` explicitly so that group divides
+    by nothing.)
+
+    Returns ``(onestats(user, cat, cnt, p_lo, p_hi, p_median, _cat_cnt),
+    top(user, _top_cat, _top_cat_median))``.
+    """
+    keys = [user_col, cat_col]
+    v = F.col(value_col)
+    w_ord = Window.partitionBy(*keys).orderBy(v.asc())
+    w_part = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        v.alias("_v"),
+        (
+            F.row_number().over(w_ord)
+            - (F.count(F.lit(1)).over(w_part) - F.count(v).over(w_part))
+            - 1
+        ).alias("_rk"),
+        F.count(v).over(w_part).alias("_cnt"),
+    )
+    pos = ranked.select(
+        "*",
+        F.expr(
+            f"case when _cnt = 0 then cast(1.0 as double) "
+            f"when cast({n_amt} as double) / _cnt > 1.0 then 1.0 "
+            f"else cast({n_amt} as double) / _cnt end"
+        ).alias("_q"),
+    ).select(
+        "*",
+        F.expr("(_cnt - 1) * _q").alias("_t_lo"),
+        F.expr("(_cnt - 1) * (1.0 - _q)").alias("_t_hi"),
+        F.expr("(_cnt - 1) * 0.5").alias("_t_md"),
+    )
+
+    def interp(t: str, alias: str) -> list:
+        k = f"cast(floor({t}) as bigint)"
+        return [
+            F.expr(f"max(case when _rk = {k} then _v end) as _{alias}_lo"),
+            F.expr(f"max(case when _rk = {k} + 1 then _v end) as _{alias}_hi"),
+            F.expr(f"max({t} - {k}) as _{alias}_frac"),
+        ]
+
+    agg = pos.groupBy(*keys).agg(
+        F.max("_cnt").alias("cnt"),
+        *interp("_t_lo", "lo"),
+        *interp("_t_hi", "hi"),
+        *interp("_t_md", "md"),
+        F.count(F.lit(1)).alias("_cat_cnt"),
+        F.expr("percentile(_v, 0.5)").alias("_cat_median"),
+    )
+
+    def finish(alias: str, out: str) -> str:
+        lo, hi, fr = f"_{alias}_lo", f"_{alias}_hi", f"_{alias}_frac"
+        return (
+            f"(case when {hi} is null then {lo} "
+            f"else {lo} + ({hi} - {lo}) * {fr} end) as {out}"
+        )
+
+    onestats = agg.select(
+        *keys,
+        "cnt",
+        F.expr(finish("lo", "p_lo")),
+        F.expr(finish("hi", "p_hi")),
+        F.expr(finish("md", "p_median")),
+        "_cat_cnt",
+        "_cat_median",
+    )
+    top_w = Window.partitionBy(user_col).orderBy(
+        F.col("_cat_cnt").desc(), F.col(cat_col).asc()
+    )
+    top = (
+        onestats.withColumn("_rn", F.row_number().over(top_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(user_col),
+            F.col(cat_col).alias("_top_cat"),
+            F.col("_cat_median").alias("_top_cat_median"),
+        )
+    )
+    return onestats.drop("_cat_median"), top
+
+
 def clean_transactions(
     df: DataFrame,
     user_col: str = "user_id",
@@ -133,32 +242,28 @@ def clean_transactions(
     Row-identical to ``rare_category_rewrite(winsorize_to_median(df),
     stats_source=df)`` (pinned by tests/test_scale_properties.py,
     including mixed-sign medians and all-null-value top categories) but
-    FUSED: the winsorize condition fires only on groups with cnt >
-    ``n_mcc`` and the rare rewrite only on cnt <= ``n_mcc`` — disjoint —
-    so both resolve in ONE projection off one enriched join.  The rare
-    path's statistics are the SAME :func:`_cat_counts_top` block the
-    two-step path runs (builtin ``percentile`` median riding the counts
-    aggregate — an earlier draft substituted ``group_percentiles``'
-    ``lo + (hi-lo)*f`` interpolation, which diverges from the builtin's
-    ``(1-f)*lo + f*hi`` by 1 ulp whenever the middle pair leaves the
-    Sterbenz region, e.g. values straddling zero, and silently dropped
-    all-null-value groups).  Saves the intermediate full-width
-    projection and the separate median aggregation+join vs the
-    composition."""
+    FUSED twice over:
+
+    - the winsorize condition fires only on groups with cnt > ``n_mcc``
+      and the rare rewrite only on cnt <= ``n_mcc`` — disjoint — so both
+      resolve in ONE projection off one enriched join (the r5 fusion);
+    - the A7 percentile statistics and the A9 count/median statistics
+      both key on (user, cat), so they ride ONE window + ONE aggregate
+      (:func:`_clean_stats_fused`, r11) instead of two aggregations and
+      three join legs — one fewer scan + exchange of the transaction
+      log per call, bitwise-identical outputs (see its docstring for the
+      null-handling argument; the builtin ``percentile`` median still
+      rides the counts, never ``group_percentiles``' differently-rounded
+      interpolation)."""
     keys = [user_col, cat_col]
-    stats = group_percentiles(df, keys, value_col, n_amt=n_amt)
     # rare-rewrite statistics come from the ORIGINAL df: the reference
     # copies per-code amount arrays before winsorization mutates them
     # (run.py:49-50).  _cat_cnt counts ALL rows (the a9 contract), while
-    # stats.cnt counts non-null values (the winsorize/percentile
-    # contract) — they differ on groups holding null values.
-    counts, top_med = _cat_counts_top(df, user_col, cat_col, value_col)
+    # cnt counts non-null values (the winsorize/percentile contract) —
+    # they differ on groups holding null values.
+    onestats, top_med = _clean_stats_fused(df, user_col, cat_col, value_col, n_amt)
 
-    enriched = (
-        df.join(stats, on=keys, how="left")
-        .join(counts, on=keys, how="left")
-        .join(top_med, on=user_col, how="left")
-    )
+    enriched = df.join(onestats, on=keys, how="left").join(top_med, on=user_col, how="left")
     v = F.col(value_col)
     is_rare = F.col("_cat_cnt") <= n_mcc
     winsorize = (F.col("cnt") > n_mcc) & ((v > F.col("p_hi")) | (v < F.col("p_lo")))
@@ -170,7 +275,7 @@ def clean_transactions(
             )
         elif c == value_col:
             out_cols.append(
-                F.when(is_rare, F.col("_cat_median"))
+                F.when(is_rare, F.col("_top_cat_median"))
                 .otherwise(F.when(winsorize, F.col("p_median")).otherwise(v))
                 .alias(value_col)
             )

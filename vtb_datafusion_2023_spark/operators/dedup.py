@@ -205,10 +205,21 @@ def _verify_jaccard(
         .unionByName(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
+    # the candidate-doc shingle table feeds BOTH pair-join sides below;
+    # unpinned, the corpus scan + join-prune + per-doc shingling ran once
+    # per side (r11; interleaved A/B on the zipf corpus: dd_minhash_lsh
+    # 5.19 -> 3.75 s clean).  Pin it once — candidate docs are ~linear in
+    # true duplicates, tiny next to the corpus, so unlike a corpus-wide
+    # shingle pin this stays block-manager-safe at scale.  A corpus-wide
+    # pinned shingle table shared with the banding stage was A/B'd too
+    # (4.45 s): it loses to this shape because banding keeps the faster
+    # codegen'd window-lead shingling AND nothing corpus-sized is ever
+    # materialized.  Lazy: plan construction stays job-free.
     sh = (
         docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
         .join(cand_ids, "_id")
         .select("_id", word_shingles("_txt", shingle_n).alias("_sh"))
+        .localCheckpoint(eager=False)
     )
     pairs = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
@@ -1093,10 +1104,13 @@ def simhash_md5_chunks(
 ) -> DataFrame:
     """Cross-engine-certifiable SimHash: per-token hash bits come from
     the HEX DIGITS of ``md5(token)`` (bit ``j*4 + k`` = bit k of hex
-    digit j, extracted with pure integer arithmetic — no 64-bit shifts,
-    no engine-specific hash), so the whole signature is replayable in
-    any engine with md5 (`dd_simhash_md5`), the same rationale as
-    `minhash_md5_band_table` vs the xxhash64 default.
+    digit j; the digest's first 16 hex chars are parsed ONCE into two
+    32-bit words via ``conv(.., 16, 10)`` and each bit probed with
+    shiftright+mask — ``_md5_bit_words``; every word value stays < 2^32,
+    bit semantics pinned bit-for-bit against the historical per-digit
+    ``instr`` form by tests/test_r10_opt.py), so the whole signature is
+    replayable in any engine with md5 (`dd_simhash_md5`), the same
+    rationale as `minhash_md5_band_table` vs the xxhash64 default.
 
     Emits the signature as ``chunks`` 16-bit integers (the pigeonhole
     keys) instead of one signed 64-bit word — small positive ints avoid

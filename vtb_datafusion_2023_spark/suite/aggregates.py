@@ -261,6 +261,12 @@ from a
 def a16_roc_auc(spark, sf_dir):
     cu = T(spark, sf_dir, "customer")
     cu.createOrReplaceTempView("_a16_customer")
+    # `ties` counts the CURRENT ROW'S PEERS under the rank()'s own global
+    # score order (RANGE CURRENT ROW AND CURRENT ROW = all rows tied with
+    # this one) — value-identical to the oracle's `partition by score`
+    # count, but it shares the rank window's single-partition sort instead
+    # of planning a second Exchange+Sort on score (r11 guide §2.4; plan:
+    # 2 exchanges + 2 sorts -> 1 + 1, plans/r11/a16_roc_auc_*.txt).
     return spark.sql(
         """
 with s as (select c_acctbal as score,
@@ -268,7 +274,7 @@ with s as (select c_acctbal as score,
            from _a16_customer),
 r as (select label,
              rank() over (order by score) as rk,
-             count(*) over (partition by score) as ties
+             count(*) over (order by score range between current row and current row) as ties
       from s),
 a as (select sum(case when label = 1 then rk + (ties - 1) / cast(2 as double) end) as spr,
              cast(sum(label) as bigint) as npos,
