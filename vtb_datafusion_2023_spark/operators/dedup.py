@@ -1278,6 +1278,19 @@ def simhash_idf_chunks(
         .agg(F.count(F.lit(1)).alias("_tf"))
         .localCheckpoint(eager=True)  # feeds df_t, the distinct-df collect, and scoring
     )
+    # AQE sizes post-shuffle partitions by BYTES, so at gate/bench scale
+    # the tf table pins at 1-2 partitions — and with it every downstream
+    # stage that runs at the checkpoint's partitioning, above all the
+    # 64-sum vote partial aggregate (r11 stage audit on zipf0.1: the
+    # whole scoring job ran single-task).  Re-spread the pinned table
+    # across the cluster ONLY when it materialized below cluster width;
+    # at real scale the tf shuffle already yields >= parallelism
+    # partitions and this branch never fires, so no extra exchange is
+    # paid where it would hurt (keyed by _id: pre-clusters the vote
+    # groupBy; values are int sums — partitioning-invariant bitwise).
+    _sc = df.sparkSession.sparkContext
+    if tf.rdd.getNumPartitions() < _sc.defaultParallelism:
+        tf = tf.repartition(_sc.defaultParallelism, "_id").localCheckpoint(eager=True)
     df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = float(df.count())
     dfs = [
@@ -1304,8 +1317,16 @@ def simhash_idf_chunks(
         # parse the digest into two bit words ONCE per distinct term;
         # the 64 vote probes are then shift+mask (see _md5_bit_words)
         df_t = df_t.select("_t", "_df", _hw1.alias("_w1"), _hw2.alias("_w2"))
+        # df_t is the DISTINCT-TERM table — vocab-sized, and this
+        # operator's own determinism contract already driver-bounds the
+        # vocabulary statistics (the distinct-df collect above).  The
+        # planner cannot see that: both join sides are RDD-backed after
+        # the checkpoint, and its estimate picked the CORPUS side as the
+        # broadcast build (r11 SQL-metrics audit on zipf0.1: a 383k-row
+        # tf broadcast per consumer; scoring exec 2.5 s -> 1.5 s with
+        # the hint).  Guide §3.1: hint the side we KNOW is small.
         hashed = (
-            tf.join(df_t, "_t")
+            tf.join(F.broadcast(df_t), "_t")
             .join(F.broadcast(idf), "_df")
             .select("_id", (F.col("_tf") * F.col("_wq")).alias("_w"), "_w1", "_w2")
         )
@@ -1319,8 +1340,9 @@ def simhash_idf_chunks(
         ]
     else:
         df_t = df_t.select("_t", "_df", F.xxhash64("_t").alias("_h"))
+        # same broadcast rationale as the md5 branch above
         hashed = (
-            tf.join(df_t, "_t")
+            tf.join(F.broadcast(df_t), "_t")
             .join(F.broadcast(idf), "_df")
             .select("_id", (F.col("_tf") * F.col("_wq")).alias("_w"), "_h")
         )

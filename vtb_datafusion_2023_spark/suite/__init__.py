@@ -383,6 +383,50 @@ _FRONT_R8 = [
 #    a5/a6 sum-pivots, whose shared pivot_exprs path is re-certified
 #    via a1 (slot 11) and a2-a4 this same round.  They roll to r11 at
 #    r5 freshness if the driver stops at 50; they lead _FRONT_R11.
+# Round-11 front block (the driver certifies ~50 in order):
+# 1. Slots 1-6: the six r10-optimized heads (VERDICT r10 item 2 — their
+#    plans changed in r10 but the r10 window was fixed before the
+#    optimization session, so the driver's oracle has never run on the
+#    changed plans; local oracle_check + pinned differentials carry the
+#    claim until these rows land).
+# 2. Slots 7-14: every head whose PLAN changed in r11 (cleaning-stats
+#    fusion -> pipeline_submission / clean_transactions_composed;
+#    verify-shingle pin -> the minhash/incremental family; min_by OHLC;
+#    a16 shared-sort ties; idf broadcast+respread -> dd_simhash_idf is
+#    already slot 2).  Rows-only twins ride their md5 certs but get
+#    fresh rows checks here too.
+# 3. Slots 15-16: a5/a6 — the r10 roll candidates (r5-freshness
+#    sum-pivots; VERDICT r10 said they lead this block's rotation).
+# 4. The 17 remaining never-driver-checked heads (r10-session additions
+#    certified locally only), then stale greens (newest row < r8) in
+#    tools/plan_next_round.py order.
+_FRONT_R11 = [
+    # -- r10-optimized, never driver-certified on the new plans --
+    "dd_lsh_recall_eval", "dd_simhash_idf", "dd_simhash_md5",
+    "dd_containment_planted", "dd_jaccard_planted", "an_cusum",
+    # -- r11 plan changes --
+    "pipeline_submission", "clean_transactions_composed",
+    "dd_minhash_md5", "dd_incremental_md5", "dd_minhash_lsh",
+    "dd_incremental_minhash", "an_ohlc_bars", "a16_roc_auc",
+    # -- r10 roll candidates (r5-freshness) --
+    "a5_pivot_sum", "a6_pivot_sum_debit_credit",
+    # -- never driver-checked (r10-session additions) --
+    "ann_recall_eval", "an_autocorr", "text_sentence_split",
+    "emb_mrl_truncate", "an_trend_slope", "dd_sentence_dedup",
+    "agg_incremental_ols", "ann_mrl_rerank", "an_forecast_holt",
+    "gr_link_jaccard", "gr_assortativity", "dp_temperature_mix",
+    "ann_int8_rerank", "mm_phash_dedup", "mm_phash_near_pairs",
+    "st_trend_ols", "dd_semdedup_scaled",
+    # -- stale greens (newest driver row < r8), riskiest-drift first --
+    "dd_semdedup", "w10_quantile_bin", "w11_minmax_scale",
+    "w12_rank_functions", "w13_rolling_time_window", "w14_ewma",
+    "w15_gap_fill", "u1_rnn_scores", "u4_vrae_latents",
+    "dd_exact_dedup", "dd_simhash", "text_quality", "text_langid",
+    "text_fingerprint", "text_token_count", "sim_topk_bruteforce",
+    "ann_gemm_topk", "pq_encode_codes", "ann_pq_topk",
+    "ann_lsh_buckets", "ann_lsh_topk", "ann_lsh_pq_topk",
+]
+
 _FRONT_R10 = [
     # -- unigram-shingle fast-path riders (plan changed r9; pinned) --
     "dd_ngram_jaccard", "dd_containment", "dd_dedup_clusters",
@@ -555,11 +599,11 @@ def _load_all() -> None:
     from . import submission_e2e  # noqa: F401
     from . import ml  # noqa: F401
 
-    head = _FRONT_R10 + [
+    head = _FRONT_R11 + [
         n
-        for block in (_FRONT_R9, _FRONT_R8, _FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
+        for block in (_FRONT_R10, _FRONT_R9, _FRONT_R8, _FRONT_R7, _FRONT_R6, _FRONT_R5, _FRONT_R4, _UNCHECKED_TAIL)
         for n in block
-        if n not in _FRONT_R10
+        if n not in _FRONT_R11
     ]
     seen: set[str] = set()
     head = [n for n in head if not (n in seen or seen.add(n))]
