@@ -38,6 +38,18 @@ PLAN = [
     ("region", [], None),
 ]
 
+# Parquet scans split at ROW-GROUP granularity (a byte-range split only
+# reads row groups whose start offset falls inside it), so a table whose
+# per-row downstream compute is heavy needs many small row groups or its
+# scan stage caps at num_row_groups tasks regardless of core count —
+# the r10 zipf-fixture lesson (gen_zipf _ROW_GROUP_SIZE), rediscovered
+# at sf10 in r11: duckdb's default ~123k-row groups left the 500k-doc
+# documents.parquet at FIVE row groups, capping every scan+tokenize
+# stage at 5 tasks (text_tfidf read FLAT 8-core vs 32-core because of
+# it).  Relational tables keep the default (they get hundreds of groups
+# at these scales and their per-row work is light).
+ROW_GROUP_OVERRIDE = {"documents": 4096, "embeddings": 16384}
+
 # key domains shared across tables must shift by the SAME stride
 DOMAIN_OF = {
     "l_orderkey": "orderkey", "o_orderkey": "orderkey",
@@ -80,8 +92,10 @@ def main() -> None:
     for table, keys, text_col in PLAN:
         src = f"'{args.src}/{table}.parquet'"
         dst = os.path.join(args.dst, f"{table}.parquet")
+        rg = ROW_GROUP_OVERRIDE.get(table)
+        fmt = f"(format parquet{f', row_group_size {rg}' if rg else ''})"
         if not keys:
-            con.execute(f"copy (select * from {src}) to '{dst}' (format parquet)")
+            con.execute(f"copy (select * from {src}) to '{dst}' {fmt}")
             continue
         cols = [c[0] for c in con.execute(f"describe select * from {src}").fetchall()]
         selects = []
@@ -99,7 +113,7 @@ def main() -> None:
                     proj.append(c)
             selects.append(f"select {', '.join(proj)} from {src}")
         union = "\nunion all\n".join(selects)
-        con.execute(f"copy ({union}) to '{dst}' (format parquet)")
+        con.execute(f"copy ({union}) to '{dst}' {fmt}")
         n = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
         print(f"{table}: {n} rows")
 

@@ -286,6 +286,7 @@ def minhash_md5_band_table(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-engine-certifiable MinHash banding: permutation ``p`` of a
     shingle is ``md5(f"{p}:" + shingle)`` (lowercase hex; lexicographic
@@ -302,14 +303,23 @@ def minhash_md5_band_table(
 
     One shuffle: the per-doc groupBy computes all ``num_perm`` string
     mins with map-side partial aggregation.  Returns (_id, band, bucket).
+
+    ``shingled``: an already-pinned :func:`shingle_array_table` over the
+    same (df, id_col, text_col, shingle_n) — lets a caller that shingles
+    the corpus for another pipeline (the recall-eval truth stage) share
+    ONE shingle build (r11); identical values, the explode just reads
+    the pinned arrays.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
-    )
+    if shingled is not None:
+        sh = shingled.select("_id", F.explode("_sh").alias("_s"))
+    else:
+        sh = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
+        )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("_s")))).alias(f"_m{p}")
         for p in range(num_perm)
@@ -655,6 +665,23 @@ def simhash_near_pairs(
     )
 
 
+def shingle_array_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """``(_id, _sh, _sz)`` distinct word-n-gram shingle arrays, pinned
+    once (lazy ``localCheckpoint``).  The shareable unit of shingling:
+    pass it to several shingle consumers over the SAME corpus
+    (``ngram_jaccard_pairs`` / ``minhash_md5_band_table`` via their
+    ``shingled=`` parameter) so the per-doc n-gram construction — the
+    dominant fixed cost of the n>=2 slice+array_join form — runs once
+    per corpus instead of once per consumer (r11 guide §1.2; the
+    recall-eval head built the identical trigram table twice, once for
+    the exact-Jaccard truth and once for the banding candidates)."""
+    return (
+        df.select(F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh"))
+        .withColumn("_sz", F.size("_sh"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -663,6 +690,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     prefix_filter: bool = True,
     position_filter: bool = True,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for all pairs above ``threshold``.
 
@@ -704,17 +732,19 @@ def ngram_jaccard_pairs(
     r01 baseline; useful as a differential check);
     ``position_filter=False`` keeps plain AllPairs (the r1-r6 path, the
     candidate-count differential for the measured reduction).
+
+    ``shingled``: an already-pinned :func:`shingle_array_table` of the
+    SAME (df, id_col, text_col, n) — callers that also shingle the
+    corpus elsewhere (the recall-eval head's banding stage) pass it so
+    one pinned table feeds both pipelines (r11).
     """
-    docs = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
-    ).withColumn("_sz", F.size("_sh"))
     # the shingle-array table feeds five plan branches (df frequency,
     # prefix, both candidate sides, both verify sides) — pin it once so
     # the upstream scan + per-doc shingling doesn't replay per branch
     # (same rationale as containment_pairs; measured on the planted
     # corpus at sf0.1: 20.4 -> ~4 s, where the upstream derivation is
     # nontrivial).  Lazy: plan construction stays job-free.
-    docs = docs.localCheckpoint(eager=False)
+    docs = shingled if shingled is not None else shingle_array_table(df, id_col, text_col, n)
     sh = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
     if not prefix_filter:
         l, r = sh.alias("l"), sh.alias("r")

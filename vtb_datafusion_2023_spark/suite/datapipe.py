@@ -5711,6 +5711,7 @@ def dd_lsh_recall_eval(spark, sf_dir):
     from ..operators.dedup import (
         _bucket_candidate_pairs,
         minhash_md5_band_table,
+        shingle_array_table,
     )
 
     docs = T(spark, sf_dir, "documents")
@@ -5721,13 +5722,17 @@ def dd_lsh_recall_eval(spark, sf_dir):
     # duplicate count — tiny next to the corpus — so pin each once
     # (lazy: plan construction stays job-free).  Measured at zipf0.1 x
     # 32 cores: 8.9 -> 4.9 s (r10; plans/r10/dd_lsh_recall_eval_*.txt).
+    # r11: truth and cand each built the SAME trigram shingle table
+    # from scratch (the n=3 slice+array_join build is the expensive
+    # form); one pinned shingle_array_table now feeds both pipelines.
+    sh_all = shingle_array_table(docs, "doc_id", "text", n=3)
     truth = (
-        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, shingled=sh_all)
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
     banded = minhash_md5_band_table(
-        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=3
+        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=3, shingled=sh_all
     )
     cand = _bucket_candidate_pairs(banded, max_bucket_size=1000).localCheckpoint(
         eager=False
